@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from tpu_llm.io import gguf as gg
+from tpu_llm.quant import blocks
+
+
+def test_roundtrip_metadata_and_tensors(tmp_path):
+    path = str(tmp_path / "t.gguf")
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 32)).astype(np.float32)
+    b = rng.standard_normal((8, 64)).astype(np.float32)
+    meta = {
+        "general.architecture": "llama",
+        "llama.block_count": 2,
+        "llama.embedding_length": 32,
+        "llama.rope.freq_base": 10000.0,
+        "flag": True,
+        "neg": -3,
+        "tokenizer.ggml.tokens": ["<unk>", "<s>", "hello", "▁world"],
+        "tokenizer.ggml.scores": np.asarray([0.0, 0.0, -1.0, -2.0], np.float32),
+    }
+    gg.write_gguf(path, meta, {
+        "a.weight": a,
+        "b.weight": (b, gg.GGML_F16),
+    })
+
+    f = gg.GGUFFile(path)
+    assert f.version == 3
+    assert f.metadata["general.architecture"] == "llama"
+    assert f.metadata["llama.block_count"] == 2
+    assert f.metadata["flag"] is True
+    assert f.metadata["neg"] == -3
+    assert f.metadata["tokenizer.ggml.tokens"][3] == "▁world"
+    np.testing.assert_allclose(
+        f.metadata["tokenizer.ggml.scores"], [0.0, 0.0, -1.0, -2.0]
+    )
+    assert f.tensors["a.weight"].dims == (32, 4)  # ggml order reversed
+    np.testing.assert_allclose(f.array("a.weight"), a)
+    np.testing.assert_allclose(f.dequantized("b.weight"), b, atol=1e-2)
+
+
+def test_alignment_honored(tmp_path):
+    path = str(tmp_path / "t.gguf")
+    a = np.ones((3, 7), np.float32)
+    gg.write_gguf(path, {"k": 1}, {"a": a, "b": a * 2}, alignment=64)
+    f = gg.GGUFFile(path)
+    assert f.alignment == 64
+    assert f.data_offset % 64 == 0
+    assert f.tensors["b"].offset % 64 == 0
+    np.testing.assert_allclose(f.array("b"), a * 2)
+
+
+def test_q4_0_tensor_roundtrip(tmp_path):
+    path = str(tmp_path / "q.gguf")
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((8, 64)).astype(np.float32)  # rows of 64 = 2 blocks
+    gg.write_gguf(path, {}, {"w": (w, gg.GGML_Q4_0)})
+    f = gg.GGUFFile(path)
+    t = f.tensors["w"]
+    assert t.ggml_type == gg.GGML_Q4_0
+    assert t.nbytes == 8 * 2 * blocks.Q4_0_BLOCK_BYTES
+    deq = f.dequantized("w")
+    assert deq.shape == (8, 64)
+    # quant error bounded per block
+    err = np.abs(deq - w).max()
+    assert err <= np.abs(w).max() / 7.0
+
+
+def test_q8_0_and_bf16(tmp_path):
+    path = str(tmp_path / "q8.gguf")
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((4, 32)).astype(np.float32)
+    gg.write_gguf(path, {}, {"w8": (w, gg.GGML_Q8_0), "wb": (w, gg.GGML_BF16)})
+    f = gg.GGUFFile(path)
+    np.testing.assert_allclose(f.dequantized("w8"), w, atol=np.abs(w).max() / 100)
+    np.testing.assert_allclose(f.dequantized("wb"), w, atol=0.02)
+
+
+def test_bad_magic(tmp_path):
+    p = tmp_path / "bad.gguf"
+    p.write_bytes(b"NOPE" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="magic"):
+        gg.GGUFFile(str(p))
+
+
+def test_nested_string_array(tmp_path):
+    path = str(tmp_path / "s.gguf")
+    gg.write_gguf(path, {"strs": ["a", "bb", "ccc"]}, {"t": np.zeros((2, 2), np.float32)})
+    f = gg.GGUFFile(path)
+    assert f.metadata["strs"] == ["a", "bb", "ccc"]

@@ -1,0 +1,185 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import reference_impl as ref
+from tpu_llm.config import LlamaConfig
+from tpu_llm.models import llama as M
+from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+CFG = dict(dim=32, hidden_dim=48, n_layers=2, n_heads=4, n_kv_heads=2,
+           vocab_size=96, seq_len=16)
+
+
+def make_weights(seed=0):
+    """Random tiny model in (out, in) numpy orientation (oracle layout)."""
+    rng = np.random.default_rng(seed)
+    d, h, L, V = CFG["dim"], CFG["hidden_dim"], CFG["n_layers"], CFG["vocab_size"]
+    kv = d // CFG["n_heads"] * CFG["n_kv_heads"]
+    s = lambda *shape: (rng.standard_normal(shape) * 0.08).astype(np.float32)
+    return {
+        "tok_emb": s(V, d),
+        "attn_norm": 1.0 + 0.1 * s(L, d),
+        "ffn_norm": 1.0 + 0.1 * s(L, d),
+        "wq": s(L, d, d), "wk": s(L, kv, d), "wv": s(L, kv, d), "wo": s(L, d, d),
+        "w1": s(L, h, d), "w2": s(L, d, h), "w3": s(L, h, d),
+        "final_norm": 1.0 + 0.1 * s(d),
+        "wcls": s(V, d),
+    }
+
+
+def to_params(w):
+    proj = lambda a: jnp.asarray(np.ascontiguousarray(a.transpose(0, 2, 1)))
+    return {
+        "tok_emb": jnp.asarray(w["tok_emb"]),
+        "final_norm": jnp.asarray(w["final_norm"]),
+        "wcls": jnp.asarray(w["wcls"].T.copy()),
+        "layers": {
+            "attn_norm": jnp.asarray(w["attn_norm"]),
+            "ffn_norm": jnp.asarray(w["ffn_norm"]),
+            "wq": proj(w["wq"]), "wk": proj(w["wk"]), "wv": proj(w["wv"]),
+            "wo": proj(w["wo"]),
+            "w1": proj(w["w1"]), "w2": proj(w["w2"]), "w3": proj(w["w3"]),
+        },
+    }
+
+
+def oracle_cfg():
+    return dict(CFG, kv_dim=CFG["dim"] // CFG["n_heads"] * CFG["n_kv_heads"])
+
+
+@pytest.mark.parametrize("rope", ["llmf90", "interleaved"])
+def test_decode_matches_fortran_oracle(rope):
+    w = make_weights()
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG, rope_variant=rope)
+    oracle = ref.RefLlama(w, oracle_cfg(), rope=rope)
+
+    cache = M.init_cache(cfg, batch=1, max_seq=CFG["seq_len"])
+    tokens = [1, 5, 17, 3, 42]
+    for pos, tok in enumerate(tokens):
+        logits, cache = M.decode_step(
+            params, cfg, jnp.asarray([tok], jnp.int32), cache, jnp.int32(pos)
+        )
+        expected = oracle.step(tok, pos)
+        np.testing.assert_allclose(
+            np.asarray(logits[0]), expected, rtol=2e-4, atol=2e-4,
+            err_msg=f"step {pos} ({rope})",
+        )
+
+
+def test_prefill_equals_stepwise():
+    w = make_weights(1)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG)
+    tokens = [1, 9, 33, 7]
+
+    # stepwise
+    cache = M.init_cache(cfg, 1, CFG["seq_len"])
+    step_logits = []
+    for pos, tok in enumerate(tokens):
+        lg, cache = M.decode_step(
+            params, cfg, jnp.asarray([tok], jnp.int32), cache, jnp.int32(pos)
+        )
+        step_logits.append(np.asarray(lg[0]))
+
+    # one prefill pass
+    cache2 = M.init_cache(cfg, 1, CFG["seq_len"])
+    hidden, cache2 = M.forward(
+        params, cfg, jnp.asarray([tokens], jnp.int32), cache2, jnp.int32(0)
+    )
+    all_logits = np.asarray(M.lm_head(params, cfg, hidden))[0]
+    for pos in range(len(tokens)):
+        np.testing.assert_allclose(
+            all_logits[pos], step_logits[pos], rtol=2e-4, atol=2e-4,
+            err_msg=f"pos {pos}",
+        )
+    # caches must agree on the filled region
+    np.testing.assert_allclose(
+        np.asarray(cache["k"][:, :, : len(tokens)]),
+        np.asarray(cache2["k"][:, :, : len(tokens)]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_prefill_padding_is_safe():
+    """Padded prefill + decode must equal unpadded stepwise decode
+    (the engine right-pads prompts to shape buckets)."""
+    w = make_weights(2)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG)
+    tokens = [1, 9, 33]
+
+    # padded prefill of 3 real tokens in an 8-slot buffer, then decode
+    padded = tokens + [0] * 5
+    cache = M.init_cache(cfg, 1, CFG["seq_len"])
+    hidden, cache = M.forward(
+        params, cfg, jnp.asarray([padded], jnp.int32), cache, jnp.int32(0)
+    )
+    lg_padded, cache = M.decode_step(
+        params, cfg, jnp.asarray([7], jnp.int32), cache, jnp.int32(3)
+    )
+
+    # oracle: plain stepwise
+    cache2 = M.init_cache(cfg, 1, CFG["seq_len"])
+    for pos, tok in enumerate(tokens + [7]):
+        lg_ref, cache2 = M.decode_step(
+            params, cfg, jnp.asarray([tok], jnp.int32), cache2, jnp.int32(pos)
+        )
+    np.testing.assert_allclose(
+        np.asarray(lg_padded), np.asarray(lg_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_engine_greedy_matches_oracle_generation():
+    w = make_weights(3)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG, rope_variant="llmf90")
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    engine = Engine(params, adapter, max_seq=CFG["seq_len"])
+
+    prompt = [5, 11]
+    res = engine.generate(prompt, n_total=8, temperature=0.0, seed=0)
+
+    # oracle greedy loop, reference-style: BOS then teacher-forced prompt
+    oracle = ref.RefLlama(w, oracle_cfg(), rope="llmf90")
+    seq = [1] + prompt
+    emitted = []
+    pos = 0
+    token = seq[0]
+    for i in range(8):
+        logits = oracle.step(token, pos)
+        if pos + 1 < len(seq):
+            token = seq[pos + 1]
+        else:
+            token = int(np.argmax(logits))
+        emitted.append(token)
+        pos += 1
+    assert res.tokens == emitted
+
+
+def test_engine_scan_matches_loop():
+    w = make_weights(4)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG)
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+
+    e1 = Engine(params, adapter, max_seq=CFG["seq_len"])
+    r1 = e1.generate([3, 4], n_total=9, temperature=0.0, seed=7)
+    e2 = Engine(params, adapter, max_seq=CFG["seq_len"])
+    r2 = e2.generate([3, 4], n_total=9, temperature=0.0, seed=7, use_scan=True)
+    assert r1.tokens == r2.tokens
+
+
+def test_engine_temperature_deterministic_per_seed():
+    w = make_weights(5)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG)
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    e1 = Engine(params, adapter, max_seq=CFG["seq_len"])
+    r1 = e1.generate([2], n_total=8, temperature=0.9, seed=123)
+    e2 = Engine(params, adapter, max_seq=CFG["seq_len"])
+    r2 = e2.generate([2], n_total=8, temperature=0.9, seed=123)
+    assert r1.tokens == r2.tokens

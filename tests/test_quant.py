@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_llm.quant import blocks
+from tpu_llm.quant.qtensor import QTensor, quantize_tensor, dequantize, unpack_q4
+from tpu_llm.quant.pallas_matmul import qmatmul_pallas, pallas_tiles_ok
+
+
+def test_q4_0_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(256).astype(np.float32)
+    buf = blocks.quantize_q4_0(x)
+    y = blocks.dequantize_q4_0(buf, 256)
+    # max error per block is ~scale/2 = max|x|/16
+    for b in range(256 // 32):
+        blk = slice(b * 32, (b + 1) * 32)
+        bound = np.abs(x[blk]).max() / 8.0
+        assert np.abs(x[blk] - y[blk]).max() <= bound
+
+
+def test_q8_0_roundtrip_tight():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(128).astype(np.float32)
+    y = blocks.dequantize_q8_0(blocks.quantize_q8_0(x), 128)
+    np.testing.assert_allclose(x, y, atol=np.abs(x).max() / 100)
+
+
+def test_q4_0_exact_representable():
+    # ggml derives d = signed_absmax / -8; include -8d so d is recovered
+    # exactly, making every multiple of d in [-8d, 7d] round-trip exactly
+    d = 0.5
+    q = np.arange(32) % 16 - 8  # in [-8, 7], includes -8
+    x = (q * d).astype(np.float32)
+    y = blocks.dequantize_q4_0(blocks.quantize_q4_0(x), 32)
+    np.testing.assert_allclose(x, y, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["q4_0", "q8_0"])
+def test_qtensor_dequant_matches_block_dequant(kind):
+    rng = np.random.default_rng(2)
+    K, N = 64, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    qt = quantize_tensor(w, kind)
+    assert qt.shape == (K, N)
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    # oracle: ggml-order quantize of W^T rows then transpose back
+    deq = blocks.dequantize_q4_0 if kind == "q4_0" else blocks.dequantize_q8_0
+    quant = blocks.quantize_q4_0 if kind == "q4_0" else blocks.quantize_q8_0
+    expected = deq(quant(np.ascontiguousarray(w.T).reshape(-1)), K * N)
+    expected = expected.reshape(N, K).T
+    np.testing.assert_allclose(wd, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_unpack_q4_layout():
+    # W[k, n] = k for column 0 -> check block-local pairing survives packing
+    K, N = 64, 128
+    w = np.zeros((K, N), np.float32)
+    w[:, 0] = (np.arange(K) % 16 - 8) * 0.25
+    qt = quantize_tensor(w, "q4_0")
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    np.testing.assert_allclose(wd[:, 0], w[:, 0], atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["q4_0", "q8_0"])
+@pytest.mark.parametrize("rows", [1, 3, 8])
+def test_pallas_qmatmul_interpret_matches_xla(kind, rows):
+    rng = np.random.default_rng(3)
+    K, N = 128, 256
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = rng.standard_normal((rows, K)).astype(np.float32)
+    qt = quantize_tensor(w, kind)
+    assert pallas_tiles_ok(qt)
+    expected = x @ np.asarray(dequantize(qt, jnp.float32))
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_qmatmul_3d_input():
+    rng = np.random.default_rng(4)
+    K, N = 64, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = rng.standard_normal((2, 3, K)).astype(np.float32)
+    qt = quantize_tensor(w, "q4_0")
+    expected = x.reshape(-1, K) @ np.asarray(dequantize(qt, jnp.float32))
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    assert got.shape == (2, 3, N)
+    np.testing.assert_allclose(got.reshape(-1, N), expected, rtol=2e-4, atol=2e-4)

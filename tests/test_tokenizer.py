@@ -1,0 +1,79 @@
+import numpy as np
+
+from tpu_llm.tokenizers.bpe import BPETokenizer
+from tpu_llm.tokenizers.tokenizer_bin import read_tokenizer_bin, write_tokenizer_bin
+
+
+def toy_tokenizer():
+    # scores drive merge order: higher score merges first
+    tokens = [b"<unk>", b"<s>", b"</s>", b"h", b"e", b"l", b"o", b" ",
+              b"he", b"ll", b"hell", b"hello", b" hello", b"w", b"r", b"d",
+              b"wo", b"world", b" world"]
+    scores = np.asarray(
+        [0, 0, 0, 0, 0, 0, 0, 0, 5.0, 4.0, 6.0, 7.0, 8.0, 0, 0, 0, 3.0, 9.0, 10.0],
+        np.float32,
+    )
+    return BPETokenizer(tokens, scores, bos_id=1, eos_id=2)
+
+
+def test_encode_greedy_score_merge():
+    tok = toy_tokenizer()
+    ids = tok.encode("hello")
+    assert [tok.token_bytes(i) for i in ids] == [b"hello"]
+
+
+def test_encode_multiword_and_decode_roundtrip():
+    tok = toy_tokenizer()
+    text = "hello world"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text.encode()
+
+
+def test_trailing_whitespace_preserved():
+    tok = toy_tokenizer()
+    ids = tok.encode("hello ")
+    assert tok.decode(ids) == b"hello "
+
+
+def test_unknown_char_skipped_nonstrict():
+    tok = toy_tokenizer()
+    ids = tok.encode("hexllo")  # 'x' not in vocab
+    assert tok.decode(ids) == b"hello"
+
+
+def test_byte_fallback():
+    tokens = [b"a", b"<0x78>"]  # 'x' = 0x78
+    tok = BPETokenizer(tokens, np.zeros(2, np.float32))
+    ids = tok.encode("ax")
+    assert ids == [0, 1]
+
+
+def test_tokenizer_bin_roundtrip(tmp_path):
+    path = str(tmp_path / "tok.bin")
+    tokens = [b"<s>", b" hi", b"bye ", "▁x".encode()]
+    scores = [0.0, -1.5, 2.25, 3.0]
+    write_tokenizer_bin(path, tokens, scores)
+    toks, sc, max_len = read_tokenizer_bin(path)
+    assert toks == tokens
+    np.testing.assert_allclose(sc, scores)
+    assert max_len == max(len(t) for t in tokens)
+
+
+def test_from_gguf_leading_space_rewrite(tmp_path):
+    from tpu_llm.io import gguf as gg
+
+    path = str(tmp_path / "t.gguf")
+    gg.write_gguf(
+        path,
+        {
+            "tokenizer.ggml.tokens": ["<unk>", "<s>", "▁he", "l▁lo"],
+            "tokenizer.ggml.scores": np.asarray([0, 0, 1.0, 2.0], np.float32),
+            "tokenizer.ggml.bos_token_id": 1,
+        },
+        {"t": np.zeros((2, 2), np.float32)},
+    )
+    tok = BPETokenizer.from_gguf(gg.GGUFFile(path))
+    # leading ▁ rewritten to space (read_ggml.f90:483-503); interior kept
+    assert tok.token_bytes(2) == b" he"
+    assert tok.token_bytes(3) == "l▁lo".encode()
+    assert tok.bos_id == 1

@@ -1,0 +1,290 @@
+"""Llama-family transformer (TinyLlama-1.1B, Llama-2, phi-2 variants).
+
+Functional core: ``forward(params, cfg, tokens, cache, offset)`` — a pure,
+jittable step that serves both prefill (T > 1) and decode (T = 1), with the
+KV cache as an explicit donated pytree. Layers run under ``lax.scan`` over
+parameters stacked on a leading L axis (one compiled block, MXU-friendly,
+fast compiles), replacing the reference's per-layer Fortran loop
+(``llama2.f90:523-624``).
+
+Numerics parity with the reference (pinned by tests/test_parity_fortran.py):
+RMSNorm eps-inside-mean (llama2.f90:454), interleaved RoPE (llama2.f90:543-
+559; exact 1-based variant available as rope_variant="llmf90"), correct GQA
+kv-head mapping h // kv_groups (the INTENT of llama2.f90:581 — the literal
+Fortran slice is buggy, SURVEY.md §2 #13), SwiGLU (llama2.f90:610-620),
+full-vocab classifier (llama2.f90:634-636).
+
+Weights may be dense ``jax.Array``s or packed ``QTensor``s (Q4_0/Q8_0) —
+projection matmuls dispatch through ``tpu_llm.quant.linear.matmul``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llm.config import LlamaConfig
+from tpu_llm.ops.activations import gelu, silu
+from tpu_llm.ops.attention import gqa_attention, update_kv_cache
+from tpu_llm.ops.norms import layernorm, rmsnorm
+from tpu_llm.ops.rope import apply_rope
+from tpu_llm.quant.linear import matmul
+
+Params = Dict[str, Any]
+Cache = Dict[str, jax.Array]
+
+
+# -- KV cache ----------------------------------------------------------------
+
+def init_cache(
+    cfg: LlamaConfig, batch: int = 1, max_seq: Optional[int] = None, dtype=jnp.float32
+) -> Cache:
+    """Preallocated static-shape KV cache, layout (L, B, S, Hkv, D).
+
+    The reference allocates (kv_head_size, seq_len, n_layers) per-stream
+    f32 (llama2.f90:311-313); here batch is first-class and dtype is a
+    policy knob (f32/bf16, later int8)."""
+    s = max_seq or cfg.seq_len
+    shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# -- forward -----------------------------------------------------------------
+
+def _norm(cfg: LlamaConfig, x, lp, prefix: str):
+    if cfg.use_layernorm:
+        return layernorm(x, lp[f"{prefix}_norm"], lp[f"{prefix}_norm_b"], cfg.norm_eps)
+    return rmsnorm(x, lp[f"{prefix}_norm"], cfg.norm_eps)
+
+
+def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset):
+    B, T, E = x.shape
+    h = _norm(cfg, x, lp, "attn")
+
+    q = matmul(h, lp["wq"])
+    k = matmul(h, lp["wk"])
+    v = matmul(h, lp["wv"])
+    if "bq" in lp:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+
+    q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+
+    q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
+    k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
+
+    kc, vc = update_kv_cache(kc, vc, k, v, offset)
+    attn = gqa_attention(q, kc, vc, positions)
+    attn = attn.reshape(B, T, E)
+    attn_out = matmul(attn, lp["wo"])
+    if "bo" in lp:
+        attn_out = attn_out + lp["bo"]
+
+    if cfg.parallel_block:
+        mlp_in = h                      # attn and MLP share the input norm
+    else:
+        x = x + attn_out
+        mlp_in = _norm(cfg, x, lp, "ffn")
+
+    if cfg.gated_mlp:
+        gate = matmul(mlp_in, lp["w1"])
+        up = matmul(mlp_in, lp["w3"])
+        mid = silu(gate) * up
+    else:
+        mid = matmul(mlp_in, lp["w3"])
+        if "b3" in lp:
+            mid = mid + lp["b3"]
+        mid = gelu(mid) if cfg.act == "gelu" else silu(mid)
+    mlp_out = matmul(mid, lp["w2"])
+    if "b2" in lp:
+        mlp_out = mlp_out + lp["b2"]
+
+    if cfg.parallel_block:
+        x = x + attn_out + mlp_out
+    else:
+        x = x + mlp_out
+    return x, kc, vc
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    tokens: jax.Array,       # (B, T) int32
+    cache: Cache,
+    offset: jax.Array,       # scalar int32: absolute position of tokens[:, 0]
+) -> Tuple[jax.Array, Cache]:
+    """Run the transformer trunk. Returns (hidden (B, T, E), new cache)."""
+    B, T = tokens.shape
+    x = jnp.take(params["tok_emb"], tokens, axis=0)
+    positions = offset + jnp.arange(T, dtype=jnp.int32)
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs
+        x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+
+    if cfg.use_layernorm:
+        x = layernorm(x, params["final_norm"], params["final_norm_b"], cfg.norm_eps)
+    else:
+        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    return x, {"k": k_new, "v": v_new}
+
+
+def lm_head(params: Params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    """Hidden states (B, T, E) -> logits (B, T, V), always f32.
+
+    Kept separate from ``forward`` so prefill can project only the last
+    position (the reference pays the full 2048x32000 classifier matvec on
+    every prompt token, llama2.f90:634-636 — we don't)."""
+    if params.get("wcls") is not None:
+        logits = matmul(x.astype(jnp.float32), params["wcls"])
+    else:  # tied embeddings
+        logits = jnp.matmul(
+            x.astype(jnp.float32),
+            params["tok_emb"].T.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    if "bcls" in params:
+        logits = logits + params["bcls"]
+    return logits.astype(jnp.float32)
+
+
+def decode_step(
+    params: Params,
+    cfg: LlamaConfig,
+    token: jax.Array,        # (B,) int32
+    cache: Cache,
+    pos: jax.Array,          # scalar int32
+) -> Tuple[jax.Array, Cache]:
+    """One decode step: (B,) token ids at position ``pos`` -> (B, V) logits."""
+    x, cache = forward(params, cfg, token[:, None], cache, pos)
+    logits = lm_head(params, cfg, x)[:, 0, :]
+    return logits, cache
+
+
+# -- loading -----------------------------------------------------------------
+
+_LAYER_TENSORS = {
+    "wq": "blk.{i}.attn_q.weight",
+    "wk": "blk.{i}.attn_k.weight",
+    "wv": "blk.{i}.attn_v.weight",
+    "wo": "blk.{i}.attn_output.weight",
+    "w1": "blk.{i}.ffn_gate.weight",
+    "w3": "blk.{i}.ffn_up.weight",
+    "w2": "blk.{i}.ffn_down.weight",
+}
+
+
+def config_from_gguf(gguf) -> LlamaConfig:
+    """Build the config from GGUF metadata — the reference's key set
+    (read_ggml.f90:133-152) plus rope.freq_base."""
+    arch = gguf.hparam("general.architecture", default="llama")
+    g = lambda k, d=None: gguf.hparam(f"{arch}.{k}", default=d)
+    n_heads = g("attention.head_count")
+    return LlamaConfig(
+        dim=g("embedding_length"),
+        hidden_dim=g("feed_forward_length"),
+        n_layers=g("block_count"),
+        n_heads=n_heads,
+        n_kv_heads=g("attention.head_count_kv", n_heads),
+        vocab_size=len(gguf.metadata.get("tokenizer.ggml.tokens", []))
+        or g("vocab_size", 32000),
+        seq_len=g("context_length", 2048),
+        rope_theta=float(g("rope.freq_base", 10000.0)),
+        norm_eps=float(
+            g("attention.layer_norm_rms_epsilon", g("attention.layer_norm_epsilon", 1e-5))
+        ),
+    )
+
+
+def _load_weight(gguf, name: str, dtype_policy: str, transpose: bool = True):
+    """Load one 2D tensor as x@W-oriented (in, out) — dense or packed."""
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.quant.qtensor import qtensor_from_ggml
+
+    t = gguf.tensors[name]
+    if dtype_policy == "native" and t.ggml_type in (gg.GGML_Q4_0, gg.GGML_Q8_0):
+        rows, row_len = t.shape[0], t.dims[0]
+        return qtensor_from_ggml(t.ggml_type, gguf.raw(name), rows, row_len)
+    if dtype_policy == "native" and t.ggml_type == gg.GGML_F16:
+        w = gguf.array(name)
+    elif dtype_policy == "bf16":
+        w = gguf.dequantized(name, np.float32)
+    else:
+        w = gguf.dequantized(name, np.float32)
+    arr = np.ascontiguousarray(w.T) if transpose else w
+    out = jnp.asarray(arr)
+    if dtype_policy == "bf16":
+        out = out.astype(jnp.bfloat16)
+    return out
+
+
+def _stack(ws):
+    from tpu_llm.quant.qtensor import QTensor
+
+    if isinstance(ws[0], QTensor):
+        return QTensor(
+            q=jnp.stack([w.q for w in ws]),
+            scales=jnp.stack([w.scales for w in ws]),
+            kind=ws[0].kind,
+        )
+    return jnp.stack(ws)
+
+
+def load_gguf(
+    path_or_gguf, dtype_policy: str = "f32"
+) -> Tuple[Params, LlamaConfig]:
+    """Load llama-family weights from a GGUF file.
+
+    dtype_policy:
+      - "f32": everything dense float32 (reference master-branch parity)
+      - "bf16": dense bfloat16 weights (f32 norms)
+      - "native": keep storage dtypes — f16 stays f16, Q4_0/Q8_0 stay
+        packed as QTensors (fused dequant in the matmul kernels)
+
+    Tensor names follow the 11 groups the reference maps
+    (read_ggml.f90:238-414).
+    """
+    from tpu_llm.io.gguf import GGUFFile
+
+    gguf = path_or_gguf if not isinstance(path_or_gguf, str) else GGUFFile(path_or_gguf)
+    cfg = config_from_gguf(gguf)
+
+    norm_dtype = jnp.float32
+    emb = gguf.dequantized("token_embd.weight", np.float32)
+    emb_dtype = jnp.bfloat16 if dtype_policy in ("bf16", "native") else jnp.float32
+    params: Params = {
+        "tok_emb": jnp.asarray(emb).astype(emb_dtype),
+        "final_norm": jnp.asarray(
+            gguf.dequantized("output_norm.weight", np.float32)
+        ).astype(norm_dtype),
+    }
+    if "output.weight" in gguf:
+        params["wcls"] = _load_weight(gguf, "output.weight", dtype_policy)
+    else:
+        params["wcls"] = None  # tied embeddings (lm_head falls back)
+
+    layers: Dict[str, list] = {k: [] for k in _LAYER_TENSORS}
+    layers["attn_norm"] = []
+    layers["ffn_norm"] = []
+    for i in range(cfg.n_layers):
+        layers["attn_norm"].append(
+            jnp.asarray(gguf.dequantized(f"blk.{i}.attn_norm.weight", np.float32))
+        )
+        layers["ffn_norm"].append(
+            jnp.asarray(gguf.dequantized(f"blk.{i}.ffn_norm.weight", np.float32))
+        )
+        for key, pat in _LAYER_TENSORS.items():
+            layers[key].append(_load_weight(gguf, pat.format(i=i), dtype_policy))
+
+    params["layers"] = {k: _stack(v) for k, v in layers.items()}
+    return params, cfg

@@ -1,0 +1,76 @@
+"""GQA attention against a preallocated KV cache.
+
+The reference computes attention one token at a time with scalar loops over
+heads and cached positions (``llama2.f90:574-598``), with a softmax that
+truncates to positions 1..pos (``llama2.f90:468-478``). Note the reference's
+literal kv-head slice is buggy (empty for most heads — SURVEY.md §2 #13);
+we implement the *intended* GQA: query head h reads kv head h // kv_groups.
+
+TPU-first design: a single batched einsum formulation that serves both
+prefill (T > 1, causal) and decode (T = 1) so XLA maps the contractions to
+the MXU and fuses mask+softmax. KV cache is a static-shape array updated
+with dynamic_update_slice; masking by position replaces the reference's
+truncation (numerically identical through softmax).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def update_kv_cache(
+    k_cache: jax.Array,  # (B, S, Hkv, D)
+    v_cache: jax.Array,
+    k_new: jax.Array,    # (B, T, Hkv, D)
+    v_new: jax.Array,
+    offset: jax.Array,   # scalar int — write position (same for all batch rows)
+) -> Tuple[jax.Array, jax.Array]:
+    zero = jnp.zeros((), dtype=jnp.int32)
+    idx = (zero, offset.astype(jnp.int32), zero, zero)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), idx)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), idx)
+    return k_cache, v_cache
+
+
+def gqa_attention(
+    q: jax.Array,          # (B, T, H, D)
+    k_cache: jax.Array,    # (B, S, Hkv, D)
+    v_cache: jax.Array,    # (B, S, Hkv, D)
+    q_positions: jax.Array,  # (T,) or (B, T) 0-based absolute positions of q rows
+    kv_lengths: jax.Array | None = None,  # (B,) valid cache length per row; None -> causal only
+) -> jax.Array:
+    """Scaled dot-product GQA attention. Returns (B, T, H, D).
+
+    Visibility rule: cache slot s is attended iff s <= q_position (causal)
+    and s < kv_length (ragged batch support). Matches the reference's
+    softmax-truncation at pos (llama2.f90:586) for the dense single-stream
+    case.
+    """
+    B, T, H, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    G = H // Hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    # scores: (B, T, Hkv, G, S)
+    scores = jnp.einsum("bthgd,bshd->bthgs", qf, kf) * scale
+
+    if q_positions.ndim == 1:
+        q_positions = q_positions[None, :]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    mask = s_idx[None, None, :] <= q_positions[:, :, None]  # (B, T, S)
+    if kv_lengths is not None:
+        mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
+    scores = jnp.where(mask[:, :, None, None, :], scores, _NEG_INF)
+
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bthgs,bshd->bthgd", att, vf)
+    return out.reshape(B, T, H, D).astype(q.dtype)

@@ -1,0 +1,92 @@
+"""Rotary position embeddings.
+
+Three variants (see ``tpu_llm.config.ROPE_VARIANTS``):
+
+- ``"interleaved"``: llama2.c / GGUF "NORM" rope. Per head of size D, pair j
+  rotates dims (2j, 2j+1) by angle ``pos * theta^(-2j/D)``, pos 0-based.
+- ``"neox"``: half-rotation. Pair j rotates dims (j, j + rot/2) by
+  ``pos * theta^(-2j/rot)`` where rot = rope_dims (partial RoPE, phi-2) or D.
+- ``"llmf90"``: bit-exact reproduction of the reference's inline loop
+  (``llama2.f90:543-559``). The Fortran iterates 1-based flat dims i=1,3,5,...
+  with exponent ``mod(i, head_size)`` and angle ``pos * freq`` with pos
+  starting at 1 — i.e. per head, pair j uses exponent (2j+1)/D and an
+  effective position of pos+1. Same pairing as "interleaved", exponents and
+  positions each shifted by one. Kept so parity tests can match the Fortran
+  bit-for-bit; real checkpoints should use "interleaved".
+
+All math in float32; everything is vectorized over (batch, time, heads) so
+XLA fuses the rotation into the surrounding QKV matmul — no scalar loops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_angles(
+    positions: jax.Array,
+    head_dim: int,
+    theta: float = 10000.0,
+    variant: str = "interleaved",
+    rope_dims: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given positions.
+
+    positions: int array (...,) — 0-based token positions.
+    Returns (cos, sin), each shaped positions.shape + (rot//2,), float32.
+    """
+    rot = rope_dims if rope_dims is not None else head_dim
+    if rot % 2:
+        raise ValueError("rotated dim count must be even")
+    j = jnp.arange(rot // 2, dtype=jnp.float32)
+    if variant == "llmf90":
+        # Fortran exponent mod(i, head_size) for 1-based odd i -> 2j+1, over
+        # the full head size (partial rope is not a reference feature).
+        exponent = (2.0 * j + 1.0) / head_dim
+        pos = positions.astype(jnp.float32) + 1.0  # reference pos starts at 1
+    else:
+        exponent = (2.0 * j) / rot
+        pos = positions.astype(jnp.float32)
+    freq = theta ** (-exponent)
+    ang = pos[..., None] * freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float = 10000.0,
+    variant: str = "interleaved",
+    rope_dims: Optional[int] = None,
+) -> jax.Array:
+    """Rotate ``x`` of shape (..., T, H, D) by position-dependent angles.
+
+    positions broadcasts against x's (..., T) leading shape (typically (T,)
+    or (B, T)).
+    """
+    *lead, T, H, D = x.shape
+    rot = rope_dims if rope_dims is not None else D
+    cos, sin = rope_angles(positions, D, theta, variant, rope_dims)
+    # -> (..., T, 1, rot//2) to broadcast over heads
+    cos = jnp.expand_dims(cos, axis=-2)
+    sin = jnp.expand_dims(sin, axis=-2)
+
+    xf = x.astype(jnp.float32)
+    xr, x_pass = xf[..., :rot], xf[..., rot:]
+    if variant == "neox":
+        x0, x1 = xr[..., : rot // 2], xr[..., rot // 2 :]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.concatenate([r0, r1], axis=-1)
+    else:  # interleaved / llmf90
+        xp = xr.reshape(*xr.shape[:-1], rot // 2, 2)
+        x0, x1 = xp[..., 0], xp[..., 1]
+        r0 = x0 * cos - x1 * sin
+        r1 = x0 * sin + x1 * cos
+        rotated = jnp.stack([r0, r1], axis=-1).reshape(*xr.shape)
+    if rot < D:
+        rotated = jnp.concatenate([rotated, x_pass], axis=-1)
+    return rotated.astype(x.dtype)

@@ -1,0 +1,71 @@
+"""Token sampling.
+
+The reference supports exactly two modes (``llama2.f90:386-393``): greedy
+argmax at temperature 0, and temperature softmax followed by an inverse-CDF
+multinomial draw (``sample`` at ``llama2.f90:428-447``: scan the CDF, return
+the first index where r < cdf, falling back to the last index). We reproduce
+those semantics with an explicit JAX PRNG key (deterministic per seed at any
+world size), and additionally provide top-k / top-p for the framework API.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_softmax(x: jax.Array, n: int) -> jax.Array:
+    """Reference ``softmax(x, s)`` (llama2.f90:468-478): softmax over the
+    first ``n`` entries, zeros elsewhere. Used by parity tests; the model
+    uses additive-mask softmax which is numerically identical."""
+    xn = x[..., :n]
+    p = jax.nn.softmax(xn.astype(jnp.float32), axis=-1)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, x.shape[-1] - n)]
+    return jnp.pad(p, pad)
+
+
+def greedy(logits: jax.Array) -> jax.Array:
+    """Argmax over the vocab (first max wins, like Fortran ``maxloc``)."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def _cdf_sample(key: jax.Array, probs: jax.Array) -> jax.Array:
+    """Inverse-CDF draw: first index with r < cdf (llama2.f90:436-444)."""
+    cdf = jnp.cumsum(probs, axis=-1)
+    r = jax.random.uniform(key, probs.shape[:-1] + (1,), dtype=probs.dtype)
+    # first index where cdf > r; fall back to last index like the reference
+    idx = jnp.sum((cdf <= r).astype(jnp.int32), axis=-1)
+    return jnp.minimum(idx, probs.shape[-1] - 1).astype(jnp.int32)
+
+
+def sample_token(
+    key: jax.Array,
+    logits: jax.Array,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> jax.Array:
+    """Sample next token ids from logits (..., vocab).
+
+    temperature == 0 -> greedy. Otherwise softmax(logits/temperature) and an
+    inverse-CDF multinomial draw; optional top-k / top-p filtering applied
+    to the logits first (framework extension; the reference has neither).
+    """
+    if temperature == 0.0:
+        return greedy(logits)
+    x = logits.astype(jnp.float32) / temperature
+    if top_k is not None and top_k > 0:
+        kth = jnp.sort(x, axis=-1)[..., -top_k][..., None]
+        x = jnp.where(x < kth, -jnp.inf, x)
+    probs = jax.nn.softmax(x, axis=-1)
+    if top_p is not None and 0.0 < top_p < 1.0:
+        sorted_p = jnp.sort(probs, axis=-1)[..., ::-1]
+        csum = jnp.cumsum(sorted_p, axis=-1)
+        # smallest prob still inside the nucleus
+        keep = csum - sorted_p < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_p, jnp.inf), axis=-1, keepdims=True)
+        probs = jnp.where(probs < cutoff, 0.0, probs)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    return _cdf_sample(key, probs)

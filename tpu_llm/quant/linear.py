@@ -1,0 +1,36 @@
+"""Linear-layer dispatch: dense jnp arrays or packed QTensors.
+
+``matmul(x, w)`` is the single projection primitive the models call; it
+routes QTensors to the fused Pallas kernel on TPU and to an XLA
+dequant+dot fallback elsewhere (CPU tests, odd shapes). Dense weights go
+straight to the MXU with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from tpu_llm.quant.qtensor import QTensor, dequantize
+from tpu_llm.quant.pallas_matmul import qmatmul_pallas, pallas_tiles_ok
+
+Weight = Union[jax.Array, QTensor]
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("TPU_LLM_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def matmul(x: jax.Array, w: Weight) -> jax.Array:
+    """x: (..., K) @ w: (K, N) -> (..., N), accumulating in f32."""
+    if isinstance(w, QTensor):
+        if _use_pallas() and pallas_tiles_ok(w):
+            return qmatmul_pallas(x, w, out_dtype=x.dtype)
+        wd = dequantize(w, dtype=jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16)
+        return jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)

@@ -1,0 +1,120 @@
+"""Fused dequant-matmul Pallas TPU kernels for block-quantized weights.
+
+This is the TPU-native answer to the reference's native layer (SURVEY.md
+§2.2): where llm.f90's four_bit_dev/optimize16 branches call C SIMD dot
+routines per output element, here a single kernel streams the PACKED Q4_0
+weight through VMEM, dequantizes in-register (nibble unpack + per-block
+scale), and feeds the MXU — HBM traffic is 4.5 bits/weight, which sets the
+decode speed-of-light.
+
+Kernel structure (x: (B, K) @ W: (K, N) -> (B, N)):
+- grid (B/TB, N/TN, K/TK), K innermost so each output tile accumulates in
+  VMEM across K steps (zero-init at k==0); no HBM round-trips for partials.
+- q4_0 tile unpack: (TK/2, TN) uint8 -> view (TK/32, 16, TN) -> lo/hi
+  nibbles concat on the middle (sublane) axis -> (TK, TN); the block-local
+  layout (see qtensor.py) makes this a reshape+concat, never an interleave.
+- scales tile (TK/32, TN) broadcasts across the 32-element block axis.
+- dequant arithmetic in ``acc_dtype`` (float32 default: exact q4 values and
+  f16-origin scales; bandwidth-bound decode loses nothing to f32 MXU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_llm.quant.qtensor import QTensor
+
+
+def _pick_tile(dim: int, candidates) -> Optional[int]:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return None
+
+
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_dtype):
+    k_step = pl.program_id(2)
+    if kind == "q4_0":
+        blocks = q_ref[:].reshape(tk // 32, 16, tn)
+        lo = (blocks & 0x0F).astype(jnp.int8) - 8
+        hi = (blocks >> 4).astype(jnp.int8) - 8
+        vals = jnp.concatenate([lo, hi], axis=1).astype(acc_dtype)
+    else:  # q8_0
+        vals = q_ref[:].reshape(tk // 32, 32, tn).astype(acc_dtype)
+    w = (vals * s_ref[:][:, None, :].astype(acc_dtype)).reshape(tk, tn)
+    acc = jnp.dot(x_ref[:].astype(acc_dtype), w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(k_step > 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+def pallas_tiles_ok(qt: QTensor) -> bool:
+    if qt.q.ndim != 2:
+        return False
+    K, N = qt.shape[-2], qt.shape[-1]
+    return (
+        _pick_tile(N, (512, 256, 128)) is not None
+        and _pick_tile(K, (512, 256, 128, 64, 32)) is not None
+    )
+
+
+def qmatmul_pallas(
+    x: jax.Array,
+    qt: QTensor,
+    *,
+    acc_dtype=jnp.float32,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """x: (..., K) @ QTensor (K, N) -> (..., N)."""
+    *lead, K = x.shape
+    Kq, N = qt.shape[-2], qt.shape[-1]
+    assert K == Kq, (x.shape, qt.shape)
+    out_dtype = out_dtype or x.dtype
+
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, K)
+    B = -(-max(rows, 8) // 8) * 8  # pad rows to the f32 sublane quantum
+    if B != rows:
+        x2 = jnp.pad(x2, ((0, B - rows), (0, 0)))
+
+    tn = _pick_tile(N, (512, 256, 128))
+    tk = _pick_tile(K, (512, 256, 128, 64, 32))
+    tb = _pick_tile(B, (256, 128, 64, 32, 16, 8))
+    if tn is None or tk is None or tb is None:
+        raise ValueError(f"shapes do not tile: K={K} N={N} B={B}")
+    qrow = tk // 2 if qt.kind == "q4_0" else tk
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind, acc_dtype=acc_dtype),
+        grid=(B // tb, N // tn, K // tk),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((tb, tk), lambda b, n, k: (b, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qrow, tn), lambda b, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 32, tn), lambda b, n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda b, n, k: (b, n), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N,
+            bytes_accessed=qt.q.size + qt.scales.size * 4 + B * K * 4 + B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, qt.q, qt.scales)
+
+    out = out[:rows].reshape(*lead, N)
+    return out.astype(out_dtype)

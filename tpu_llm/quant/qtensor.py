@@ -1,0 +1,138 @@
+"""Quantized weight tensors as pytree nodes.
+
+A ``QTensor`` keeps GGML block-quantized weights PACKED on device (HBM) —
+the decode hot path is HBM-bandwidth-bound, so Q4_0 reads 4.5 bits/weight
+vs f16's 16 (the point of the reference's four_bit_dev branch, SURVEY.md
+§2.2). Dequantization is fused into the matmul: a Pallas kernel on TPU
+(tpu_llm/quant/pallas_matmul.py), an XLA dequant+dot fallback elsewhere.
+
+Device layout (chosen for TPU tiling, NOT a copy of ggml's array-of-structs):
+- Logical weight W is (K, N) = (in_features, out_features), used as x @ W.
+- q4_0: ``q`` is (K//2, N) uint8 with ggml's block-local nibble pairing kept
+  column-major: byte (16*b + j, n) holds quants of W[32*b + j, n] (low
+  nibble) and W[32*b + 16 + j, n] (high nibble). Any K-tile that is a
+  multiple of 32 therefore maps to contiguous rows of ``q`` — kernels can
+  tile K freely. In-kernel unpack is reshape (TK//32, 16, TN) → concat
+  lo/hi on the middle axis → (TK, TN); no element interleave.
+  Value = (nibble - 8) * scale[k//32, n].
+- q8_0: ``q`` is (K, N) int8; value = q * scale[k//32, n].
+- ``scales`` is (K//32, N) float32 (separate struct-of-arrays plane, so
+  scale reads are contiguous and can live in VMEM/registers).
+
+Repacking from the ggml on-disk byte order is a pure transpose host-side
+(numpy) at load time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llm.quant import blocks as qblocks
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    q: jax.Array          # packed quants, see module docstring
+    scales: jax.Array     # (..., K//32, N)
+    kind: str             # "q4_0" | "q8_0"
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        *lead, kq, n = self.q.shape
+        k = kq * 2 if self.kind == "q4_0" else kq
+        return (*lead, k, n)
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    def tree_flatten(self):
+        return (self.q, self.scales), (self.kind,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scales = children
+        return cls(q=q, scales=scales, kind=aux[0])
+
+
+# -- host-side repacking -----------------------------------------------------
+
+def _split_ggml_q4_0(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q4_0 bytes of a (rows, row_len) row-major tensor ->
+    (packed (row_len//2, rows) uint8, scales (row_len//32, rows) f32) for
+    the transposed logical weight W (K=row_len, N=rows)."""
+    nb = row_len // qblocks.QK4_0
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q4_0_BLOCK_BYTES)
+    d = raw[:, :, :2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
+    # ggml already stores block-local nibble pairs (j, j+16); keeping that
+    # order per column is exactly our device layout — repack is a transpose.
+    qs = raw[:, :, 2:].reshape(rows, row_len // 2)
+    return np.ascontiguousarray(qs.T), np.ascontiguousarray(d.T)
+
+
+def _split_ggml_q8_0(raw: np.ndarray, rows: int, row_len: int):
+    nb = row_len // qblocks.QK8_0
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q8_0_BLOCK_BYTES)
+    d = raw[:, :, :2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
+    q = raw[:, :, 2:].view(np.int8).reshape(rows, row_len)
+    return np.ascontiguousarray(q.T), np.ascontiguousarray(d.T)
+
+
+def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) -> QTensor:
+    """Build a device QTensor from on-disk ggml block bytes of a (rows,
+    row_len) tensor, representing the transposed (row_len, rows) weight."""
+    from tpu_llm.io import gguf as gg
+
+    if ggml_type == gg.GGML_Q4_0:
+        packed, scales = _split_ggml_q4_0(raw, rows, row_len)
+        return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_0")
+    if ggml_type == gg.GGML_Q8_0:
+        q, scales = _split_ggml_q8_0(raw, rows, row_len)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q8_0")
+    raise ValueError(f"unsupported ggml type for QTensor: {ggml_type}")
+
+
+def quantize_tensor(w: np.ndarray, kind: str = "q4_0") -> QTensor:
+    """Quantize a float (K, N) logical weight (tests / converters)."""
+    k, n = w.shape
+    flat = np.ascontiguousarray(np.asarray(w, np.float32).T).reshape(-1)
+    if kind == "q4_0":
+        raw = np.frombuffer(qblocks.quantize_q4_0(flat), np.uint8)
+        packed, scales = _split_ggml_q4_0(raw, rows=n, row_len=k)
+        return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_0")
+    if kind == "q8_0":
+        raw = np.frombuffer(qblocks.quantize_q8_0(flat), np.uint8)
+        q, scales = _split_ggml_q8_0(raw, rows=n, row_len=k)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q8_0")
+    raise ValueError(kind)
+
+
+# -- device-side dequant (XLA fallback path) ---------------------------------
+
+def unpack_q4(q: jax.Array) -> jax.Array:
+    """(..., K//2, N) packed uint8 -> (..., K, N) int8 in [-8, 7]."""
+    *lead, kh, n = q.shape
+    blocks = q.reshape(*lead, kh // 16, 16, n)
+    lo = (blocks & 0x0F).astype(jnp.int8) - 8
+    hi = (blocks >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
+
+
+def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the logical (.., K, N) weight (XLA ops, any backend)."""
+    if qt.kind == "q4_0":
+        vals = unpack_q4(qt.q).astype(dtype)
+    elif qt.kind == "q8_0":
+        vals = qt.q.astype(dtype)
+    else:
+        raise ValueError(qt.kind)
+    k = vals.shape[-2]
+    nblocks = qt.scales.shape[-2]
+    scale = jnp.repeat(qt.scales.astype(dtype), k // nblocks, axis=-2)
+    return vals * scale

@@ -1,0 +1,129 @@
+"""`llm` CLI — the reference's executable surface (llama2.f90:4-83).
+
+Flags kept byte-compatible with the reference: -m/--model, -p/--prompt,
+-s/--tokenizer, -t/--temperature, -n/--num_tokens (total incl. prompt
+echo), -v/--verbose, --ak (legacy packed format). Defaults match
+(temperature 0, n 256). Output contract: streamed raw token bytes, then an
+inference-time / tokens-per-second / per-phase timing report
+(llama2.f90:403-410).
+
+TPU-native extensions: --dtype f32|bf16|native (native keeps f16/Q4_0
+packed), --seed, --scan (all-on-device decode loop), --max-seq.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llm", description=__doc__)
+    p.add_argument("-m", "--model", default="stories15M.bin",
+                   help="model file (GGUF, or packed 'ak' with --ak)")
+    p.add_argument("-p", "--prompt", default="")
+    p.add_argument("-s", "--tokenizer", default="",
+                   help="external tokenizer.bin (overrides GGUF vocab)")
+    p.add_argument("-t", "--temperature", type=float, default=0.0)
+    p.add_argument("-n", "--num_tokens", type=int, default=256,
+                   help="total tokens incl. prompt echo (reference -n)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--ak", action="store_true", help="legacy llama2.c packed format")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "native"])
+    p.add_argument("--cache-dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--seed", type=int, default=None,
+                   help="PRNG seed (default: time-based, like Fortran random_number)")
+    p.add_argument("--scan", action="store_true",
+                   help="all-on-device decode loop (no streaming)")
+    p.add_argument("--max-seq", type=int, default=None)
+    p.add_argument("--rope", default="interleaved",
+                   choices=["interleaved", "neox", "llmf90"],
+                   help="rope variant; 'llmf90' reproduces the Fortran bit-for-bit")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu_llm.runtime.engine import Engine, ModelAdapter
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    t_load = time.perf_counter()
+    if args.ak:
+        from tpu_llm.io.ak import load_ak
+
+        params, cfg = load_ak(args.model, dtype_policy=args.dtype)
+        tokenizer = None
+    else:
+        from tpu_llm.io.gguf import GGUFFile
+        from tpu_llm.models.llama import load_gguf
+
+        gguf = GGUFFile(args.model)
+        params, cfg = load_gguf(gguf, dtype_policy=args.dtype)
+        tokenizer = (
+            BPETokenizer.from_gguf(gguf)
+            if "tokenizer.ggml.tokens" in gguf.metadata
+            else None
+        )
+    if args.rope != cfg.rope_variant:
+        cfg = dataclasses.replace(cfg, rope_variant=args.rope)
+
+    if args.tokenizer:
+        tokenizer = BPETokenizer.from_tokenizer_bin(args.tokenizer)
+    if tokenizer is None:
+        print("no tokenizer available (use -s tokenizer.bin)", file=sys.stderr)
+        return 1
+
+    if args.verbose:
+        print(f"config: {cfg}", file=sys.stderr)
+        print(f"loaded weights in {time.perf_counter() - t_load:.2f}s", file=sys.stderr)
+
+    max_seq = args.max_seq or min(cfg.seq_len, max(args.num_tokens + 8, 64))
+    cache_dtype = jnp.float32 if args.cache_dtype == "f32" else jnp.bfloat16
+    adapter = ModelAdapter.llama(cfg, cache_dtype=cache_dtype, bos_id=tokenizer.bos_id)
+    engine = Engine(params, adapter, max_seq=max_seq)
+
+    prompt_ids = tokenizer.encode(args.prompt) if args.prompt else []
+    n = args.num_tokens
+    if n > cfg.seq_len:
+        print(f" {n} greater than maximum sequence length", file=sys.stderr)
+        print(f" set to {cfg.seq_len}", file=sys.stderr)
+        n = cfg.seq_len
+
+    out = sys.stdout.buffer
+
+    def stream(tid: int):
+        out.write(tokenizer.token_bytes(tid))
+        out.flush()
+
+    seed = args.seed if args.seed is not None else int(time.time_ns() % (2**31))
+    res = engine.generate(
+        prompt_ids,
+        n_total=n,
+        temperature=args.temperature,
+        seed=seed,
+        stream=None if args.scan else stream,
+        use_scan=args.scan,
+    )
+    if args.scan:
+        out.write(tokenizer.decode(res.tokens))
+        out.flush()
+
+    # reference output contract (llama2.f90:403-410)
+    print()
+    print(f" Inference time: {res.total_s:10.4f} seconds")
+    print(f" {res.tokens_per_s:10.4f} tokens/second (decode)")
+    print(f" TTFT: {res.ttft_s * 1000:10.2f} ms")
+    print(" Timings")
+    for i, name in enumerate(["qkv", "rope", "attention", "ffn", "classifier"], 1):
+        print(f" {i} {name}: fused (see --profile traces)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

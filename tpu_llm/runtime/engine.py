@@ -1,0 +1,264 @@
+"""Generation engine: batched prefill + jitted decode loop.
+
+Replaces the reference's driver loop (``llama2.f90:379-402``), which
+teacher-forces the prompt one token at a time through the full forward
+pass, with a TPU-shaped split:
+
+- PREFILL: the whole prompt in one jitted forward (big MXU matmuls,
+  causal-masked attention), padded to a shape bucket to bound recompiles.
+  Padding is safe with pure causal masking: a padded cache slot s is only
+  visible to queries at pos >= s, and the decode step that first reaches
+  position s overwrites the slot before attending to it.
+- DECODE: one jitted step per token — forward, lm_head on the single
+  position, and sampling fused into the same program (the sampled token id
+  is the only thing that leaves the device). An all-on-device ``lax.scan``
+  variant (`generate_scan`) removes even the per-token host round-trip for
+  benchmarking/batch use.
+
+Sampling semantics match the reference (llama2.f90:386-393): temperature 0
+-> argmax; else softmax(logits/T) + inverse-CDF draw, but driven by an
+explicit JAX PRNG key so runs are reproducible at any world size.
+
+The engine is model-agnostic: it drives any ``ModelAdapter`` (llama here,
+Mamba in tpu_llm/models/mamba.py) whose state is an arbitrary pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llm.ops.sampling import greedy, _cdf_sample
+
+
+@dataclasses.dataclass
+class ModelAdapter:
+    """Uniform model interface for the engine.
+
+    apply(params, tokens (B, T), state, offset) -> (hidden (B, T, E), state)
+    lm_head(params, hidden (B, T, E)) -> logits (B, T, V) float32
+    init_state(batch, max_seq) -> state pytree
+    """
+
+    apply: Callable
+    lm_head: Callable
+    init_state: Callable
+    bos_id: int = 1
+
+    @classmethod
+    def llama(cls, cfg, cache_dtype=jnp.float32, bos_id: int = 1) -> "ModelAdapter":
+        from tpu_llm.models import llama as M
+
+        return cls(
+            apply=lambda params, tokens, state, offset, length=None: M.forward(
+                params, cfg, tokens, state, offset
+            ),
+            lm_head=lambda params, hidden: M.lm_head(params, cfg, hidden),
+            init_state=lambda batch, max_seq: M.init_cache(
+                cfg, batch, max_seq, cache_dtype
+            ),
+            bos_id=bos_id,
+        )
+
+    @classmethod
+    def mamba(cls, cfg, bos_id: Optional[int] = None) -> "ModelAdapter":
+        from tpu_llm.models import mamba as M
+
+        return cls(
+            apply=lambda params, tokens, state, offset, length=None: M.forward(
+                params, cfg, tokens, state, length=length
+            ),
+            lm_head=lambda params, hidden: M.lm_head(params, cfg, hidden),
+            init_state=lambda batch, max_seq: M.init_state(cfg, batch),
+            bos_id=bos_id if bos_id is not None else -1,  # Mamba: no BOS (mamba.f90:406)
+        )
+
+
+def _next_bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _select_token(logits, key, temperature):
+    """Greedy vs CDF-sample, branch-free over a traced temperature."""
+    t = jnp.maximum(temperature, 1e-8)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
+    sampled = _cdf_sample(key, probs)
+    return jnp.where(temperature > 0, sampled, greedy(logits))
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    tokens: List[int]              # all emitted tokens (prompt echo + generated)
+    n_prompt: int
+    ttft_s: float                  # time to first sampled token (prefill + 1 step)
+    decode_s: float                # wall time of the pure decode phase
+    total_s: float
+    tokens_per_s: float            # decode-phase throughput
+    phase_times: Optional[dict] = None
+
+
+class Engine:
+    def __init__(
+        self,
+        params: Any,
+        adapter: ModelAdapter,
+        batch: int = 1,
+        max_seq: int = 2048,
+    ):
+        self.params = params
+        self.adapter = adapter
+        self.batch = batch
+        self.max_seq = max_seq
+
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(2,))
+        self._decode_scan = jax.jit(
+            self._decode_scan_impl, donate_argnums=(2,), static_argnums=(6,)
+        )
+
+    # -- jitted bodies ----------------------------------------------------
+
+    def _prefill_impl(self, params, tokens, state, last_idx):
+        hidden, state = self.adapter.apply(
+            params, tokens=tokens, state=state, offset=jnp.int32(0),
+            length=last_idx + 1,
+        )
+        last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
+        logits = self.adapter.lm_head(params, hidden=last)[:, 0, :]
+        return logits, state
+
+    def _decode_impl(self, params, token, state, pos, key, temperature):
+        hidden, state = self.adapter.apply(
+            params, tokens=token[:, None], state=state, offset=pos
+        )
+        logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
+        next_tok = _select_token(logits, key, temperature)
+        return next_tok, logits, state
+
+    def _decode_scan_impl(self, params, token, state, pos, key, temperature, n_steps):
+        def body(carry, _):
+            token, state, pos, key = carry
+            key, sub = jax.random.split(key)
+            next_tok, _, state = self._decode_impl(
+                params, token, state, pos, sub, temperature
+            )
+            return (next_tok, state, pos + 1, key), next_tok
+
+        (_, state, _, _), toks = jax.lax.scan(
+            body, (token, state, pos, key), None, length=n_steps
+        )
+        return toks, state  # toks: (n_steps, B)
+
+    # -- public API -------------------------------------------------------
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        n_total: Optional[int] = None,
+        n_new: Optional[int] = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+        stream: Optional[Callable[[int], None]] = None,
+        add_bos: bool = True,
+        use_scan: bool = False,
+    ) -> GenerationResult:
+        """Single-stream generation with the reference's -n semantics:
+        ``n_total`` counts prompt echo + generated tokens (llama2.f90:379);
+        alternatively pass ``n_new``."""
+        prompt_ids = list(prompt_ids)
+        if n_total is None:
+            n_total = len(prompt_ids) + (n_new if n_new is not None else 128)
+        n_total = min(n_total, self.max_seq - 1)
+
+        bos = [self.adapter.bos_id] if add_bos and self.adapter.bos_id >= 0 else []
+        if not bos and not prompt_ids:
+            raise ValueError("empty prompt with no BOS")
+        input_ids = bos + prompt_ids
+        # positions fed through the model: input_ids then sampled tokens,
+        # for n_total total emissions
+        emitted: List[int] = []
+
+        t0 = time.perf_counter()
+        state = self.adapter.init_state(self.batch, self.max_seq)
+
+        n_in = len(input_ids)
+        pad_to = min(_next_bucket(n_in), self.max_seq)
+        toks = np.zeros((self.batch, pad_to), np.int32)
+        toks[:, :n_in] = np.asarray(input_ids, np.int32)
+        logits, state = self._prefill(
+            self.params, jnp.asarray(toks), state, jnp.int32(n_in - 1)
+        )
+
+        # echo the prompt (reference prints prompt tokens as it forces them)
+        for t in prompt_ids[: n_total]:
+            emitted.append(int(t))
+            if stream:
+                stream(int(t))
+
+        key = jax.random.PRNGKey(seed)
+        temp = jnp.float32(temperature)
+        n_gen = n_total - len(emitted)
+        ttft_s = None
+
+        if n_gen > 0:
+            key, sub = jax.random.split(key)
+            first = _select_token(logits, sub, temp)
+            first_host = int(jax.device_get(first)[0])
+            ttft_s = time.perf_counter() - t0
+            emitted.append(first_host)
+            if stream:
+                stream(first_host)
+
+        t_decode = time.perf_counter()
+        pos = n_in  # next write position
+        if n_gen > 1:
+            if use_scan:
+                key, sub = jax.random.split(key)
+                toks_dev, state = self._decode_scan(
+                    self.params,
+                    jnp.full((self.batch,), emitted[-1], jnp.int32),
+                    state,
+                    jnp.int32(pos),
+                    sub,
+                    temp,
+                    n_gen - 1,
+                )
+                toks_host = np.asarray(jax.device_get(toks_dev))[:, 0]
+                for t in toks_host:
+                    emitted.append(int(t))
+                    if stream:
+                        stream(int(t))
+            else:
+                token = jnp.full((self.batch,), emitted[-1], jnp.int32)
+                for _ in range(n_gen - 1):
+                    key, sub = jax.random.split(key)
+                    token, _, state = self._decode(
+                        self.params, token, state, jnp.int32(pos), sub, temp
+                    )
+                    pos += 1
+                    tid = int(jax.device_get(token)[0])
+                    emitted.append(tid)
+                    if stream:
+                        stream(tid)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        t_end = time.perf_counter()
+
+        decode_s = t_end - t_decode
+        n_decoded = max(n_gen - 1, 0)
+        return GenerationResult(
+            tokens=emitted,
+            n_prompt=len(prompt_ids),
+            ttft_s=ttft_s if ttft_s is not None else t_end - t0,
+            decode_s=decode_s,
+            total_s=t_end - t0,
+            tokens_per_s=(n_decoded / decode_s) if decode_s > 0 and n_decoded else 0.0,
+        )

@@ -1,0 +1,171 @@
+"""Greedy score-merge BPE tokenizer (SentencePiece-score style).
+
+Algorithm parity with the reference (``llama2.f90:643-724``): initialize one
+token per input character, then repeatedly merge the adjacent pair whose
+concatenation exists in the vocabulary with the highest SCORE (not merge
+rank), until no merge applies. Token identity is byte-content + true byte
+length (the reference tracks ``vocab_len`` to preserve trailing whitespace,
+``llama2.f90:349-350``); decode is the raw stored bytes.
+
+Differences from the reference, by design:
+- dict-based vocabulary lookup (O(1)) instead of the O(V) linear ``lookup``;
+- optional SentencePiece byte-fallback (``<0xNN>`` tokens) for characters
+  absent from the vocab — the reference yields index -1 and reads out of
+  bounds (llama2.f90:651-655); we raise or fall back instead;
+- unicode-aware init: unknown multi-byte characters fall back per byte.
+
+GGUF loading applies the reference's leading-'▁' → ' ' rewrite
+(``read_ggml.f90:483-503``) so encode/decode operate on plain-text bytes.
+The NeoX (GPT-2 byte-level) variant used by the Mamba path is expressed in
+the same engine via converted merge-rank scores (``ssm/convert_tokens.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SPM_SPACE = "▁".encode("utf-8")  # 0xE2 0x96 0x81
+
+
+class BPETokenizer:
+    def __init__(
+        self,
+        tokens: Sequence[bytes],
+        scores: Sequence[float],
+        bos_id: int = 1,
+        eos_id: int = 2,
+    ):
+        self.tokens: List[bytes] = [bytes(t) for t in tokens]
+        self.scores = np.asarray(scores, dtype=np.float32)
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        # byte-content -> id; first occurrence wins (matches linear lookup)
+        self.index: Dict[bytes, int] = {}
+        for i, t in enumerate(self.tokens):
+            self.index.setdefault(t, i)
+        self.byte_fallback: Dict[int, int] = {}
+        for b in range(256):
+            tid = self.index.get(b"<0x%02X>" % b)
+            if tid is not None:
+                self.byte_fallback[b] = tid
+
+    # -- constructors ----------------------------------------------------
+
+    @classmethod
+    def from_gguf(cls, gguf, rewrite_leading_space: bool = True) -> "BPETokenizer":
+        """Build from GGUF metadata (tokenizer.ggml.tokens / .scores),
+        applying the reference's leading-'▁' rewrite."""
+        raw_tokens = gguf.metadata["tokenizer.ggml.tokens"]
+        scores = gguf.metadata.get("tokenizer.ggml.scores")
+        if scores is None:
+            scores = np.zeros(len(raw_tokens), dtype=np.float32)
+        tokens: List[bytes] = []
+        for t in raw_tokens:
+            b = t.encode("utf-8") if isinstance(t, str) else bytes(t)
+            if rewrite_leading_space and b.startswith(_SPM_SPACE):
+                b = b" " + b[len(_SPM_SPACE):]
+            tokens.append(b)
+        bos = gguf.hparam("tokenizer.ggml.bos_token_id", default=1)
+        eos = gguf.hparam("tokenizer.ggml.eos_token_id", default=2)
+        return cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos))
+
+    @classmethod
+    def from_tokenizer_bin(cls, path: str, **kw) -> "BPETokenizer":
+        from tpu_llm.tokenizers.tokenizer_bin import read_tokenizer_bin
+
+        tokens, scores, _ = read_tokenizer_bin(path)
+        return cls(tokens, scores, **kw)
+
+    @classmethod
+    def from_hf_tokenizer_json(cls, path: str, **kw) -> "BPETokenizer":
+        """GPT-NeoX/GPT-2-style tokenizer.json -> score-merge form, following
+        the reference converter (``ssm/convert_tokens.py``): score =
+        (#merges) - merge_rank; 'Ġ'->space, 'Ċ'->newline; vocab-only tokens
+        (incl. added_tokens) get score 0 unless produced by a merge."""
+        import json
+
+        with open(path) as f:
+            tk = json.load(f)
+        vocab: Dict[str, int] = tk["model"]["vocab"]
+        merges = tk["model"].get("merges", [])
+        n = max(vocab.values()) + 1
+        for extra in tk.get("added_tokens", []):
+            n = max(n, extra["id"] + 1)
+        tokens: List[bytes] = [b""] * n
+        scores = np.zeros(n, dtype=np.float32)
+
+        def to_bytes(s: str) -> bytes:
+            s = s.replace("Ġ", " ").replace("Ċ", "\n")
+            return s.encode("utf-8")
+
+        for tok, tid in vocab.items():
+            tokens[tid] = to_bytes(tok)
+        for extra in tk.get("added_tokens", []):
+            tokens[extra["id"]] = to_bytes(extra["content"])
+        top = float(len(merges))
+        for rank, merge in enumerate(merges):
+            pair = merge if isinstance(merge, str) else " ".join(merge)
+            merged = pair.replace(" ", "", 1) if isinstance(merge, str) else "".join(merge)
+            tid = vocab.get(merged)
+            if tid is not None and scores[tid] == 0.0:
+                scores[tid] = top - rank
+        return cls(tokens, scores, **kw)
+
+    # -- core API ----------------------------------------------------------
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tokens)
+
+    def token_bytes(self, tid: int) -> bytes:
+        return self.tokens[tid]
+
+    def decode(self, ids: Iterable[int]) -> bytes:
+        return b"".join(self.tokens[int(i)] for i in ids)
+
+    def encode(
+        self,
+        text: str | bytes,
+        add_bos: bool = False,
+        strict: bool = False,
+    ) -> List[int]:
+        """Greedy highest-score merge encode.
+
+        ``strict=True`` raises on characters absent from the vocab (the
+        reference would produce index -1); otherwise byte-fallback tokens
+        are used when available and unknown bytes are skipped with the
+        reference's single-char-lookup granularity.
+        """
+        data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        ids: List[int] = []
+        # init: one token per byte, preferring single-byte vocab entries
+        for b in data:
+            tid = self.index.get(bytes([b]))
+            if tid is None:
+                tid = self.byte_fallback.get(b)
+            if tid is None:
+                if strict:
+                    raise ValueError(f"byte {b:#x} not in vocab")
+                continue
+            ids.append(tid)
+
+        while len(ids) > 1:
+            best_score = -1e10
+            best_pos = -1
+            best_id = -1
+            for i in range(len(ids) - 1):
+                merged = self.tokens[ids[i]] + self.tokens[ids[i + 1]]
+                tid = self.index.get(merged)
+                if tid is not None and self.scores[tid] > best_score:
+                    best_score = float(self.scores[tid])
+                    best_pos = i
+                    best_id = tid
+            if best_pos < 0:
+                break
+            ids[best_pos : best_pos + 2] = [best_id]
+
+        if add_bos:
+            ids.insert(0, self.bos_id)
+        return ids
