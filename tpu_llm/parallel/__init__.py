@@ -1,0 +1,6 @@
+from tpu_llm.parallel.mesh import make_mesh  # noqa: F401
+from tpu_llm.parallel.sharding import (  # noqa: F401
+    llama_param_specs,
+    llama_cache_spec,
+    shard_pytree,
+)

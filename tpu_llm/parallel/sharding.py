@@ -1,0 +1,101 @@
+"""Sharding specs for model parameters and KV cache.
+
+Megatron-style tensor parallelism expressed as NamedShardings over the
+("data", "model") mesh (SURVEY.md §2.3 TP row):
+
+- attention: wq/wk/wv column-parallel (output heads sharded on "model"),
+  wo row-parallel (input sharded) — XLA inserts the psum after wo;
+- MLP: w1/w3 column-parallel, w2 row-parallel (psum after w2);
+- classifier: vocab-column sharded, logits all-gathered by the output
+  sharding (sharded sampling is a later optimization);
+- KV cache sharded over kv-heads on "model" and batch on "data";
+- norms/embedding replicated (small).
+
+``QTensor`` leaves shard like their logical weight: both the packed quants
+and the scales carry the same (K-ish, N) axis order, so one spec serves
+both planes.
+
+With parameters and cache placed under these shardings, plain ``jax.jit``
+partitions the whole decode step (GSPMD); no per-op collective calls
+appear in model code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_llm.config import LlamaConfig
+from tpu_llm.quant.qtensor import QTensor
+
+
+def llama_param_specs(cfg: LlamaConfig) -> Dict[str, Any]:
+    """PartitionSpec pytree matching tpu_llm.models.llama params.
+    Layer weights have a leading stacked-L axis (never sharded)."""
+    col = P(None, None, "model")   # (L, in, out): shard outputs
+    row = P(None, "model", None)   # (L, in, out): shard inputs
+    rep1 = P(None)
+    repL = P(None, None)
+    specs: Dict[str, Any] = {
+        "tok_emb": P(None, None),
+        "final_norm": rep1,
+        "wcls": P(None, "model"),
+        "layers": {
+            "attn_norm": repL,
+            "ffn_norm": repL,
+            "wq": col, "wk": col, "wv": col, "wo": row,
+            "w1": col, "w3": col, "w2": row,
+        },
+    }
+    if cfg.use_layernorm:
+        specs["final_norm_b"] = rep1
+        specs["layers"]["attn_norm_b"] = repL
+        if not cfg.parallel_block:
+            specs["layers"]["ffn_norm_b"] = repL
+    if cfg.use_bias:
+        specs["layers"].update(
+            bq=P(None, "model"), bk=P(None, "model"), bv=P(None, "model"),
+            bo=repL, b3=P(None, "model"), b2=repL,
+        )
+        specs["bcls"] = P("model")
+    if cfg.parallel_block:
+        specs["layers"].pop("ffn_norm", None)
+    return specs
+
+
+def llama_cache_spec() -> Dict[str, P]:
+    # cache layout (L, B, S, Hkv, D): batch on "data", kv-heads on "model"
+    spec = P(None, "data", None, "model", None)
+    return {"k": spec, "v": spec}
+
+
+def _leaf_sharding(mesh: Mesh, spec, leaf):
+    if isinstance(leaf, QTensor):
+        return leaf
+    return NamedSharding(mesh, spec)
+
+
+def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """device_put a params/cache pytree under the given spec pytree.
+
+    QTensor leaves are sharded plane-wise: the packed quants and scales
+    share the spec (their differing K extents both map to the same named
+    axes)."""
+
+    def place(leaf, spec):
+        if leaf is None:
+            return None
+        if isinstance(leaf, QTensor):
+            return QTensor(
+                q=jax.device_put(leaf.q, NamedSharding(mesh, spec)),
+                scales=jax.device_put(leaf.scales, NamedSharding(mesh, spec)),
+                kind=leaf.kind,
+            )
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(
+        place, tree, specs,
+        is_leaf=lambda x: x is None or isinstance(x, QTensor),
+    )
