@@ -1,0 +1,144 @@
+"""Mamba selective-state-space model (Mamba-130M/790M — the reference's
+``ssm/`` path).
+
+Functional core mirrors the llama module: ``forward(params, cfg, tokens,
+state, length)`` runs prefill (scan over time) or decode (T=1) as one
+jitted program; the recurrent state (conv shift-register + SSM state) is
+an explicit donated pytree — the reference's O(1)-memory property
+(``ssm/weight_module.f90:46-54``) carries over, batched.
+
+Numerics pinned to the reference step (``ssm/mamba.f90:511-665``):
+fused add_norm residual stream (xb = rmsnorm(h+res); res = h+res), causal
+depthwise conv as a shift register, softplus(dt @ dt_proj + bias),
+A = -exp(A_log), dA = exp(dt ⊗ A), dB = dt ⊗ B, state = state·dA + x ⊗ dB,
+y = Cᵀ·state + D·x, gate y·silu(z). Layer loop via lax.scan over stacked
+params.
+
+Prefill here is the recurrence scanned over time (exact); a Pallas
+associative-scan kernel is the planned fast path for long prompts
+(SURVEY.md §5 long-context row).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llm.config import MambaConfig
+from tpu_llm.ops.activations import silu
+from tpu_llm.ops.norms import rmsnorm
+
+Params = Dict[str, Any]
+State = Dict[str, jax.Array]
+
+
+def init_state(cfg: MambaConfig, batch: int = 1) -> State:
+    return {
+        "conv": jnp.zeros((cfg.n_layers, batch, cfg.d_conv, cfg.d_inner), jnp.float32),
+        "ssm": jnp.zeros((cfg.n_layers, batch, cfg.d_state, cfg.d_inner), jnp.float32),
+    }
+
+
+def _mixer_step(cfg: MambaConfig, lp, xb, conv_state, ssm_state):
+    """One token through one Mamba mixer. xb: (B, E)."""
+    d_inner, d_state, dt_rank = cfg.d_inner, cfg.d_state, cfg.dt_rank_
+
+    xz = jnp.matmul(xb, lp["in_proj"], preferred_element_type=jnp.float32)
+    x, z = xz[:, :d_inner], xz[:, d_inner:]
+
+    # causal depthwise conv as shift register (ssm/mamba.f90:616-621)
+    conv_state = jnp.concatenate([conv_state[:, 1:], x[:, None, :]], axis=1)
+    x = jnp.sum(conv_state * lp["conv_w"][None], axis=1) + lp["conv_b"]
+    x = silu(x)
+
+    x_db = jnp.matmul(x, lp["x_proj"], preferred_element_type=jnp.float32)
+    dt = x_db[:, :dt_rank]
+    Bv = x_db[:, dt_rank : dt_rank + d_state]
+    Cv = x_db[:, dt_rank + d_state :]
+
+    dt = jnp.matmul(dt, lp["dt_proj"], preferred_element_type=jnp.float32)
+    dt = jax.nn.softplus(dt + lp["dt_bias"])          # (B, d_inner)
+    A = -jnp.exp(lp["A_log"])                          # (d_state, d_inner)
+    dA = jnp.exp(dt[:, None, :] * A[None])             # (B, d_state, d_inner)
+    dB = dt[:, None, :] * Bv[:, :, None]
+    ssm_state = ssm_state * dA + x[:, None, :] * dB
+
+    y = jnp.sum(ssm_state * Cv[:, :, None], axis=1)    # (B, d_inner)
+    y = y + lp["d"] * x
+    y = y * silu(z)
+    out = jnp.matmul(y, lp["out_proj"], preferred_element_type=jnp.float32)
+    return out, conv_state, ssm_state
+
+
+def _token_step(params, cfg, tok_emb_row, state_slices):
+    """All layers for one token. Returns (hidden, new per-layer states)."""
+
+    def layer_body(carry, xs):
+        hidden, residual = carry
+        lp, conv_s, ssm_s = xs
+        xb = rmsnorm(hidden + residual, lp["norm"], cfg.norm_eps)
+        residual = hidden + residual
+        hidden, conv_s, ssm_s = _mixer_step(cfg, lp, xb, conv_s, ssm_s)
+        return (hidden, residual), (conv_s, ssm_s)
+
+    residual = jnp.zeros_like(tok_emb_row)
+    (hidden, residual), (conv_new, ssm_new) = jax.lax.scan(
+        layer_body, (tok_emb_row, residual),
+        (params["layers"], state_slices["conv"], state_slices["ssm"]),
+    )
+    hidden = rmsnorm(hidden + residual, params["norm_f"], cfg.norm_eps)
+    return hidden, {"conv": conv_new, "ssm": ssm_new}
+
+
+def forward(
+    params: Params,
+    cfg: MambaConfig,
+    tokens: jax.Array,           # (B, T)
+    state: State,
+    length: Optional[jax.Array] = None,  # scalar: valid prefix length (masks padding)
+) -> Tuple[jax.Array, State]:
+    """Returns (hidden (B, T, E), new state). Recurrent, so right-padded
+    positions (t >= length) must not advance the state — they are frozen
+    via a select, unlike the attention path where padding is naturally
+    overwritten."""
+    B, T = tokens.shape
+    emb = jnp.take(params["tok_emb"], tokens, axis=0)  # (B, T, E)
+
+    if T == 1:
+        hidden, state = _token_step(params, cfg, emb[:, 0], state)
+        return hidden[:, None, :], state
+
+    def time_body(state, xs):
+        x_t, t = xs
+        hidden, new_state = _token_step(params, cfg, x_t, state)
+        if length is not None:
+            keep = t < length
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(keep, new, old), new_state, state
+            )
+        return new_state, hidden
+
+    state, hiddens = jax.lax.scan(
+        time_body, state,
+        (jnp.moveaxis(emb, 1, 0), jnp.arange(T, dtype=jnp.int32)),
+    )
+    return jnp.moveaxis(hiddens, 0, 1), state
+
+
+def lm_head(params: Params, cfg: MambaConfig, x: jax.Array) -> jax.Array:
+    return jnp.matmul(
+        x.astype(jnp.float32), params["wcls"], preferred_element_type=jnp.float32
+    )
+
+
+# -- loading -----------------------------------------------------------------
+
+def load_packed(path: str) -> Tuple[Params, MambaConfig]:
+    """Load the reference's packed Mamba checkpoint (format pinned by the
+    reader at ssm/mamba.f90:172-325 / writer ssm/savemodel.py:44-102)."""
+    from tpu_llm.io.mamba_ckpt import read_packed
+
+    return read_packed(path)
