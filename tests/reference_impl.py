@@ -147,3 +147,75 @@ def ref_mamba_step(token, hidden_prev, weights, cfg, conv_state, ssm_state):
 
     hidden = rmsnorm(hidden + residual, w["norm_f"])
     return hidden @ w["wcls"], hidden
+
+
+def layernorm(x, w, b, eps=1e-5):
+    mu = x.mean()
+    var = ((x - mu) ** 2).mean()
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def gelu_tanh(x):
+    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+
+
+def rope_neox_head(head, pos0, rot, theta=10000.0):
+    """NeoX half-rotation on one head vector; dims >= rot pass through."""
+    v = head.astype(np.float64).copy()
+    half = rot // 2
+    for j in range(half):
+        freq = 1.0 / (theta ** (2.0 * j / rot))
+        ang = pos0 * freq
+        c, s = np.cos(ang), np.sin(ang)
+        x0, x1 = v[j], v[j + half]
+        v[j] = x0 * c - x1 * s
+        v[j + half] = x0 * s + x1 * c
+    return v.astype(head.dtype)
+
+
+class RefPhi2:
+    """Single-stream phi-2-style decode: parallel attn+MLP block sharing
+    one LayerNorm, biases, partial NeoX rope, tanh-GELU MLP."""
+
+    def __init__(self, weights, cfg):
+        self.w = weights  # (out, in) orientation
+        self.cfg = cfg
+        L, S = cfg["n_layers"], cfg["seq_len"]
+        self.key_cache = np.zeros((L, S, cfg["dim"]), np.float32)
+        self.value_cache = np.zeros((L, S, cfg["dim"]), np.float32)
+
+    def step(self, token, pos0):
+        cfg, w = self.cfg, self.w
+        dim, H = cfg["dim"], cfg["n_heads"]
+        hs, rot = dim // H, cfg["rope_dims"]
+
+        x = w["tok_emb"][token].astype(np.float32).copy()
+        for l in range(cfg["n_layers"]):
+            h = layernorm(x, w["attn_norm"][l], w["attn_norm_b"][l])
+            q = w["wq"][l] @ h + w["bq"][l]
+            k = w["wk"][l] @ h + w["bk"][l]
+            v = w["wv"][l] @ h + w["bv"][l]
+            for hd in range(H):
+                sl = slice(hd * hs, (hd + 1) * hs)
+                q[sl] = rope_neox_head(q[sl], pos0, rot)
+                k[sl] = rope_neox_head(k[sl], pos0, rot)
+            self.key_cache[l, pos0] = k
+            self.value_cache[l, pos0] = v
+
+            att_out = np.zeros(dim, np.float32)
+            for hd in range(H):
+                sl = slice(hd * hs, (hd + 1) * hs)
+                scores = np.zeros(pos0 + 1, np.float32)
+                for t in range(pos0 + 1):
+                    scores[t] = q[sl] @ self.key_cache[l, t, sl] / np.sqrt(hs)
+                scores = np.exp(scores - scores.max())
+                scores /= scores.sum()
+                for t in range(pos0 + 1):
+                    att_out[sl] += scores[t] * self.value_cache[l, t, sl]
+            attn = w["wo"][l] @ att_out + w["bo"][l]
+
+            mlp = w["w2"][l] @ gelu_tanh(w["w3"][l] @ h + w["b3"][l]) + w["b2"][l]
+            x = x + attn + mlp
+
+        x = layernorm(x, w["final_norm"], w["final_norm_b"])
+        return w["wcls"] @ x + w["bcls"]

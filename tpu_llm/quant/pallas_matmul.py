@@ -41,14 +41,24 @@ def _pick_tile(dim: int, candidates) -> Optional[int]:
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_dtype):
     k_step = pl.program_id(2)
     if kind == "q4_0":
-        blocks = q_ref[:].reshape(tk // 32, 16, tn)
-        lo = (blocks & 0x0F).astype(jnp.int8) - 8
-        hi = (blocks >> 4).astype(jnp.int8) - 8
+        # nibble math in int32: Mosaic has no int8 vector sub/shift
+        blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
+        lo = (blocks & 0x0F) - 8
+        hi = ((blocks >> 4) & 0x0F) - 8
         vals = jnp.concatenate([lo, hi], axis=1).astype(acc_dtype)
     else:  # q8_0
         vals = q_ref[:].reshape(tk // 32, 32, tn).astype(acc_dtype)
     w = (vals * s_ref[:][:, None, :].astype(acc_dtype)).reshape(tk, tn)
-    acc = jnp.dot(x_ref[:].astype(acc_dtype), w, preferred_element_type=jnp.float32)
+    # HIGHEST so f32 dequantized values aren't silently rounded to bf16 in
+    # the MXU (parity with the reference's exact-f32 dot products); the
+    # decode matvec is HBM-bound, so the extra MXU passes are free.
+    precision = (
+        jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32 else None
+    )
+    acc = jnp.dot(
+        x_ref[:].astype(acc_dtype), w,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
 
     @pl.when(k_step == 0)
     def _():
@@ -59,14 +69,25 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
         o_ref[:] = o_ref[:] + acc
 
 
+def _pick_tiles(K: int, N: int):
+    """Largest tiles that divide the problem and keep the dequantized f32
+    tile under ~4MB of VMEM (empirically the fastest configs on v5e:
+    tk2048/tn512 ~270 GB/s vs tk512/tn256 ~170 GB/s effective)."""
+    tn = _pick_tile(N, (512, 256, 128))
+    if tn is None:
+        return None, None
+    for tk_cand in (2048, 1024, 512, 256, 128, 64, 32):
+        if K % tk_cand == 0 and tk_cand * tn * 4 <= 4 * 1024 * 1024:
+            return tk_cand, tn
+    return None, tn
+
+
 def pallas_tiles_ok(qt: QTensor) -> bool:
     if qt.q.ndim != 2:
         return False
     K, N = qt.shape[-2], qt.shape[-1]
-    return (
-        _pick_tile(N, (512, 256, 128)) is not None
-        and _pick_tile(K, (512, 256, 128, 64, 32)) is not None
-    )
+    tk, tn = _pick_tiles(K, N)
+    return tk is not None and tn is not None
 
 
 def qmatmul_pallas(
@@ -91,8 +112,7 @@ def qmatmul_pallas(
     if B != rows:
         x2 = jnp.pad(x2, ((0, B - rows), (0, 0)))
 
-    tn = _pick_tile(N, (512, 256, 128))
-    tk = _pick_tile(K, (512, 256, 128, 64, 32))
+    tk, tn = _pick_tiles(K, N)
     tb = _pick_tile(B, (256, 128, 64, 32, 16, 8))
     if tn is None or tk is None or tb is None:
         raise ValueError(f"shapes do not tile: K={K} N={N} B={B}")

@@ -61,16 +61,20 @@ def main(argv=None) -> int:
         tokenizer = None
     else:
         from tpu_llm.io.gguf import GGUFFile
-        from tpu_llm.models.llama import load_gguf
 
         gguf = GGUFFile(args.model)
+        arch = gguf.hparam("general.architecture", default="llama")
+        if arch == "phi2":
+            from tpu_llm.models.phi2 import load_gguf
+        else:
+            from tpu_llm.models.llama import load_gguf
         params, cfg = load_gguf(gguf, dtype_policy=args.dtype)
         tokenizer = (
             BPETokenizer.from_gguf(gguf)
             if "tokenizer.ggml.tokens" in gguf.metadata
             else None
         )
-    if args.rope != cfg.rope_variant:
+    if args.rope != "interleaved" and args.rope != cfg.rope_variant:
         cfg = dataclasses.replace(cfg, rope_variant=args.rope)
 
     if args.tokenizer:
