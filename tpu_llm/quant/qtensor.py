@@ -67,6 +67,10 @@ def _split_ggml_q4_0(raw: np.ndarray, rows: int, row_len: int):
     """ggml q4_0 bytes of a (rows, row_len) row-major tensor ->
     (packed (row_len//2, rows) uint8, scales (row_len//32, rows) f32) for
     the transposed logical weight W (K=row_len, N=rows)."""
+    from tpu_llm import native
+
+    if native.available():
+        return native.repack_q4_0(np.asarray(raw, np.uint8), rows, row_len)
     nb = row_len // qblocks.QK4_0
     raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q4_0_BLOCK_BYTES)
     d = raw[:, :, :2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
@@ -77,6 +81,10 @@ def _split_ggml_q4_0(raw: np.ndarray, rows: int, row_len: int):
 
 
 def _split_ggml_q8_0(raw: np.ndarray, rows: int, row_len: int):
+    from tpu_llm import native
+
+    if native.available():
+        return native.repack_q8_0(np.asarray(raw, np.uint8), rows, row_len)
     nb = row_len // qblocks.QK8_0
     raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q8_0_BLOCK_BYTES)
     d = raw[:, :, :2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)

@@ -139,6 +139,17 @@ class BPETokenizer:
         reference's single-char-lookup granularity.
         """
         data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+
+        if not strict:
+            from tpu_llm import native
+
+            if native.available():
+                ids = native.bpe_encode(data, self.tokens, self.scores)
+                if ids is not None:
+                    if add_bos:
+                        ids.insert(0, self.bos_id)
+                    return ids
+
         ids: List[int] = []
         # init: one token per byte, preferring single-byte vocab entries
         for b in data:
