@@ -1,0 +1,116 @@
+import numpy as np
+
+from tests.test_llama import CFG, make_weights, to_params
+from tpu_llm.config import LlamaConfig
+from tpu_llm.runtime.batching import BatchEngine, Request
+from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+
+def setup(seed=0, batch=4):
+    w = make_weights(seed)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG)
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    be = BatchEngine(params, adapter, batch=batch, max_seq=CFG["seq_len"])
+    se = Engine(params, adapter, max_seq=CFG["seq_len"])
+    return params, cfg, adapter, be, se
+
+
+def single_stream_tokens(se, prompt, n_new, temperature=0.0, seed=0):
+    res = se.generate(prompt, n_new=n_new, temperature=temperature, seed=seed)
+    return res.tokens[len(prompt):]
+
+
+def test_batched_matches_single_stream_greedy():
+    _, _, _, be, se = setup()
+    prompts = [[5, 11], [3], [9, 2, 40]]
+    n_new = [5, 6, 4]
+    reqs = [be.submit(Request(prompt=p, max_new=n)) for p, n in zip(prompts, n_new)]
+    be.run()
+    for req, p, n in zip(reqs, prompts, n_new):
+        assert req.done and len(req.tokens) == n
+        assert req.tokens == single_stream_tokens(se, p, n), p
+
+
+def test_staggered_admission():
+    """A request admitted mid-flight (reusing a finished slot) must decode
+    identically to a fresh single-stream run — stale cache rows from the
+    previous occupant may not leak."""
+    _, _, _, be, se = setup(batch=2)
+    r1 = be.submit(Request(prompt=[5, 11], max_new=3))
+    r2 = be.submit(Request(prompt=[3], max_new=8))
+    # drive until r1 finishes, then admit r3 into its slot
+    while not r1.done:
+        be.step()
+    r3 = be.submit(Request(prompt=[7, 7, 24], max_new=4))
+    be.run()
+    assert r2.done and r3.done
+    assert r1.tokens == single_stream_tokens(se, [5, 11], 3)
+    assert r2.tokens == single_stream_tokens(se, [3], 8)
+    assert r3.tokens == single_stream_tokens(se, [7, 7, 24], 4)
+
+
+def test_temperature_sampling_per_slot_deterministic():
+    _, _, _, be, se = setup(seed=1)
+    r1 = be.submit(Request(prompt=[4], max_new=6, temperature=0.8, seed=42))
+    r2 = be.submit(Request(prompt=[4], max_new=6, temperature=0.8, seed=42))
+    r3 = be.submit(Request(prompt=[4], max_new=6, temperature=0.8, seed=7))
+    be.run()
+    assert r1.tokens == r2.tokens           # same seed, same slot-independent stream
+    assert isinstance(r3.tokens, list) and len(r3.tokens) == 6
+
+
+def test_eos_stopping():
+    params, cfg, adapter, be, se = setup(seed=2)
+    # find what greedy generates, use its first token as fake EOS
+    first = single_stream_tokens(se, [6], 1)[0]
+    be.eos_id = first
+    r = be.submit(Request(prompt=[6], max_new=10, stop_at_eos=True))
+    be.run()
+    assert r.tokens == [first]
+
+
+def test_mamba_batched():
+    from tests.test_mamba import make_torch_arrays, CFG as MCFG
+    from tpu_llm.io.mamba_ckpt import write_packed, read_packed
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.bin")
+        write_packed(path, make_torch_arrays(5), MCFG)
+        params, mcfg = read_packed(path)
+
+    adapter = ModelAdapter.mamba(mcfg)
+    be = BatchEngine(params, adapter, batch=3, max_seq=24)
+    se = Engine(params, adapter, max_seq=24)
+    r1 = be.submit(Request(prompt=[3, 7], max_new=4))
+    r2 = be.submit(Request(prompt=[9], max_new=5))
+    be.run()
+    s1 = se.generate([3, 7], n_new=4, add_bos=False)
+    e2 = Engine(params, adapter, max_seq=24)
+    s2 = e2.generate([9], n_new=5, add_bos=False)
+    assert r1.tokens == s1.tokens[2:]
+    assert r2.tokens == s2.tokens[1:]
+
+
+def test_mamba_slot_reuse_resets_state():
+    """Recurrent state from a finished request must not leak into the next
+    occupant of the slot."""
+    from tests.test_mamba import make_torch_arrays, CFG as MCFG
+    from tpu_llm.io.mamba_ckpt import write_packed, read_packed
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.bin")
+        write_packed(path, make_torch_arrays(6), MCFG)
+        params, mcfg = read_packed(path)
+
+    adapter = ModelAdapter.mamba(mcfg)
+    be = BatchEngine(params, adapter, batch=1, max_seq=24)
+    r1 = be.submit(Request(prompt=[3, 7], max_new=3))
+    be.run()
+    r2 = be.submit(Request(prompt=[9, 4], max_new=5))
+    be.run()
+    se = Engine(params, adapter, max_seq=24)
+    s2 = se.generate([9, 4], n_new=5, add_bos=False)
+    assert r2.tokens == s2.tokens[2:]

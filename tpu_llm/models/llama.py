@@ -56,6 +56,33 @@ def init_cache(
 
 # -- forward -----------------------------------------------------------------
 
+def _attend(q, kc, vc, positions, offset):
+    """Prefill (T>1, scalar offset) goes through the flash kernel on TPU —
+    the einsum path materializes (B,T,H,S) scores, 0.5 GB at full context.
+    Decode (T=1), vector offsets (continuous batching), non-tiling shapes,
+    and CPU all use the einsum path."""
+    import os
+
+    T, S, H = q.shape[1], kc.shape[1], q.shape[2]
+    scores_bytes = q.shape[0] * T * S * H * 4
+    use_flash = (
+        T > 1
+        and offset.ndim == 0
+        and jax.default_backend() not in ("cpu",)
+        and not os.environ.get("TPU_LLM_DISABLE_FLASH")
+        and T % min(256, T) == 0
+        and S % min(256, S) == 0
+        # einsum is faster while its (B,T,H,S) scores tensor is small;
+        # flash exists so long prefill doesn't materialize half a GB
+        and scores_bytes > 64 * 1024 * 1024
+    )
+    if use_flash:
+        from tpu_llm.ops.flash_attention import flash_gqa_attention
+
+        return flash_gqa_attention(q, kc, vc, offset)
+    return gqa_attention(q, kc, vc, positions)
+
+
 def _norm(cfg: LlamaConfig, x, lp, prefix: str):
     if cfg.use_layernorm:
         return layernorm(x, lp[f"{prefix}_norm"], lp[f"{prefix}_norm_b"], cfg.norm_eps)
@@ -80,7 +107,7 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset):
     k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
 
     kc, vc = update_kv_cache(kc, vc, k, v, offset)
-    attn = gqa_attention(q, kc, vc, positions)
+    attn = _attend(q, kc, vc, positions, offset)
     attn = attn.reshape(B, T, E)
     attn_out = matmul(attn, lp["wo"])
     if "bo" in lp:
@@ -117,12 +144,19 @@ def forward(
     cfg: LlamaConfig,
     tokens: jax.Array,       # (B, T) int32
     cache: Cache,
-    offset: jax.Array,       # scalar int32: absolute position of tokens[:, 0]
+    offset: jax.Array,       # scalar OR (B,) int32: position of tokens[:, 0]
 ) -> Tuple[jax.Array, Cache]:
-    """Run the transformer trunk. Returns (hidden (B, T, E), new cache)."""
+    """Run the transformer trunk. Returns (hidden (B, T, E), new cache).
+
+    A vector ``offset`` gives each batch row its own absolute position —
+    the substrate for continuous batching (slots at different depths in
+    their sequences share one decode step)."""
     B, T = tokens.shape
     x = jnp.take(params["tok_emb"], tokens, axis=0)
-    positions = offset + jnp.arange(T, dtype=jnp.int32)
+    if offset.ndim == 0:
+        positions = offset + jnp.arange(T, dtype=jnp.int32)          # (T,)
+    else:
+        positions = offset[:, None] + jnp.arange(T, dtype=jnp.int32)  # (B, T)
 
     def body(carry, xs):
         x = carry

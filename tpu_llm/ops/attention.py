@@ -28,13 +28,24 @@ def update_kv_cache(
     v_cache: jax.Array,
     k_new: jax.Array,    # (B, T, Hkv, D)
     v_new: jax.Array,
-    offset: jax.Array,   # scalar int — write position (same for all batch rows)
+    offset: jax.Array,   # scalar int, or (B,) per-slot write positions
 ) -> Tuple[jax.Array, jax.Array]:
-    zero = jnp.zeros((), dtype=jnp.int32)
-    idx = (zero, offset.astype(jnp.int32), zero, zero)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), idx)
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), idx)
-    return k_cache, v_cache
+    offset = offset.astype(jnp.int32)
+    if offset.ndim == 0:
+        zero = jnp.zeros((), dtype=jnp.int32)
+        idx = (zero, offset, zero, zero)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), idx)
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), idx)
+        return k_cache, v_cache
+
+    # per-slot offsets (continuous batching): vmap the row update
+    def row(kc, vc, kn, vn, off):
+        zero = jnp.zeros((), dtype=jnp.int32)
+        kc = jax.lax.dynamic_update_slice(kc, kn.astype(kc.dtype), (off, zero, zero))
+        vc = jax.lax.dynamic_update_slice(vc, vn.astype(vc.dtype), (off, zero, zero))
+        return kc, vc
+
+    return jax.vmap(row)(k_cache, v_cache, k_new, v_new, offset)
 
 
 def gqa_attention(
