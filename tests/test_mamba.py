@@ -152,6 +152,58 @@ def test_prefill_padding_masked():
         )
 
 
+def test_parallel_scan_equals_sequential():
+    """The associative-scan prefill must match the exact step recurrence,
+    including when resuming from a nonzero carried-in state (chunked
+    prefill) and with right-padding masked by `length`."""
+    arrays = make_torch_arrays(5)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.bin")
+        write_packed(path, arrays, CFG)
+        params, cfg = read_packed(path)
+
+    rng = np.random.default_rng(0)
+    chunk1 = rng.integers(0, CFG.vocab_size, (2, 5))
+    chunk2 = rng.integers(0, CFG.vocab_size, (2, 6))
+
+    # sequential oracle over both chunks
+    st_seq = M.init_state(cfg, 2)
+    h1s, st_seq = M.forward(
+        params, cfg, jnp.asarray(chunk1, jnp.int32), st_seq, sequential=True
+    )
+    h2s, st_seq = M.forward(
+        params, cfg, jnp.asarray(chunk2, jnp.int32), st_seq, sequential=True
+    )
+
+    # parallel path, second chunk resumes from the first chunk's state
+    st_par = M.init_state(cfg, 2)
+    h1p, st_par = M.forward(params, cfg, jnp.asarray(chunk1, jnp.int32), st_par)
+    h2p, st_par = M.forward(params, cfg, jnp.asarray(chunk2, jnp.int32), st_par)
+
+    np.testing.assert_allclose(np.asarray(h1p), np.asarray(h1s), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h2p), np.asarray(h2s), rtol=2e-4, atol=2e-4)
+    for k in ("conv", "ssm"):
+        np.testing.assert_allclose(
+            np.asarray(st_par[k]), np.asarray(st_seq[k]), rtol=2e-4, atol=2e-4
+        )
+
+    # length-masked padding: parallel state must freeze at t >= length
+    padded = np.concatenate([chunk1, np.zeros((2, 7), np.int64)], axis=1)
+    st_ref = M.init_state(cfg, 2)
+    _, st_ref = M.forward(params, cfg, jnp.asarray(chunk1, jnp.int32), st_ref)
+    st_pad = M.init_state(cfg, 2)
+    _, st_pad = M.forward(
+        params, cfg, jnp.asarray(padded, jnp.int32), st_pad,
+        length=jnp.int32(chunk1.shape[1]),
+    )
+    for k in ("conv", "ssm"):
+        np.testing.assert_allclose(
+            np.asarray(st_pad[k]), np.asarray(st_ref[k]), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_engine_mamba_generation():
     arrays = make_torch_arrays(4)
     import tempfile, os

@@ -14,9 +14,14 @@ A = -exp(A_log), dA = exp(dt ⊗ A), dB = dt ⊗ B, state = state·dA + x ⊗ dB
 y = Cᵀ·state + D·x, gate y·silu(z). Layer loop via lax.scan over stacked
 params.
 
-Prefill here is the recurrence scanned over time (exact); a Pallas
-associative-scan kernel is the planned fast path for long prompts
-(SURVEY.md §5 long-context row).
+Prefill is time-parallel: the first-order linear recurrence
+state_t = dA_t·state_{t-1} + dB_t·x_t is evaluated with
+``jax.lax.associative_scan`` (combine (a1,b1)∘(a2,b2) = (a2·a1, a2·b1+b2)),
+the causal depthwise conv as a sum of shifted slices, and every projection
+as one full-sequence MXU matmul — the TPU answer to the reference's
+token-at-a-time prefill (``ssm/mamba.f90:413-415``). The exact sequential
+recurrence is kept (``forward(..., sequential=True)``) as the numerics
+oracle and the T=1 decode step.
 """
 
 from __future__ import annotations
@@ -93,16 +98,93 @@ def _token_step(params, cfg, tok_emb_row, state_slices):
     return hidden, {"conv": conv_new, "ssm": ssm_new}
 
 
+def _mixer_scan(cfg: MambaConfig, lp, xb, conv_state, ssm_state, length):
+    """Full-sequence mixer, time-parallel. xb: (B, T, E).
+
+    Returns (out (B, T, E), final conv_state, final ssm_state). Positions
+    t >= length are frozen out of the recurrence by substituting the
+    identity element (dA=1, dBx=0), so the scan's LAST element is the
+    state after exactly ``length`` real tokens.
+    """
+    B, T, _ = xb.shape
+    d_inner, d_state, dt_rank = cfg.d_inner, cfg.d_state, cfg.dt_rank_
+
+    xz = jnp.matmul(xb, lp["in_proj"], preferred_element_type=jnp.float32)
+    x, z = xz[..., :d_inner], xz[..., d_inner:]          # (B, T, d_inner)
+
+    # causal depthwise conv (width d_conv) as a sum of shifted slices;
+    # the incoming shift register provides the left context
+    # (ssm/mamba.f90:616-621, vectorized over T)
+    padded = jnp.concatenate([conv_state[:, 1:].astype(x.dtype), x], axis=1)
+    x_conv = sum(
+        padded[:, j : j + T] * lp["conv_w"][None, None, j]
+        for j in range(cfg.d_conv)
+    )
+    conv_state = jax.lax.dynamic_slice_in_dim(padded, length - 1, cfg.d_conv, axis=1)
+    x = silu(x_conv + lp["conv_b"])
+
+    x_db = jnp.matmul(x, lp["x_proj"], preferred_element_type=jnp.float32)
+    dt = x_db[..., :dt_rank]
+    Bv = x_db[..., dt_rank : dt_rank + d_state]          # (B, T, d_state)
+    Cv = x_db[..., dt_rank + d_state :]
+
+    dt = jnp.matmul(dt, lp["dt_proj"], preferred_element_type=jnp.float32)
+    dt = jax.nn.softplus(dt + lp["dt_bias"])             # (B, T, d_inner)
+    A = -jnp.exp(lp["A_log"])                            # (d_state, d_inner)
+    dA = jnp.exp(dt[:, :, None, :] * A[None, None])      # (B, T, d_state, d_inner)
+    dBx = dt[:, :, None, :] * Bv[..., None] * x[:, :, None, :]
+
+    valid = (jnp.arange(T, dtype=jnp.int32) < length)[None, :, None, None]
+    dA = jnp.where(valid, dA, 1.0)
+    dBx = jnp.where(valid, dBx, 0.0)
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a2 * a1, a2 * b1 + b2
+
+    pA, pB = jax.lax.associative_scan(combine, (dA, dBx), axis=1)
+    states = pA * ssm_state[:, None] + pB                # (B, T, d_state, d_inner)
+
+    y = jnp.einsum("btsd,bts->btd", states, Cv)
+    y = y + lp["d"] * x
+    y = y * silu(z)
+    out = jnp.matmul(y, lp["out_proj"], preferred_element_type=jnp.float32)
+    return out, conv_state, states[:, -1]
+
+
+def _forward_parallel(params, cfg, emb, state, length):
+    """Layer loop over the time-parallel mixer. emb: (B, T, E)."""
+
+    def layer_body(carry, xs):
+        hidden, residual = carry
+        lp, conv_s, ssm_s = xs
+        xb = rmsnorm(hidden + residual, lp["norm"], cfg.norm_eps)
+        residual = hidden + residual
+        hidden, conv_s, ssm_s = _mixer_scan(cfg, lp, xb, conv_s, ssm_s, length)
+        return (hidden, residual), (conv_s, ssm_s)
+
+    residual = jnp.zeros_like(emb)
+    (hidden, residual), (conv_new, ssm_new) = jax.lax.scan(
+        layer_body, (emb, residual),
+        (params["layers"], state["conv"], state["ssm"]),
+    )
+    hidden = rmsnorm(hidden + residual, params["norm_f"], cfg.norm_eps)
+    return hidden, {"conv": conv_new, "ssm": ssm_new}
+
+
 def forward(
     params: Params,
     cfg: MambaConfig,
     tokens: jax.Array,           # (B, T)
     state: State,
     length: Optional[jax.Array] = None,  # scalar: valid prefix length (masks padding)
+    sequential: bool = False,    # force the exact step-recurrence oracle path
 ) -> Tuple[jax.Array, State]:
     """Returns (hidden (B, T, E), new state). Recurrent, so right-padded
-    positions (t >= length) must not advance the state — they are frozen
-    via a select, unlike the attention path where padding is naturally
+    positions (t >= length) must not advance the state — frozen via the
+    identity element in the parallel path / a select in the sequential
+    path, unlike the attention path where padding is naturally
     overwritten."""
     B, T = tokens.shape
     emb = jnp.take(params["tok_emb"], tokens, axis=0)  # (B, T, E)
@@ -110,6 +192,10 @@ def forward(
     if T == 1:
         hidden, state = _token_step(params, cfg, emb[:, 0], state)
         return hidden[:, None, :], state
+
+    if not sequential:
+        len_ = jnp.int32(T) if length is None else jnp.asarray(length, jnp.int32)
+        return _forward_parallel(params, cfg, emb, state, len_)
 
     def time_body(state, xs):
         x_t, t = xs
