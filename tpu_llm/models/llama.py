@@ -89,7 +89,8 @@ def _norm(cfg: LlamaConfig, x, lp, prefix: str):
     return rmsnorm(x, lp[f"{prefix}_norm"], cfg.norm_eps)
 
 
-def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset):
+def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
+           attn_fn=None, kv_offset=None):
     B, T, E = x.shape
     h = _norm(cfg, x, lp, "attn")
 
@@ -106,8 +107,8 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset):
     q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
     k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
 
-    kc, vc = update_kv_cache(kc, vc, k, v, offset)
-    attn = _attend(q, kc, vc, positions, offset)
+    kc, vc = update_kv_cache(kc, vc, k, v, offset if kv_offset is None else kv_offset)
+    attn = (attn_fn or _attend)(q, kc, vc, positions, offset)
     attn = attn.reshape(B, T, E)
     attn_out = matmul(attn, lp["wo"])
     if "bo" in lp:
@@ -145,6 +146,10 @@ def forward(
     tokens: jax.Array,       # (B, T) int32
     cache: Cache,
     offset: jax.Array,       # scalar OR (B,) int32: position of tokens[:, 0]
+    *,
+    attn_fn=None,            # override attention (ring/ulysses harnesses)
+    kv_offset=None,          # cache write position when it differs from the
+                             # rope position (sequence-sharded caches)
 ) -> Tuple[jax.Array, Cache]:
     """Run the transformer trunk. Returns (hidden (B, T, E), new cache).
 
@@ -161,7 +166,8 @@ def forward(
     def body(carry, xs):
         x = carry
         lp, kc, vc = xs
-        x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset)
+        x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
+                           attn_fn=attn_fn, kv_offset=kv_offset)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
