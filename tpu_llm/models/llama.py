@@ -150,6 +150,7 @@ def forward(
     attn_fn=None,            # override attention (ring/ulysses harnesses)
     kv_offset=None,          # cache write position when it differs from the
                              # rope position (sequence-sharded caches)
+    act_constraint=None,     # residual-stream sharding constraint (SP prefill)
 ) -> Tuple[jax.Array, Cache]:
     """Run the transformer trunk. Returns (hidden (B, T, E), new cache).
 
@@ -158,6 +159,8 @@ def forward(
     their sequences share one decode step)."""
     B, T = tokens.shape
     x = jnp.take(params["tok_emb"], tokens, axis=0)
+    if act_constraint is not None:
+        x = act_constraint(x)
     if offset.ndim == 0:
         positions = offset + jnp.arange(T, dtype=jnp.int32)          # (T,)
     else:
@@ -168,6 +171,8 @@ def forward(
         lp, kc, vc = xs
         x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
                            attn_fn=attn_fn, kv_offset=kv_offset)
+        if act_constraint is not None:
+            x = act_constraint(x)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
