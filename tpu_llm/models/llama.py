@@ -140,6 +140,35 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
     return x, kc, vc
 
 
+def run_layers(
+    layer_params,
+    cfg: LlamaConfig,
+    x: jax.Array,            # (B, T, E)
+    kc: jax.Array,           # (L', B, S, Hkv, D) — any contiguous layer range
+    vc: jax.Array,
+    positions: jax.Array,
+    offset: jax.Array,
+    attn_fn=None,
+    kv_offset=None,
+    act_constraint=None,
+):
+    """Run a stacked layer range under lax.scan. Factored out of ``forward``
+    so pipeline stages (tpu_llm.parallel.pipeline) can run their local layer
+    slice on the same code path. Returns (x, new kc, new vc)."""
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs
+        x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
+                           attn_fn=attn_fn, kv_offset=kv_offset)
+        if act_constraint is not None:
+            x = act_constraint(x)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, kc, vc))
+    return x, k_new, v_new
+
+
 def forward(
     params: Params,
     cfg: LlamaConfig,
@@ -166,22 +195,21 @@ def forward(
     else:
         positions = offset[:, None] + jnp.arange(T, dtype=jnp.int32)  # (B, T)
 
-    def body(carry, xs):
-        x = carry
-        lp, kc, vc = xs
-        x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
-                           attn_fn=attn_fn, kv_offset=kv_offset)
-        if act_constraint is not None:
-            x = act_constraint(x)
-        return x, (kc, vc)
+    x, k_new, v_new = run_layers(
+        params["layers"], cfg, x, cache["k"], cache["v"], positions, offset,
+        attn_fn=attn_fn, kv_offset=kv_offset, act_constraint=act_constraint,
+    )
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-
-    if cfg.use_layernorm:
-        x = layernorm(x, params["final_norm"], params["final_norm_b"], cfg.norm_eps)
-    else:
-        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    x = apply_final_norm(params, cfg, x)
     return x, {"k": k_new, "v": v_new}
+
+
+def apply_final_norm(params: Params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    """The final pre-classifier norm (llama2.f90:627). Exposed for harnesses
+    (pipeline parallelism) that run the trunk outside ``forward``."""
+    if cfg.use_layernorm:
+        return layernorm(x, params["final_norm"], params["final_norm_b"], cfg.norm_eps)
+    return rmsnorm(x, params["final_norm"], cfg.norm_eps)
 
 
 def lm_head(params: Params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:

@@ -20,18 +20,21 @@ from jax.sharding import Mesh
 def make_mesh(
     data: int = 1,
     model: Optional[int] = None,
+    pipe: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh. ``model`` defaults to all remaining
+    """Build a (pipe, data, model) mesh. ``model`` defaults to all remaining
     devices. model-axis devices are placed innermost (adjacent device ids)
-    so TP collectives ride the fastest ICI links."""
+    so TP collectives ride the fastest ICI links; pipe is outermost — stage
+    handoffs are the rarest, cheapest collective, so they can cross hosts
+    (DCN) while TP stays on ICI."""
     devs = list(devices if devices is not None else jax.devices())
     if model is None:
-        model = len(devs) // data
-    if data * model > len(devs):
-        raise ValueError(f"mesh {data}x{model} exceeds {len(devs)} devices")
-    grid = np.asarray(devs[: data * model]).reshape(data, model)
-    return Mesh(grid, axis_names=("data", "model"))
+        model = len(devs) // (data * pipe)
+    if pipe * data * model > len(devs):
+        raise ValueError(f"mesh {pipe}x{data}x{model} exceeds {len(devs)} devices")
+    grid = np.asarray(devs[: pipe * data * model]).reshape(pipe, data, model)
+    return Mesh(grid, axis_names=("pipe", "data", "model"))
 
 
 def single_device_mesh() -> Mesh:

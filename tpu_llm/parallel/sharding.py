@@ -31,13 +31,18 @@ from tpu_llm.config import LlamaConfig
 from tpu_llm.quant.qtensor import QTensor
 
 
-def llama_param_specs(cfg: LlamaConfig) -> Dict[str, Any]:
+def llama_param_specs(cfg: LlamaConfig, pipe: bool = False) -> Dict[str, Any]:
     """PartitionSpec pytree matching tpu_llm.models.llama params.
-    Layer weights have a leading stacked-L axis (never sharded)."""
-    col = P(None, None, "model")   # (L, in, out): shard outputs
-    row = P(None, "model", None)   # (L, in, out): shard inputs
+
+    Layer weights have a leading stacked-L axis; with ``pipe=True`` that
+    axis is sharded over the "pipe" mesh axis (pipeline stages own
+    contiguous layer ranges — SURVEY.md §2.3 PP row), otherwise it is
+    unsharded."""
+    lax_ = "pipe" if pipe else None
+    col = P(lax_, None, "model")   # (L, in, out): shard outputs
+    row = P(lax_, "model", None)   # (L, in, out): shard inputs
     rep1 = P(None)
-    repL = P(None, None)
+    repL = P(lax_, None)
     specs: Dict[str, Any] = {
         "tok_emb": P(None, None),
         "final_norm": rep1,
@@ -56,8 +61,8 @@ def llama_param_specs(cfg: LlamaConfig) -> Dict[str, Any]:
             specs["layers"]["ffn_norm_b"] = repL
     if cfg.use_bias:
         specs["layers"].update(
-            bq=P(None, "model"), bk=P(None, "model"), bv=P(None, "model"),
-            bo=repL, b3=P(None, "model"), b2=repL,
+            bq=P(lax_, "model"), bk=P(lax_, "model"), bv=P(lax_, "model"),
+            bo=repL, b3=P(lax_, "model"), b2=repL,
         )
         specs["bcls"] = P("model")
     if cfg.parallel_block:
