@@ -91,28 +91,35 @@ def _norm(cfg: LlamaConfig, x, lp, prefix: str):
 
 def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
            attn_fn=None, kv_offset=None):
+    # named scopes reproduce the reference's five timing buckets
+    # (llama2.f90:538,561,599,622,638) as XProf trace annotations
     B, T, E = x.shape
     h = _norm(cfg, x, lp, "attn")
 
-    q = matmul(h, lp["wq"])
-    k = matmul(h, lp["wk"])
-    v = matmul(h, lp["wv"])
-    if "bq" in lp:
-        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    with jax.named_scope("qkv"):
+        q = matmul(h, lp["wq"])
+        k = matmul(h, lp["wk"])
+        v = matmul(h, lp["wv"])
+        if "bq" in lp:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
 
     q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
 
-    q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
-    k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
+    with jax.named_scope("rope"):
+        q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
+        k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
 
-    kc, vc = update_kv_cache(kc, vc, k, v, offset if kv_offset is None else kv_offset)
-    attn = (attn_fn or _attend)(q, kc, vc, positions, offset)
-    attn = attn.reshape(B, T, E)
-    attn_out = matmul(attn, lp["wo"])
-    if "bo" in lp:
-        attn_out = attn_out + lp["bo"]
+    with jax.named_scope("attention"):
+        kc, vc = update_kv_cache(
+            kc, vc, k, v, offset if kv_offset is None else kv_offset
+        )
+        attn = (attn_fn or _attend)(q, kc, vc, positions, offset)
+        attn = attn.reshape(B, T, E)
+        attn_out = matmul(attn, lp["wo"])
+        if "bo" in lp:
+            attn_out = attn_out + lp["bo"]
 
     if cfg.parallel_block:
         mlp_in = h                      # attn and MLP share the input norm
@@ -120,18 +127,19 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         x = x + attn_out
         mlp_in = _norm(cfg, x, lp, "ffn")
 
-    if cfg.gated_mlp:
-        gate = matmul(mlp_in, lp["w1"])
-        up = matmul(mlp_in, lp["w3"])
-        mid = silu(gate) * up
-    else:
-        mid = matmul(mlp_in, lp["w3"])
-        if "b3" in lp:
-            mid = mid + lp["b3"]
-        mid = gelu(mid) if cfg.act == "gelu" else silu(mid)
-    mlp_out = matmul(mid, lp["w2"])
-    if "b2" in lp:
-        mlp_out = mlp_out + lp["b2"]
+    with jax.named_scope("ffn"):
+        if cfg.gated_mlp:
+            gate = matmul(mlp_in, lp["w1"])
+            up = matmul(mlp_in, lp["w3"])
+            mid = silu(gate) * up
+        else:
+            mid = matmul(mlp_in, lp["w3"])
+            if "b3" in lp:
+                mid = mid + lp["b3"]
+            mid = gelu(mid) if cfg.act == "gelu" else silu(mid)
+        mlp_out = matmul(mid, lp["w2"])
+        if "b2" in lp:
+            mlp_out = mlp_out + lp["b2"]
 
     if cfg.parallel_block:
         x = x + attn_out + mlp_out
@@ -218,17 +226,18 @@ def lm_head(params: Params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     Kept separate from ``forward`` so prefill can project only the last
     position (the reference pays the full 2048x32000 classifier matvec on
     every prompt token, llama2.f90:634-636 — we don't)."""
-    if params.get("wcls") is not None:
-        logits = matmul(x.astype(jnp.float32), params["wcls"])
-    else:  # tied embeddings
-        logits = jnp.matmul(
-            x.astype(jnp.float32),
-            params["tok_emb"].T.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-    if "bcls" in params:
-        logits = logits + params["bcls"]
-    return logits.astype(jnp.float32)
+    with jax.named_scope("classifier"):
+        if params.get("wcls") is not None:
+            logits = matmul(x.astype(jnp.float32), params["wcls"])
+        else:  # tied embeddings
+            logits = jnp.matmul(
+                x.astype(jnp.float32),
+                params["tok_emb"].T.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        if "bcls" in params:
+            logits = logits + params["bcls"]
+        return logits.astype(jnp.float32)
 
 
 def decode_step(

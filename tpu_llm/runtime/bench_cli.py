@@ -1,0 +1,137 @@
+"""`llm-bench` — the perf harness (SURVEY.md §7 step 9).
+
+Emits the BASELINE.md target rows as JSON lines, one per metric:
+decode tokens/s/chip and p50 TTFT for each weight format (bf16, Q4_0,
+Q8_0) on TinyLlama-1.1B-shaped random weights (throughput is
+weight-content independent). ``vs_baseline`` anchors on the reference's
+best published single-stream number, 7.3 tok/s on one CPU core
+(/root/reference/README.md:13).
+
+Sync is by host fetch: under tunneled TPU backends block_until_ready can
+return before device work completes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REFERENCE_TOK_S = 7.3
+
+
+def _build(quant: str):
+    import __graft_entry__ as ge
+
+    _, (params, _, _, _) = ge.entry()
+    if quant != "bf16":
+        from tpu_llm.quant.convert_params import quantize_llama_params
+
+        params = quantize_llama_params(params, quant)
+    return params
+
+
+def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.models import llama as M
+
+    cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16)
+    token = jnp.ones((batch,), jnp.int32)
+
+    @jax.jit
+    def decode_n(params, token, cache, pos0):
+        def body(carry, _):
+            token, cache, pos = carry
+            logits, cache = M.decode_step(params, cfg, token, cache, pos)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (token, cache, pos + 1), token
+
+        (token, cache, _), toks = jax.lax.scan(
+            body, (token, cache, pos0), None, length=steps
+        )
+        return toks, cache
+
+    toks, cache = decode_n(params, token, cache, jnp.int32(prompt_len))
+    _ = np.asarray(toks[-1])
+    t0 = time.perf_counter()
+    toks, cache = decode_n(params, token, cache, jnp.int32(prompt_len))
+    _ = np.asarray(toks[-1])
+    return steps * batch / (time.perf_counter() - t0)
+
+
+def _ttft_p50(params, cfg, prompt_len, max_seq, samples):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.models import llama as M
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (1, prompt_len)), jnp.int32
+    )
+
+    @jax.jit
+    def prefill_and_first(params, tokens, cache):
+        hidden, cache = M.forward(params, cfg, tokens, cache, jnp.int32(0))
+        logits = M.lm_head(params, cfg, hidden[:, -1:, :])[:, 0, :]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    times = []
+    for i in range(samples + 1):
+        cache = M.init_cache(cfg, 1, max_seq, dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        tok, cache = prefill_and_first(params, tokens, cache)
+        _ = int(np.asarray(tok)[0])
+        if i > 0:  # skip compile
+            times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="llm-bench", description=__doc__)
+    ap.add_argument("--configs", default="bf16,q8_0,q4_0")
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--ttft-samples", type=int, default=5)
+    ap.add_argument("--skip-ttft", action="store_true")
+    args = ap.parse_args(argv)
+
+    from tpu_llm.config import tinyllama_1_1b
+
+    cfg = tinyllama_1_1b()
+    for name in args.configs.split(","):
+        name = name.strip()
+        params = _build(name)
+        tok_s = _decode_tok_s(
+            params, cfg, args.steps, args.batch, args.max_seq, args.prompt_len
+        )
+        print(json.dumps({
+            "metric": f"tinyllama_1.1b_{name}_decode_tokens_per_s_per_chip",
+            "value": round(tok_s, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(tok_s / REFERENCE_TOK_S, 2),
+        }), flush=True)
+        if not args.skip_ttft:
+            ttft = _ttft_p50(
+                params, cfg, args.prompt_len, args.max_seq, args.ttft_samples
+            )
+            print(json.dumps({
+                "metric": f"tinyllama_1.1b_{name}_ttft_p50_prompt{args.prompt_len}",
+                "value": round(ttft * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": None,
+            }), flush=True)
+        del params
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

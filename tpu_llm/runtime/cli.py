@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rope", default="interleaved",
                    choices=["interleaved", "neox", "llmf90"],
                    help="rope variant; 'llmf90' reproduces the Fortran bit-for-bit")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="capture an XProf trace of the run into DIR; the "
+                        "reference's five timing buckets (qkv/rope/attention/"
+                        "ffn/classifier, llama2.f90:538-638) appear as named "
+                        "scopes in the trace")
     return p
 
 
@@ -106,14 +111,23 @@ def main(argv=None) -> int:
         out.flush()
 
     seed = args.seed if args.seed is not None else int(time.time_ns() % (2**31))
-    res = engine.generate(
-        prompt_ids,
-        n_total=n,
-        temperature=args.temperature,
-        seed=seed,
-        stream=None if args.scan else stream,
-        use_scan=args.scan,
+
+    import contextlib
+
+    import jax
+
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
     )
+    with profile_cm:
+        res = engine.generate(
+            prompt_ids,
+            n_total=n,
+            temperature=args.temperature,
+            seed=seed,
+            stream=None if args.scan else stream,
+            use_scan=args.scan,
+        )
     if args.scan:
         out.write(tokenizer.decode(res.tokens))
         out.flush()
@@ -123,9 +137,11 @@ def main(argv=None) -> int:
     print(f" Inference time: {res.total_s:10.4f} seconds")
     print(f" {res.tokens_per_s:10.4f} tokens/second (decode)")
     print(f" TTFT: {res.ttft_s * 1000:10.2f} ms")
-    print(" Timings")
-    for i, name in enumerate(["qkv", "rope", "attention", "ffn", "classifier"], 1):
-        print(f" {i} {name}: fused (see --profile traces)")
+    if args.profile:
+        print(f" Timings: XProf trace written to {args.profile}")
+        print("  buckets qkv/rope/attention/ffn/classifier are named scopes")
+    else:
+        print(" Timings: pass --profile DIR for the per-bucket XProf trace")
     return 0
 
 
