@@ -77,3 +77,40 @@ def test_from_gguf_leading_space_rewrite(tmp_path):
     assert tok.token_bytes(2) == b" he"
     assert tok.token_bytes(3) == "l▁lo".encode()
     assert tok.bos_id == 1
+
+
+def test_from_hf_tokenizer_json(tmp_path):
+    """NeoX converter parity with ssm/convert_tokens.py: merge-rank scores
+    (score = n_merges - rank), G-dot/C-dot rewrites, added_tokens appended;
+    llm-ssm --convert-tokenizer writes it as tokenizer.bin."""
+    import json
+
+    tk = {
+        "model": {
+            "vocab": {"h": 0, "i": 1, "Ġ": 2, "Ċ": 3, "hi": 4, "Ġhi": 5},
+            "merges": ["h i", "Ġ hi"],
+        },
+        "added_tokens": [{"id": 6, "content": "<|end|>"}],
+    }
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps(tk))
+
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    tok = BPETokenizer.from_hf_tokenizer_json(str(path))
+    assert tok.token_bytes(2) == b" "
+    assert tok.token_bytes(3) == b"\n"
+    assert tok.token_bytes(5) == b" hi"
+    assert tok.token_bytes(6) == b"<|end|>"
+    assert tok.scores[4] == 2.0  # rank 0 of 2 merges
+    assert tok.scores[5] == 1.0
+    assert tok.encode("hi hi") == [4, 5]
+
+    # CLI converter path writes the reference's tokenizer.bin format
+    from tpu_llm.runtime.mamba_cli import main as ssm_main
+
+    out_bin = tmp_path / "tok.bin"
+    assert ssm_main(["--convert-tokenizer", str(path), "-s", str(out_bin)]) == 0
+    tok2 = BPETokenizer.from_tokenizer_bin(str(out_bin))
+    assert tok2.tokens == tok.tokens
+    assert tok2.encode("hi hi") == [4, 5]

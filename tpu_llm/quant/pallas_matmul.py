@@ -70,14 +70,18 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
 
 
 def _pick_tiles(K: int, N: int):
-    """Largest tiles that divide the problem and keep the dequantized f32
-    tile under ~4MB of VMEM (empirically the fastest configs on v5e:
-    tk2048/tn512 ~270 GB/s vs tk512/tn256 ~170 GB/s effective)."""
-    tn = _pick_tile(N, (512, 256, 128))
+    """Tiles that divide the problem and keep the dequantized f32 tile at
+    ~1MB of VMEM. Tuned on v5e (experiments/q4_kernel_tiles2.py): with
+    parallel/arbitrary dimension semantics the read floor is ~520-536 GB/s
+    and tk256/tn1024 hits 520 GB/s effective at HIGHEST precision (vs
+    173 GB/s for the old tk512/tn256 without semantics); wider tn = wider
+    HBM bursts of the row-major (K/2, N) packed plane."""
+    tn = _pick_tile(N, (1024, 512, 256, 128))
     if tn is None:
         return None, None
+    budget = 1024 * 1024  # dequantized f32 tile bytes
     for tk_cand in (2048, 1024, 512, 256, 128, 64, 32):
-        if K % tk_cand == 0 and tk_cand * tn * 4 <= 4 * 1024 * 1024:
+        if K % tk_cand == 0 and tk_cand * tn * 4 <= budget:
             return tk_cand, tn
     return None, tn
 
@@ -108,20 +112,19 @@ def qmatmul_pallas(
     for d in lead:
         rows *= d
     x2 = x.reshape(rows, K)
-    B = -(-max(rows, 8) // 8) * 8  # pad rows to the f32 sublane quantum
-    if B != rows:
-        x2 = jnp.pad(x2, ((0, B - rows), (0, 0)))
-
+    # Partial blocks: rows need NOT be a multiple of tb — Pallas masks the
+    # ragged edge. Padding x on the host path instead costs ~34us per call
+    # (experiments/q4_wrapper_delta.py), 2.4x the whole kernel.
     tk, tn = _pick_tiles(K, N)
-    tb = _pick_tile(B, (256, 128, 64, 32, 16, 8))
-    if tn is None or tk is None or tb is None:
-        raise ValueError(f"shapes do not tile: K={K} N={N} B={B}")
+    tb = min(256, -(-rows // 8) * 8)
+    if tn is None or tk is None:
+        raise ValueError(f"shapes do not tile: K={K} N={N}")
     qrow = tk // 2 if qt.kind == "q4_0" else tk
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind, acc_dtype=acc_dtype),
-        grid=(B // tb, N // tn, K // tk),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=(-(-rows // tb), N // tn, K // tk),
+        out_shape=jax.ShapeDtypeStruct((rows, N), jnp.float32),
         in_specs=[
             pl.BlockSpec((tb, tk), lambda b, n, k: (b, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((qrow, tn), lambda b, n, k: (k, n), memory_space=pltpu.VMEM),
@@ -129,12 +132,16 @@ def qmatmul_pallas(
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda b, n, k: (b, n), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * K * N,
-            bytes_accessed=qt.q.size + qt.scales.size * 4 + B * K * 4 + B * N * 4,
+            flops=2 * rows * K * N,
+            bytes_accessed=qt.q.size + qt.scales.size * 4 + rows * (K + N) * 4,
             transcendentals=0,
+        ),
+        # b/n blocks are independent; only k accumulates. Telling Mosaic so
+        # is worth ~3x: it overlaps the next tile's DMA with compute.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
     )(x2, qt.q, qt.scales)
 
-    out = out[:rows].reshape(*lead, N)
-    return out.astype(out_dtype)
+    return out.reshape(*lead, N).astype(out_dtype)

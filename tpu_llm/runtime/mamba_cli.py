@@ -28,12 +28,26 @@ def main(argv=None) -> int:
     p.add_argument("--scan", action="store_true")
     p.add_argument("--convert", metavar="HF_DIR",
                    help="convert a HF Mamba dir to packed format at -m, then exit")
+    p.add_argument("--convert-tokenizer", metavar="TOKENIZER_JSON",
+                   help="convert a HF tokenizer.json (GPT-NeoX byte-level BPE) "
+                        "to tokenizer.bin at -s, then exit — the reference's "
+                        "ssm/convert_tokens.py (merge-rank scores, G-dot/C-dot "
+                        "space/newline rewrite)")
     args = p.parse_args(argv)
 
     if args.convert:
         from tpu_llm.io.mamba_ckpt import convert_hf_mamba
 
         convert_hf_mamba(args.convert, args.model, verbose=True)
+        return 0
+
+    if args.convert_tokenizer:
+        from tpu_llm.tokenizers.bpe import BPETokenizer
+        from tpu_llm.tokenizers.tokenizer_bin import write_tokenizer_bin
+
+        tok = BPETokenizer.from_hf_tokenizer_json(args.convert_tokenizer)
+        write_tokenizer_bin(args.tokenizer, tok.tokens, tok.scores)
+        print(f"wrote {args.tokenizer} ({tok.vocab_size} tokens)")
         return 0
 
     from tpu_llm.models.mamba import load_packed
