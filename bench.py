@@ -28,19 +28,22 @@ REFERENCE_TOK_S = 7.3  # llm.f90 optimize16 branch, 1 CPU core (README.md:13)
 
 def build_params(quant: str):
     import __graft_entry__ as ge
+    from tpu_llm.models.llama import unstack_layers
+    from tpu_llm.quant.convert_params import fuse_llama_layers, quantize_llama_params
 
     _, (params, _, _, _) = ge.entry()
     if quant != "none":
-        from tpu_llm.quant.convert_params import quantize_llama_params
-
-        params = quantize_llama_params(params, quant)
-    return params
+        params = quantize_llama_params(params, quant, fuse=True)
+    else:
+        params = dict(params, layers=fuse_llama_layers(params["layers"]))
+    return unstack_layers(params)
 
 
 def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int):
     from tpu_llm.models import llama as M
 
-    cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16)
+    cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16,
+                         stacked=not isinstance(params["layers"], (list, tuple)))
     token = jnp.ones((batch,), jnp.int32)
 
     @jax.jit

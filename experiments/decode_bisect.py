@@ -25,18 +25,20 @@ from tpu_llm.quant.linear import matmul
 STEPS = 128
 
 
-def bench(label, step_fn, carry_init):
+def bench(label, step_fn, carry_init, params):
+    # params must be a jit ARGUMENT: closure capture bakes them into the
+    # HLO as constants (600MB program -> remote-compile 413)
     @jax.jit
-    def loop(carry):
+    def loop(params, carry):
         def body(c, _):
-            return step_fn(c), None
+            return step_fn(params, c), None
         c, _ = jax.lax.scan(body, carry, None, length=STEPS)
         return c
 
-    c = loop(carry_init)
+    c = loop(params, carry_init)
     _ = np.asarray(jax.tree_util.tree_leaves(c)[0]).ravel()[:1]
     t0 = time.perf_counter()
-    c = loop(carry_init)
+    c = loop(params, carry_init)
     _ = np.asarray(jax.tree_util.tree_leaves(c)[0]).ravel()[:1]
     dt = (time.perf_counter() - t0) / STEPS
     print(f"{label:12s}: {dt*1e6:8.1f} us/step -> {1/dt:7.1f} tok/s", flush=True)
@@ -51,30 +53,29 @@ def main():
     pos0 = jnp.int32(16)
 
     # full
-    def full(c):
+    def full(p, c):
         tok, cache, pos = c
-        logits, cache = M.decode_step(params, cfg, tok, cache, pos)
+        logits, cache = M.decode_step(p, cfg, tok, cache, pos)
         return (jnp.argmax(logits, -1).astype(jnp.int32), cache, pos + 1)
-    bench("full", full, (token, cache, pos0))
+    bench("full", full, (token, cache, pos0), params)
 
     # no classifier
-    def no_cls(c):
+    def no_cls(p, c):
         tok, cache, pos = c
-        hidden, cache = M.forward(params, cfg, tok[:, None], cache, pos)
+        hidden, cache = M.forward(p, cfg, tok[:, None], cache, pos)
         tok = (jnp.sum(hidden) * 0).astype(jnp.int32) + tok
         return (tok, cache, pos + 1)
-    bench("no_cls", no_cls, (token, cache, pos0))
+    bench("no_cls", no_cls, (token, cache, pos0), params)
 
     # classifier alone
     x = jnp.zeros((1, 1, cfg.dim), jnp.bfloat16) + 0.1
-    def cls_only(c):
-        y = M.lm_head(params, cfg, c)
+    def cls_only(p, c):
+        y = M.lm_head(p, cfg, c)
         return c + (jnp.sum(y) * 0).astype(c.dtype)
-    bench("cls_only", cls_only, x)
+    bench("cls_only", cls_only, x, params)
 
     # projections only (7 matmuls per layer through the scan)
-    lp_all = params["layers"]
-    def proj_only(c):
+    def proj_only(lp_all, c):
         def body(x, lp):
             E = cfg.dim
             q = matmul(x, lp["wq"])
@@ -87,13 +88,14 @@ def main():
             return x + o + d + (jnp.sum(k) + jnp.sum(v)) * 0, None
         y, _ = jax.lax.scan(body, c, lp_all)
         return y
-    bench("proj_only", proj_only, jnp.zeros((1, cfg.dim), jnp.bfloat16) + 0.1)
+    bench("proj_only", proj_only, jnp.zeros((1, cfg.dim), jnp.bfloat16) + 0.1,
+          params["layers"])
 
     # attention + cache update alone (per layer, through the scan)
     from tpu_llm.ops.attention import gqa_attention, update_kv_cache
     kq = jnp.zeros((1, 1, cfg.n_heads, cfg.head_dim), jnp.bfloat16) + 0.1
     kkv = jnp.zeros((1, 1, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16) + 0.1
-    def attn_only(c):
+    def attn_only(p, c):
         cache, pos = c
         positions = pos + jnp.arange(1, dtype=jnp.int32)
         def body(carry, kv):
@@ -105,7 +107,7 @@ def main():
             body, jnp.bfloat16(0), (cache["k"], cache["v"])
         )
         return ({"k": knew, "v": vnew}, pos + 1)
-    bench("attn_only", attn_only, (cache, pos0))
+    bench("attn_only", attn_only, (cache, pos0), params)
 
 
 if __name__ == "__main__":

@@ -183,3 +183,39 @@ def test_engine_temperature_deterministic_per_seed():
     e2 = Engine(params, adapter, max_seq=CFG["seq_len"])
     r2 = e2.generate([2], n_total=8, temperature=0.9, seed=123)
     assert r1.tokens == r2.tokens
+
+
+def test_fused_projections_match_unfused():
+    """wqkv/w13 fusion (the reference's layout, read_ggml.f90:265,340) must
+    be numerically identical to the unfused path, dense and quantized."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_sharding import CFG, make_params
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.models import llama as M
+    from tpu_llm.quant.convert_params import fuse_llama_layers, quantize_llama_params
+
+    cfg = LlamaConfig(**CFG)
+    params = make_params(21)
+    tokens = jnp.asarray(
+        np.random.default_rng(9).integers(0, CFG["vocab_size"], (2, 4)), jnp.int32
+    )
+
+    cache0 = M.init_cache(cfg, 2, CFG["seq_len"])
+    h0, _ = M.forward(params, cfg, tokens, cache0, jnp.int32(0))
+
+    fused = dict(params, layers=fuse_llama_layers(params["layers"]))
+    assert "wqkv" in fused["layers"] and "w13" in fused["layers"]
+    cache1 = M.init_cache(cfg, 2, CFG["seq_len"])
+    h1, _ = M.forward(fused, cfg, tokens, cache1, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-6, atol=1e-6)
+
+    # quantized: fused-then-quantized == quantized-then-fused == same values
+    qp = quantize_llama_params(params, "q4_0", fuse=True)
+    cache2 = M.init_cache(cfg, 2, CFG["seq_len"])
+    h2, _ = M.forward(qp, cfg, tokens, cache2, jnp.int32(0))
+    qp2 = quantize_llama_params(params, "q4_0", fuse=False)
+    cache3 = M.init_cache(cfg, 2, CFG["seq_len"])
+    h3, _ = M.forward(qp2, cfg, tokens, cache3, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h3), rtol=2e-5, atol=2e-5)

@@ -42,16 +42,57 @@ Cache = Dict[str, jax.Array]
 # -- KV cache ----------------------------------------------------------------
 
 def init_cache(
-    cfg: LlamaConfig, batch: int = 1, max_seq: Optional[int] = None, dtype=jnp.float32
+    cfg: LlamaConfig, batch: int = 1, max_seq: Optional[int] = None, dtype=jnp.float32,
+    stacked: bool = True,
 ) -> Cache:
-    """Preallocated static-shape KV cache, layout (L, B, S, Hkv, D).
+    """Preallocated static-shape KV cache.
+
+    ``stacked=True``: one (L, B, S, Hkv, D) array per plane — required by
+    the lax.scan layer loop and the sharding specs. ``stacked=False``:
+    a list of per-layer (B, S, Hkv, D) arrays matching unstacked params
+    (see ``unstack_layers``) — the python layer loop reads/writes each
+    buffer directly, no per-layer slice copies.
 
     The reference allocates (kv_head_size, seq_len, n_layers) per-stream
     f32 (llama2.f90:311-313); here batch is first-class and dtype is a
     policy knob (f32/bf16, later int8)."""
     s = max_seq or cfg.seq_len
-    shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if stacked:
+        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    shape = (batch, s, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+        "v": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+    }
+
+
+def unstack_layers(params: Params) -> Params:
+    """Stacked (L, ...) layer params -> list of per-layer dicts.
+
+    The lax.scan layer loop dynamic-slices every layer's weights out of
+    the stacked buffers each step — for quantized decode that slice COPY
+    doubled HBM traffic and serialized in front of each kernel (xprof:
+    ~28% of step time). Unstacked params are separate buffers the kernels
+    read in place; ``forward`` python-loops over them."""
+    from tpu_llm.quant.qtensor import QTensor
+
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        return params
+    any_leaf = next(iter(layers.values()))
+    L = any_leaf.q.shape[0] if isinstance(any_leaf, QTensor) else any_leaf.shape[0]
+
+    def take(leaf, i):
+        if isinstance(leaf, QTensor):
+            return QTensor(q=leaf.q[i], scales=leaf.scales[i], kind=leaf.kind)
+        return leaf[i]
+
+    out = dict(params)
+    out["layers"] = [
+        {k: take(v, i) for k, v in layers.items()} for i in range(L)
+    ]
+    return out
 
 
 # -- forward -----------------------------------------------------------------
@@ -97,11 +138,20 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
     h = _norm(cfg, x, lp, "attn")
 
     with jax.named_scope("qkv"):
-        q = matmul(h, lp["wq"])
-        k = matmul(h, lp["wk"])
-        v = matmul(h, lp["wv"])
-        if "bq" in lp:
-            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        if "wqkv" in lp:
+            # fused QKV — ONE kernel (the reference's layout,
+            # read_ggml.f90:265; call count sets the decode floor)
+            KV = cfg.kv_dim
+            qkv = matmul(h, lp["wqkv"])
+            q = qkv[..., :E]
+            k = qkv[..., E : E + KV]
+            v = qkv[..., E + KV :]
+        else:
+            q = matmul(h, lp["wq"])
+            k = matmul(h, lp["wk"])
+            v = matmul(h, lp["wv"])
+            if "bq" in lp:
+                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
 
     q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -128,7 +178,11 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         mlp_in = _norm(cfg, x, lp, "ffn")
 
     with jax.named_scope("ffn"):
-        if cfg.gated_mlp:
+        if cfg.gated_mlp and "w13" in lp:
+            F = cfg.hidden_dim
+            h13 = matmul(mlp_in, lp["w13"])   # fused gate|up (read_ggml.f90:340)
+            mid = silu(h13[..., :F]) * h13[..., F:]
+        elif cfg.gated_mlp:
             gate = matmul(mlp_in, lp["w1"])
             up = matmul(mlp_in, lp["w3"])
             mid = silu(gate) * up
@@ -203,10 +257,23 @@ def forward(
     else:
         positions = offset[:, None] + jnp.arange(T, dtype=jnp.int32)  # (B, T)
 
-    x, k_new, v_new = run_layers(
-        params["layers"], cfg, x, cache["k"], cache["v"], positions, offset,
-        attn_fn=attn_fn, kv_offset=kv_offset, act_constraint=act_constraint,
-    )
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        # unstacked fast path: direct per-layer buffers, no slice copies
+        k_new, v_new = [], []
+        for i, lp in enumerate(layers):
+            x, kc, vc = _block(cfg, x, lp, cache["k"][i], cache["v"][i],
+                               positions, offset,
+                               attn_fn=attn_fn, kv_offset=kv_offset)
+            if act_constraint is not None:
+                x = act_constraint(x)
+            k_new.append(kc)
+            v_new.append(vc)
+    else:
+        x, k_new, v_new = run_layers(
+            layers, cfg, x, cache["k"], cache["v"], positions, offset,
+            attn_fn=attn_fn, kv_offset=kv_offset, act_constraint=act_constraint,
+        )
 
     x = apply_final_norm(params, cfg, x)
     return x, {"k": k_new, "v": v_new}
@@ -323,7 +390,7 @@ def _stack(ws):
 
 
 def load_gguf(
-    path_or_gguf, dtype_policy: str = "f32"
+    path_or_gguf, dtype_policy: str = "f32", fuse: bool = False
 ) -> Tuple[Params, LlamaConfig]:
     """Load llama-family weights from a GGUF file.
 
@@ -332,6 +399,10 @@ def load_gguf(
       - "bf16": dense bfloat16 weights (f32 norms)
       - "native": keep storage dtypes — f16 stays f16, Q4_0/Q8_0 stay
         packed as QTensors (fused dequant in the matmul kernels)
+
+    ``fuse=True`` concatenates QKV and gate/up into single matmuls (the
+    reference's fused layout, read_ggml.f90:265,340) — fastest decode,
+    incompatible with the TP sharding specs.
 
     Tensor names follow the 11 groups the reference maps
     (read_ggml.f90:238-414).
@@ -369,4 +440,8 @@ def load_gguf(
             layers[key].append(_load_weight(gguf, pat.format(i=i), dtype_policy))
 
     params["layers"] = {k: _stack(v) for k, v in layers.items()}
+    if fuse:
+        from tpu_llm.quant.convert_params import fuse_llama_layers
+
+        params["layers"] = fuse_llama_layers(params["layers"])
     return params, cfg

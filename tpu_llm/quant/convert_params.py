@@ -33,9 +33,18 @@ def quantize_llama_params(
     kind: str = "q4_0",
     layer_keys: Sequence[str] = LLAMA_PROJ_KEYS,
     quantize_cls: bool = True,
+    fuse: bool = False,
 ) -> Dict:
     """Replace projection weights with packed QTensors. Norms and the
-    embedding stay dense (tiny, and gathers want dense rows)."""
+    embedding stay dense (tiny, and gathers want dense rows).
+
+    ``fuse=True`` additionally concatenates wq|wk|wv -> wqkv and
+    w1|w3 -> w13 along the output axis (the reference's fused layout,
+    read_ggml.f90:265,340): 7 -> 4 projection kernels per layer — each
+    pallas call carries ~15us fixed cost, so call count sets the decode
+    floor (experiments/decode_bisect.py). Fused params are NOT compatible
+    with the TP sharding specs (head-aligned column split); use unfused
+    for tensor parallelism."""
     out = dict(params)
     out["layers"] = dict(params["layers"])
     for key in layer_keys:
@@ -44,4 +53,31 @@ def quantize_llama_params(
     if quantize_cls and params.get("wcls") is not None:
         if not isinstance(params["wcls"], QTensor):
             out["wcls"] = quantize_tensor(np.asarray(params["wcls"], np.float32), kind)
+    if fuse:
+        out["layers"] = fuse_llama_layers(out["layers"])
+    return out
+
+
+def _concat_n(ws):
+    """Concat weights along the output (N) axis; QTensor planes concat
+    directly — packing is per-column independent in the (K/2, N) layout."""
+    if isinstance(ws[0], QTensor):
+        return QTensor(
+            q=jnp.concatenate([w.q for w in ws], axis=-1),
+            scales=jnp.concatenate([w.scales for w in ws], axis=-1),
+            kind=ws[0].kind,
+        )
+    return jnp.concatenate(ws, axis=-1)
+
+
+def fuse_llama_layers(layers: Dict) -> Dict:
+    """wq|wk|wv -> wqkv, w1|w3 -> w13 (dense or QTensor, stacked or not).
+    Biased variants (phi-2) are left unfused."""
+    if "bq" in layers:
+        return dict(layers)
+    out = dict(layers)
+    if "wq" in out:
+        out["wqkv"] = _concat_n([out.pop("wq"), out.pop("wk"), out.pop("wv")])
+    if "w1" in out:
+        out["w13"] = _concat_n([out.pop("w1"), out.pop("w3")])
     return out

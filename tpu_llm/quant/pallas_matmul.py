@@ -49,9 +49,12 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
     else:  # q8_0
         vals = q_ref[:].reshape(tk // 32, 32, tn).astype(acc_dtype)
     w = (vals * s_ref[:][:, None, :].astype(acc_dtype)).reshape(tk, tn)
-    # HIGHEST so f32 dequantized values aren't silently rounded to bf16 in
-    # the MXU (parity with the reference's exact-f32 dot products); the
-    # decode matvec is HBM-bound, so the extra MXU passes are free.
+    # f32 mode (reference-parity): HIGHEST so dequantized values aren't
+    # silently rounded to bf16 in the MXU — 6 passes, but exact.
+    # bf16 mode (serving): ONE MXU pass with f32 accumulation — the q4
+    # int values are exact in bf16 and activations are already bf16; the
+    # 6x HIGHEST pass cost was the decode bottleneck (xprof: w13 42us
+    # observed vs 28us DMA floor; MXU time 6 x 12us at 8 padded rows).
     precision = (
         jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32 else None
     )
@@ -69,19 +72,44 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
         o_ref[:] = o_ref[:] + acc
 
 
-def _pick_tiles(K: int, N: int):
-    """Tiles that divide the problem and keep the dequantized f32 tile at
-    ~1MB of VMEM. Tuned on v5e (experiments/q4_kernel_tiles2.py): with
-    parallel/arbitrary dimension semantics the read floor is ~520-536 GB/s
-    and tk256/tn1024 hits 520 GB/s effective at HIGHEST precision (vs
-    173 GB/s for the old tk512/tn256 without semantics); wider tn = wider
-    HBM bursts of the row-major (K/2, N) packed plane."""
-    tn = _pick_tile(N, (1024, 512, 256, 128))
+def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):
+    """Pick (tk, tn) to MINIMIZE GRID STEPS under a ~4MB dequantized-tile
+    VMEM budget. In the model the kernels are chained (each consumes the
+    previous one's output), so cross-call pipelining cannot hide per-step
+    sequencing cost (~0.8us/step measured via xprof: a 256-step classifier
+    ran at 205us, an 88-step w13 at 68us — both ~0.8us x steps, far above
+    their DMA floor). Fewer, bigger steps win; the earlier ~1MB-tile
+    choice optimized amortized throughput, the wrong regime.
+
+    Constraints: tk must divide K (a ragged K-tile would accumulate
+    garbage into real outputs) and be a multiple of 256 so the scales
+    block (tk/32, tn) keeps a sublane multiple of 8. tn need NOT divide
+    N — the ragged last N-tile is masked by Pallas and its garbage
+    columns die in the masked store (vital for vocab-sized N = 32000)."""
+    itemsize = 2 if acc_itemsize == 2 else 4
+    budget = 4 * 1024 * 1024  # dequantized-tile VMEM bytes
+    if N >= 512:
+        best = None
+        tks = [tk for tk in range(256, min(K, 4096) + 1, 256) if K % tk == 0]
+        if not tks and K % 32 == 0:
+            tks = [tk for tk in (32, 64, 128) if K % tk == 0]
+        for tn in (512, 1024):
+            for tk in tks:
+                if tk * tn * itemsize > budget:
+                    continue
+                steps = -(-N // tn) * (K // tk)
+                key = (steps, -(tk * tn))
+                if best is None or key < best[0]:
+                    best = (key, tk, tn)
+        if best is not None:
+            return best[1], best[2]
+        return None, None
+    # narrow outputs (e.g. unfused wk/wv with few kv heads)
+    tn = _pick_tile(N, (256, 128))
     if tn is None:
         return None, None
-    budget = 1024 * 1024  # dequantized f32 tile bytes
     for tk_cand in (2048, 1024, 512, 256, 128, 64, 32):
-        if K % tk_cand == 0 and tk_cand * tn * 4 <= budget:
+        if K % tk_cand == 0 and tk_cand * tn * itemsize <= budget:
             return tk_cand, tn
     return None, tn
 
@@ -98,11 +126,17 @@ def qmatmul_pallas(
     x: jax.Array,
     qt: QTensor,
     *,
-    acc_dtype=jnp.float32,
+    acc_dtype=None,
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """x: (..., K) @ QTensor (K, N) -> (..., N)."""
+    """x: (..., K) @ QTensor (K, N) -> (..., N).
+
+    acc_dtype defaults to the activation dtype's natural mode: bf16
+    activations dequantize + dot in bf16 (single MXU pass, f32 accum);
+    f32 activations get the exact f32/HIGHEST path (reference parity)."""
+    if acc_dtype is None:
+        acc_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     *lead, K = x.shape
     Kq, N = qt.shape[-2], qt.shape[-1]
     assert K == Kq, (x.shape, qt.shape)
@@ -115,7 +149,7 @@ def qmatmul_pallas(
     # Partial blocks: rows need NOT be a multiple of tb — Pallas masks the
     # ragged edge. Padding x on the host path instead costs ~34us per call
     # (experiments/q4_wrapper_delta.py), 2.4x the whole kernel.
-    tk, tn = _pick_tiles(K, N)
+    tk, tn = _pick_tiles(K, N, acc_itemsize=jnp.dtype(acc_dtype).itemsize)
     tb = min(256, -(-rows // 8) * 8)
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")
@@ -123,7 +157,7 @@ def qmatmul_pallas(
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind, acc_dtype=acc_dtype),
-        grid=(-(-rows // tb), N // tn, K // tk),
+        grid=(-(-rows // tb), -(-N // tn), K // tk),
         out_shape=jax.ShapeDtypeStruct((rows, N), jnp.float32),
         in_specs=[
             pl.BlockSpec((tb, tk), lambda b, n, k: (b, k), memory_space=pltpu.VMEM),

@@ -24,13 +24,15 @@ REFERENCE_TOK_S = 7.3
 
 def _build(quant: str):
     import __graft_entry__ as ge
+    from tpu_llm.models.llama import unstack_layers
+    from tpu_llm.quant.convert_params import fuse_llama_layers, quantize_llama_params
 
     _, (params, _, _, _) = ge.entry()
     if quant != "bf16":
-        from tpu_llm.quant.convert_params import quantize_llama_params
-
-        params = quantize_llama_params(params, quant)
-    return params
+        params = quantize_llama_params(params, quant, fuse=True)
+    else:
+        params = dict(params, layers=fuse_llama_layers(params["layers"]))
+    return unstack_layers(params)
 
 
 def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len):
@@ -39,7 +41,8 @@ def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len):
 
     from tpu_llm.models import llama as M
 
-    cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16)
+    stacked = not isinstance(params["layers"], (list, tuple))
+    cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16, stacked=stacked)
     token = jnp.ones((batch,), jnp.int32)
 
     @jax.jit
@@ -82,7 +85,8 @@ def _ttft_p50(params, cfg, prompt_len, max_seq, samples):
 
     times = []
     for i in range(samples + 1):
-        cache = M.init_cache(cfg, 1, max_seq, dtype=jnp.bfloat16)
+        cache = M.init_cache(cfg, 1, max_seq, dtype=jnp.bfloat16,
+                             stacked=not isinstance(params["layers"], (list, tuple)))
         t0 = time.perf_counter()
         tok, cache = prefill_and_first(params, tokens, cache)
         _ = int(np.asarray(tok)[0])

@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rope", default="interleaved",
                    choices=["interleaved", "neox", "llmf90"],
                    help="rope variant; 'llmf90' reproduces the Fortran bit-for-bit")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard projections by "
+                        "heads/ffn/vocab over the mesh 'model' axis")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel degree (batch axis of the mesh)")
     p.add_argument("--profile", default="", metavar="DIR",
                    help="capture an XProf trace of the run into DIR; the "
                         "reference's five timing buckets (qkv/rope/attention/"
@@ -71,9 +76,16 @@ def main(argv=None) -> int:
         arch = gguf.hparam("general.architecture", default="llama")
         if arch == "phi2":
             from tpu_llm.models.phi2 import load_gguf
+
+            params, cfg = load_gguf(gguf, dtype_policy=args.dtype)
         else:
             from tpu_llm.models.llama import load_gguf
-        params, cfg = load_gguf(gguf, dtype_policy=args.dtype)
+
+            # fused QKV/gate-up halves kernel count (fastest single-chip
+            # decode); TP sharding needs the unfused head-aligned layout
+            params, cfg = load_gguf(
+                gguf, dtype_policy=args.dtype, fuse=(args.tp == 1)
+            )
         tokenizer = (
             BPETokenizer.from_gguf(gguf)
             if "tokenizer.ggml.tokens" in gguf.metadata
@@ -89,12 +101,47 @@ def main(argv=None) -> int:
         return 1
 
     if args.verbose:
+        # the reference's verbose load log (tensor groups + dims,
+        # llama2.f90:169-297) as a structured summary
         print(f"config: {cfg}", file=sys.stderr)
+        if not args.ak:
+            from tpu_llm.io.gguf import GGML_TYPE_NAMES
+
+            total = 0
+            for name, t in gguf.tensors.items():
+                total += t.nbytes
+            print(f"tensors: {len(gguf.tensors)}, "
+                  f"{total / 1e6:.1f} MB on disk", file=sys.stderr)
+            for name in ("token_embd.weight", "blk.0.attn_q.weight",
+                         "blk.0.ffn_gate.weight", "output.weight"):
+                if name in gguf.tensors:
+                    t = gguf.tensors[name]
+                    print(f"  {name}: dims={t.dims} "
+                          f"{GGML_TYPE_NAMES.get(t.ggml_type, t.ggml_type)}",
+                          file=sys.stderr)
         print(f"loaded weights in {time.perf_counter() - t_load:.2f}s", file=sys.stderr)
 
     max_seq = args.max_seq or min(cfg.seq_len, max(args.num_tokens + 8, 64))
     cache_dtype = jnp.float32 if args.cache_dtype == "f32" else jnp.bfloat16
-    adapter = ModelAdapter.llama(cfg, cache_dtype=cache_dtype, bos_id=tokenizer.bos_id)
+    single_chip = args.tp * args.dp == 1
+    if single_chip:
+        from tpu_llm.models.llama import unstack_layers
+
+        params = unstack_layers(params)
+    adapter = ModelAdapter.llama(
+        cfg, cache_dtype=cache_dtype, bos_id=tokenizer.bos_id, stacked=not single_chip
+    )
+
+    if args.tp * args.dp > 1:
+        from tpu_llm.parallel import (
+            make_mesh, llama_param_specs, llama_cache_spec, shard_pytree,
+        )
+
+        mesh = make_mesh(args.dp, args.tp)
+        params = shard_pytree(params, llama_param_specs(cfg), mesh)
+        if args.verbose:
+            print(f"mesh: dp={args.dp} tp={args.tp}", file=sys.stderr)
+
     engine = Engine(params, adapter, max_seq=max_seq)
 
     prompt_ids = tokenizer.encode(args.prompt) if args.prompt else []

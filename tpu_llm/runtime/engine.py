@@ -52,7 +52,10 @@ class ModelAdapter:
     bos_id: int = 1
 
     @classmethod
-    def llama(cls, cfg, cache_dtype=jnp.float32, bos_id: int = 1) -> "ModelAdapter":
+    def llama(cls, cfg, cache_dtype=jnp.float32, bos_id: int = 1,
+              stacked: bool = True) -> "ModelAdapter":
+        """``stacked=False`` pairs with ``llama.unstack_layers`` params —
+        the no-copy python layer loop (fastest single-chip decode)."""
         from tpu_llm.models import llama as M
 
         return cls(
@@ -61,7 +64,7 @@ class ModelAdapter:
             ),
             lm_head=lambda params, hidden: M.lm_head(params, cfg, hidden),
             init_state=lambda batch, max_seq: M.init_cache(
-                cfg, batch, max_seq, cache_dtype
+                cfg, batch, max_seq, cache_dtype, stacked=stacked
             ),
             bos_id=bos_id,
         )
