@@ -124,6 +124,29 @@ def _attend(q, kc, vc, positions, offset):
     return gqa_attention(q, kc, vc, positions)
 
 
+def _use_ffn_megakernel(cfg: LlamaConfig, x, lp) -> bool:
+    """One-kernel SwiGLU FFN (tpu_llm.quant.pallas_ffn): decode shapes
+    (<=8 rows), bf16 activations, quantized fused weights, on TPU.
+    Opt-in (TPU_LLM_FFN_MEGAKERNEL=1): measured neutral vs the two-kernel
+    path on v5e (380 vs 384 tok/s) — the phase-pinned block indices stop
+    Mosaic from prefetching w2 during phase A, offsetting the saved
+    launch. Kept as the base for a future double-buffered variant."""
+    import os
+
+    if not os.environ.get("TPU_LLM_FFN_MEGAKERNEL"):
+        return False
+    if os.environ.get("TPU_LLM_DISABLE_PALLAS") or x.dtype != jnp.bfloat16:
+        return False
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    B, T, _ = x.shape
+    if B * T > 8:
+        return False
+    from tpu_llm.quant.pallas_ffn import ffn_tiles_ok
+
+    return ffn_tiles_ok(cfg.dim, cfg.hidden_dim, lp["w13"], lp.get("w2"))
+
+
 def _norm(cfg: LlamaConfig, x, lp, prefix: str):
     if cfg.use_layernorm:
         return layernorm(x, lp[f"{prefix}_norm"], lp[f"{prefix}_norm_b"], cfg.norm_eps)
@@ -178,6 +201,13 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         mlp_in = _norm(cfg, x, lp, "ffn")
 
     with jax.named_scope("ffn"):
+        if cfg.gated_mlp and "w13" in lp and _use_ffn_megakernel(cfg, x, lp):
+            from tpu_llm.quant.pallas_ffn import ffn_fused_pallas
+
+            mlp_out = ffn_fused_pallas(mlp_in, lp["w13"], lp["w2"])
+            if cfg.parallel_block:
+                return x + attn_out + mlp_out, kc, vc
+            return x + mlp_out, kc, vc
         if cfg.gated_mlp and "w13" in lp:
             F = cfg.hidden_dim
             h13 = matmul(mlp_in, lp["w13"])   # fused gate|up (read_ggml.f90:340)
