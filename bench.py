@@ -39,8 +39,10 @@ def build_params(quant: str):
     return unstack_layers(params)
 
 
-def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int):
+def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
+            i4: bool = True):
     from tpu_llm.models import llama as M
+    from tpu_llm.quant.convert_params import unpack_params_int4
 
     cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16,
                          stacked=not isinstance(params["layers"], (list, tuple)))
@@ -48,6 +50,11 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int):
 
     @jax.jit
     def decode_n(params, token, cache, pos0):
+        if i4:
+            # one hoisted repack pass before the scan: q4_0 nibbles ->
+            # int4 planes (same HBM bytes, hardware widening in-kernel)
+            params = unpack_params_int4(params)
+
         def body(carry, _):
             token, cache, pos = carry
             logits, cache = M.decode_step(params, cfg, token, cache, pos)
@@ -75,13 +82,16 @@ def main():
     ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--prompt-len", type=int, default=16)
     ap.add_argument("--quant", default="q4_0", choices=["none", "q4_0", "q8_0"])
+    ap.add_argument("--no-i4", action="store_true",
+                    help="keep the manual uint8 nibble-unpack kernel")
     args = ap.parse_args()
 
     from tpu_llm.config import tinyllama_1_1b
 
     cfg = tinyllama_1_1b()
     params = build_params(args.quant)
-    tok_s = measure(params, cfg, args.steps, args.batch, args.max_seq, args.prompt_len)
+    tok_s = measure(params, cfg, args.steps, args.batch, args.max_seq,
+                    args.prompt_len, i4=not args.no_i4)
 
     name = "bf16" if args.quant == "none" else args.quant
     print(json.dumps({

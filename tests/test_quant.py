@@ -87,3 +87,60 @@ def test_pallas_qmatmul_3d_input():
     got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
     assert got.shape == (2, 3, N)
     np.testing.assert_allclose(got.reshape(-1, N), expected, rtol=2e-4, atol=2e-4)
+
+
+def test_to_int4_dequant_parity():
+    import jax
+    from tpu_llm.quant.qtensor import to_int4
+
+    rng = np.random.default_rng(5)
+    K, N = 128, 256
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    qt = quantize_tensor(w, "q4_0")
+    qi = jax.jit(to_int4)(qt)
+    assert qi.kind == "q4_0i4"
+    assert qi.shape == (K, N)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(qi, jnp.float32)),
+        np.asarray(dequantize(qt, jnp.float32)),
+    )
+
+
+@pytest.mark.parametrize("rows", [1, 8])
+def test_pallas_qmatmul_int4_interpret(rows):
+    import jax
+    from tpu_llm.quant.qtensor import to_int4
+
+    rng = np.random.default_rng(6)
+    K, N = 128, 256
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = rng.standard_normal((rows, K)).astype(np.float32)
+    qt = quantize_tensor(w, "q4_0")
+    qi = jax.jit(to_int4)(qt)
+    assert pallas_tiles_ok(qi)
+    expected = x @ np.asarray(dequantize(qt, jnp.float32))
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), qi, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_unpack_params_int4_tree():
+    import jax
+    from tpu_llm.quant.convert_params import unpack_params_int4
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    params = {
+        "wcls": quantize_tensor(w, "q4_0"),
+        "q8": quantize_tensor(w, "q8_0"),
+        "norm": jnp.ones((64,), jnp.float32),
+        "layers": [{"wq": quantize_tensor(w, "q4_0")}],
+    }
+    out = jax.jit(unpack_params_int4)(params)
+    assert out["wcls"].kind == "q4_0i4"
+    assert out["q8"].kind == "q8_0"          # untouched
+    assert out["layers"][0]["wq"].kind == "q4_0i4"
+    assert out["norm"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(out["wcls"], jnp.float32)),
+        np.asarray(dequantize(params["wcls"], jnp.float32)),
+    )

@@ -325,7 +325,11 @@ def lm_head(params: Params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     every prompt token, llama2.f90:634-636 — we don't)."""
     with jax.named_scope("classifier"):
         if params.get("wcls") is not None:
-            logits = matmul(x.astype(jnp.float32), params["wcls"])
+            # the classifier matmul runs in x's dtype: f32 activations keep
+            # the exact reference numerics; bf16 serving gets ONE MXU pass
+            # with f32 accumulation instead of the 6-pass f32-HIGHEST path.
+            # out_dtype=f32 hands back the accumulator un-rounded.
+            logits = matmul(x, params["wcls"], out_dtype=jnp.float32)
         else:  # tied embeddings
             logits = jnp.matmul(
                 x.astype(jnp.float32),

@@ -67,12 +67,25 @@ def gqa_attention(
     G = H // Hkv
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
 
-    qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    # bf16 q + bf16 cache contract directly on the MXU with f32 accumulation
+    # (preferred_element_type) — casting the FULL cache to f32 first
+    # materializes 2x the cache bytes per layer per token, which at decode
+    # shapes is pure HBM overhead. f32 inputs keep the exact f32 path.
+    bf16_inputs = (
+        q.dtype == jnp.bfloat16
+        and k_cache.dtype == jnp.bfloat16
+        and v_cache.dtype == jnp.bfloat16
+    )
+    qg = q.reshape(B, T, Hkv, G, D)
+    if not bf16_inputs:
+        qg = qg.astype(jnp.float32)
+        k_cache = k_cache.astype(jnp.float32)
+        v_cache = v_cache.astype(jnp.float32)
 
-    # scores: (B, T, Hkv, G, S)
-    scores = jnp.einsum("bthgd,bshd->bthgs", qf, kf) * scale
+    # scores: (B, T, Hkv, G, S), f32 accumulation either way
+    scores = jnp.einsum(
+        "bthgd,bshd->bthgs", qg, k_cache, preferred_element_type=jnp.float32
+    ) * scale
 
     if q_positions.ndim == 1:
         q_positions = q_positions[None, :]
@@ -83,5 +96,9 @@ def gqa_attention(
     scores = jnp.where(mask[:, :, None, None, :], scores, _NEG_INF)
 
     att = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bthgs,bshd->bthgd", att, vf)
+    if bf16_inputs:
+        att = att.astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "bthgs,bshd->bthgd", att, v_cache, preferred_element_type=jnp.float32
+    )
     return out.reshape(B, T, H, D).astype(q.dtype)

@@ -58,6 +58,26 @@ def quantize_llama_params(
     return out
 
 
+def unpack_params_int4(params):
+    """q4_0 QTensors -> int4-plane QTensors ("q4_0i4"), everything else
+    untouched. jit-traceable: call INSIDE the decode program, before the
+    token scan — XLA hoists it to one conversion pass over the weights
+    (int4 cannot cross a jit boundary on the axon backend). Same bytes at
+    rest and on the wire; Mosaic's native int4 widening replaces the
+    manual nibble unpack in the kernel (~30% faster hot loop,
+    experiments/q4_serial_latency.py)."""
+    import jax
+
+    from tpu_llm.quant.qtensor import to_int4
+
+    def leaf(x):
+        return to_int4(x) if isinstance(x, QTensor) else x
+
+    return jax.tree_util.tree_map(
+        leaf, params, is_leaf=lambda x: isinstance(x, QTensor)
+    )
+
+
 def _concat_n(ws):
     """Concat weights along the output (N) axis; QTensor planes concat
     directly — packing is per-column independent in the (K/2, N) layout."""

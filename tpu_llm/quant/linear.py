@@ -26,11 +26,15 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
-def matmul(x: jax.Array, w: Weight) -> jax.Array:
-    """x: (..., K) @ w: (K, N) -> (..., N), accumulating in f32."""
+def matmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
+    """x: (..., K) @ w: (K, N) -> (..., N), accumulating in f32.
+
+    ``out_dtype`` defaults to x.dtype; pass jnp.float32 to keep the f32
+    accumulator un-rounded (e.g. the classifier's logits)."""
+    out_dtype = out_dtype or x.dtype
     if isinstance(w, QTensor):
         if _use_pallas() and pallas_tiles_ok(w):
-            return qmatmul_pallas(x, w, out_dtype=x.dtype)
+            return qmatmul_pallas(x, w, out_dtype=out_dtype)
         wd = dequantize(w, dtype=jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16)
-        return jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(x.dtype)
-    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        return jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(out_dtype)

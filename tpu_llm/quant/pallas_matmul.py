@@ -46,7 +46,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
         lo = (blocks & 0x0F) - 8
         hi = ((blocks >> 4) & 0x0F) - 8
         vals = jnp.concatenate([lo, hi], axis=1).astype(acc_dtype)
-    else:  # q8_0
+    else:  # q8_0 / q4_0i4: values in natural order, hardware widening
         vals = q_ref[:].reshape(tk // 32, 32, tn).astype(acc_dtype)
     w = (vals * s_ref[:][:, None, :].astype(acc_dtype)).reshape(tk, tn)
     # f32 mode (reference-parity): HIGHEST so dequantized values aren't
@@ -154,6 +154,7 @@ def qmatmul_pallas(
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")
     qrow = tk // 2 if qt.kind == "q4_0" else tk
+    qbytes = qt.q.size // 2 if qt.kind == "q4_0i4" else qt.q.size
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind, acc_dtype=acc_dtype),
@@ -167,7 +168,7 @@ def qmatmul_pallas(
         out_specs=pl.BlockSpec((tb, tn), lambda b, n, k: (b, n), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * K * N,
-            bytes_accessed=qt.q.size + qt.scales.size * 4 + rows * (K + N) * 4,
+            bytes_accessed=qbytes + qt.scales.size * 4 + rows * (K + N) * 4,
             transcendentals=0,
         ),
         # b/n blocks are independent; only k accumulates. Telling Mosaic so

@@ -132,11 +132,30 @@ def unpack_q4(q: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
 
 
+def to_int4(qt: QTensor) -> QTensor:
+    """q4_0 (packed uint8) -> int4 value planes, jit-traceable.
+
+    Same logical weights and scales; ``q`` becomes a (.., K, N) jnp.int4
+    array. XLA keeps int4 packed 2-per-byte in HBM, so the at-rest and
+    streamed bytes match q4_0 — but Mosaic widens int4 natively on load,
+    which is ~30% faster than the manual uint8 nibble math on the VPU
+    (experiments/q4_serial_latency.py). int4 arrays cannot cross a jit
+    boundary on some backends (axon device_put bug), so call this INSIDE
+    the jitted program — once, ahead of the decode scan, where it hoists
+    to a single conversion pass.
+    """
+    if qt.kind != "q4_0":
+        return qt
+    return QTensor(
+        q=unpack_q4(qt.q).astype(jnp.int4), scales=qt.scales, kind="q4_0i4"
+    )
+
+
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the logical (.., K, N) weight (XLA ops, any backend)."""
     if qt.kind == "q4_0":
         vals = unpack_q4(qt.q).astype(dtype)
-    elif qt.kind == "q8_0":
+    elif qt.kind in ("q8_0", "q4_0i4"):
         vals = qt.q.astype(dtype)
     else:
         raise ValueError(qt.kind)
