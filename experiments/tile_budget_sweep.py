@@ -28,13 +28,13 @@ def make_pick(budget_mb, tns):
         budget = budget_mb * 1024 * 1024
         if tns == "fullN":
             # full-row tiles: tn = N, grid over K only -> every weight-tile
-            # DMA is a contiguous byte range (tn < N reads strided chunks)
-            if N % 128:
-                return None, None
-            for tk in (2048, 1024, 512, 256, 128, 64, 32):
-                if K % tk == 0 and tk * N * itemsize <= budget:
-                    return tk, N
-            return None, None
+            # DMA is a contiguous byte range (tn < N reads strided chunks).
+            # tk >= 256 keeps the scales block (tk/32, N) at >= 8 sublanes.
+            if N % 128 == 0:
+                for tk in (2048, 1024, 512, 256):
+                    if K % tk == 0 and tk * N * itemsize <= budget:
+                        return tk, N
+            return PM._orig_pick_tiles(K, N, acc_itemsize)  # fallback
         if N >= 512:
             best = None
             tks = [tk for tk in range(256, min(K, 8192) + 1, 256) if K % tk == 0]
@@ -93,11 +93,15 @@ def main():
     _, (params, _, _, _) = ge.entry()
     params = unstack_layers(quantize_llama_params(params, "q4_0", fuse=True))
 
+    if not hasattr(PM, "_orig_pick_tiles"):
+        PM._orig_pick_tiles = PM._pick_tiles
     for label, budget, tns, i4 in [
-        ("base 4MB tn512/1024 u8", 4, (512, 1024), False),
-        ("fullN 8MB u8", 8, "fullN", False),
-        ("fullN 8MB i4", 8, "fullN", True),
-        ("base 4MB tn512/1024 u8 b", 4, (512, 1024), False),
+        ("base u8 r1", 4, (512, 1024), False),
+        ("fullN u8 r1", 8, "fullN", False),
+        ("base u8 r2", 4, (512, 1024), False),
+        ("fullN u8 r2", 8, "fullN", False),
+        ("base u8 r3", 4, (512, 1024), False),
+        ("fullN u8 r3", 8, "fullN", False),
     ]:
         PM._pick_tiles = make_pick(budget, tns)
         try:

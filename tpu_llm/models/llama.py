@@ -55,15 +55,23 @@ def init_cache(
 
     The reference allocates (kv_head_size, seq_len, n_layers) per-stream
     f32 (llama2.f90:311-313); here batch is first-class and dtype is a
-    policy knob (f32/bf16, later int8)."""
+    policy knob: f32 / bf16 / the string "int8" (QuantKV planes — int8
+    values + per-(token, head) f32 scales, tpu_llm.ops.kv_cache)."""
     s = max_seq or cfg.seq_len
+    quant = dtype == "int8"
+    if quant:
+        from tpu_llm.ops.kv_cache import QuantKV
+
+        mk = QuantKV.zeros
+    else:
+        mk = jnp.zeros
     if stacked:
         shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        return {"k": mk(shape, dtype), "v": mk(shape, dtype)}
     shape = (batch, s, cfg.n_kv_heads, cfg.head_dim)
     return {
-        "k": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
-        "v": [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+        "k": [mk(shape, dtype) for _ in range(cfg.n_layers)],
+        "v": [mk(shape, dtype) for _ in range(cfg.n_layers)],
     }
 
 
@@ -104,10 +112,13 @@ def _attend(q, kc, vc, positions, offset):
     and CPU all use the einsum path."""
     import os
 
+    from tpu_llm.ops.kv_cache import QuantKV
+
     T, S, H = q.shape[1], kc.shape[1], q.shape[2]
     scores_bytes = q.shape[0] * T * S * H * 4
     use_flash = (
         T > 1
+        and not isinstance(kc, QuantKV)   # flash kernel reads dense planes
         and offset.ndim == 0
         and jax.default_backend() not in ("cpu",)
         and not os.environ.get("TPU_LLM_DISABLE_FLASH")

@@ -24,12 +24,20 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def update_kv_cache(
-    k_cache: jax.Array,  # (B, S, Hkv, D)
-    v_cache: jax.Array,
+    k_cache,             # (B, S, Hkv, D) array or QuantKV
+    v_cache,
     k_new: jax.Array,    # (B, T, Hkv, D)
     v_new: jax.Array,
     offset: jax.Array,   # scalar int, or (B,) per-slot write positions
-) -> Tuple[jax.Array, jax.Array]:
+):
+    from tpu_llm.ops.kv_cache import QuantKV, quantize_kv
+
+    if isinstance(k_cache, QuantKV):
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        kq_c, vq_c = update_kv_cache(k_cache.q, v_cache.q, kq, vq, offset)
+        ks_c, vs_c = _update_scales(k_cache.s, v_cache.s, ks, vs, offset)
+        return QuantKV(kq_c, ks_c), QuantKV(vq_c, vs_c)
     offset = offset.astype(jnp.int32)
     if offset.ndim == 0:
         zero = jnp.zeros((), dtype=jnp.int32)
@@ -48,10 +56,32 @@ def update_kv_cache(
     return jax.vmap(row)(k_cache, v_cache, k_new, v_new, offset)
 
 
+def _update_scales(ks_c, vs_c, ks, vs, offset):
+    """Write (B, T, Hkv) scale rows into (B, S, Hkv) scale planes."""
+    offset = offset.astype(jnp.int32)
+    if offset.ndim == 0:
+        zero = jnp.zeros((), dtype=jnp.int32)
+        idx = (zero, offset, zero)
+        return (
+            jax.lax.dynamic_update_slice(ks_c, ks.astype(ks_c.dtype), idx),
+            jax.lax.dynamic_update_slice(vs_c, vs.astype(vs_c.dtype), idx),
+        )
+
+    def row(sc, sn, off):
+        zero = jnp.zeros((), dtype=jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            sc, sn.astype(sc.dtype), (off, zero))
+
+    return (
+        jax.vmap(row)(ks_c, ks, offset),
+        jax.vmap(row)(vs_c, vs, offset),
+    )
+
+
 def gqa_attention(
     q: jax.Array,          # (B, T, H, D)
-    k_cache: jax.Array,    # (B, S, Hkv, D)
-    v_cache: jax.Array,    # (B, S, Hkv, D)
+    k_cache,               # (B, S, Hkv, D) array or QuantKV
+    v_cache,
     q_positions: jax.Array,  # (T,) or (B, T) 0-based absolute positions of q rows
     kv_lengths: jax.Array | None = None,  # (B,) valid cache length per row; None -> causal only
 ) -> jax.Array:
@@ -61,7 +91,16 @@ def gqa_attention(
     and s < kv_length (ragged batch support). Matches the reference's
     softmax-truncation at pos (llama2.f90:586) for the dense single-stream
     case.
+
+    int8 caches (QuantKV) are contracted WITHOUT dequantizing: the per-
+    (token, head) scales factor out of both dots — applied to the (..., S)
+    score matrix after the QK contraction, and folded into the attention
+    weights before the AV contraction (S multiplies per head, not S x D).
     """
+    from tpu_llm.ops.kv_cache import QuantKV
+
+    if isinstance(k_cache, QuantKV):
+        return _gqa_attention_int8(q, k_cache, v_cache, q_positions, kv_lengths)
     B, T, H, D = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
     G = H // Hkv
@@ -100,5 +139,43 @@ def gqa_attention(
         att = att.astype(jnp.bfloat16)
     out = jnp.einsum(
         "bthgs,bshd->bthgd", att, v_cache, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def _causal_mask(scores, q_positions, S, kv_lengths):
+    if q_positions.ndim == 1:
+        q_positions = q_positions[None, :]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    mask = s_idx[None, None, :] <= q_positions[:, :, None]  # (B, T, S)
+    if kv_lengths is not None:
+        mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
+    return jnp.where(mask[:, :, None, None, :], scores, _NEG_INF)
+
+
+def _gqa_attention_int8(q, k_cache, v_cache, q_positions, kv_lengths):
+    B, T, H, D = q.shape
+    S, Hkv = k_cache.q.shape[1], k_cache.q.shape[2]
+    G = H // Hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    cdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    qg = q.reshape(B, T, Hkv, G, D).astype(cdt)
+    # QK in the compute dtype (int8->cdt widening fuses into the operand
+    # read); per-(s, h) K scale applied to the score MATRIX, not the cache
+    scores = jnp.einsum(
+        "bthgd,bshd->bthgs", qg, k_cache.q.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * (k_cache.s * scale)[:, None, :, None, :].transpose(
+        0, 1, 4, 3, 2)  # (B, S, Hkv) -> (B, 1, Hkv, 1, S)
+
+    scores = _causal_mask(scores, q_positions, S, kv_lengths)
+    att = jax.nn.softmax(scores, axis=-1)
+    # fold the V scale into the attention weights before the AV dot
+    att = att * v_cache.s[:, None, :, None, :].transpose(0, 1, 4, 3, 2)
+    out = jnp.einsum(
+        "bthgs,bshd->bthgd", att.astype(cdt), v_cache.q.astype(cdt),
+        preferred_element_type=jnp.float32,
     )
     return out.reshape(B, T, H, D).astype(q.dtype)

@@ -70,9 +70,15 @@ def llama_param_specs(cfg: LlamaConfig, pipe: bool = False) -> Dict[str, Any]:
     return specs
 
 
-def llama_cache_spec() -> Dict[str, P]:
+def llama_cache_spec(quant: bool = False) -> Dict[str, Any]:
     # cache layout (L, B, S, Hkv, D): batch on "data", kv-heads on "model"
     spec = P(None, "data", None, "model", None)
+    if quant:
+        # int8 cache: scales plane (L, B, S, Hkv) shards the same axes
+        from tpu_llm.ops.kv_cache import QuantKV
+
+        leaf = QuantKV(q=spec, s=P(None, "data", None, "model"))
+        return {"k": leaf, "v": leaf}
     return {"k": spec, "v": spec}
 
 

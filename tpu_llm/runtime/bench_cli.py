@@ -35,14 +35,16 @@ def _build(quant: str):
     return unstack_layers(params)
 
 
-def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len):
+def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
+                  cache_dtype=None):
     import jax
     import jax.numpy as jnp
 
     from tpu_llm.models import llama as M
 
     stacked = not isinstance(params["layers"], (list, tuple))
-    cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16, stacked=stacked)
+    cache = M.init_cache(cfg, batch, max_seq,
+                         dtype=cache_dtype or jnp.bfloat16, stacked=stacked)
     token = jnp.ones((batch,), jnp.int32)
 
     @jax.jit
@@ -104,6 +106,8 @@ def main(argv=None) -> int:
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--ttft-samples", type=int, default=5)
     ap.add_argument("--skip-ttft", action="store_true")
+    ap.add_argument("--cache-dtype", default="bf16",
+                    choices=["f32", "bf16", "int8"])
     args = ap.parse_args(argv)
 
     from tpu_llm.config import tinyllama_1_1b
@@ -112,8 +116,13 @@ def main(argv=None) -> int:
     for name in args.configs.split(","):
         name = name.strip()
         params = _build(name)
+        import jax.numpy as jnp
+
+        cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                       "int8": "int8"}[args.cache_dtype]
         tok_s = _decode_tok_s(
-            params, cfg, args.steps, args.batch, args.max_seq, args.prompt_len
+            params, cfg, args.steps, args.batch, args.max_seq,
+            args.prompt_len, cache_dtype=cache_dtype
         )
         print(json.dumps({
             "metric": f"tinyllama_1.1b_{name}_decode_tokens_per_s_per_chip",

@@ -31,7 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--ak", action="store_true", help="legacy llama2.c packed format")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "native"])
-    p.add_argument("--cache-dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--cache-dtype", default="f32",
+                   choices=["f32", "bf16", "int8"],
+                   help="KV cache storage; int8 = per-(token, head) scaled "
+                        "planes (tpu_llm.ops.kv_cache), half the HBM "
+                        "traffic of bf16 at <0.5%% score error")
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-based, like Fortran random_number)")
     p.add_argument("--scan", action="store_true",
@@ -122,7 +126,8 @@ def main(argv=None) -> int:
         print(f"loaded weights in {time.perf_counter() - t_load:.2f}s", file=sys.stderr)
 
     max_seq = args.max_seq or min(cfg.seq_len, max(args.num_tokens + 8, 64))
-    cache_dtype = jnp.float32 if args.cache_dtype == "f32" else jnp.bfloat16
+    cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                   "int8": "int8"}[args.cache_dtype]
     single_chip = args.tp * args.dp == 1
     if single_chip:
         from tpu_llm.models.llama import unstack_layers
