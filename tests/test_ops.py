@@ -111,3 +111,35 @@ def test_sample_top_k():
     keys = jax.random.split(key, 64)
     toks = jax.vmap(lambda k: sample_token(k, logits, temperature=1.0, top_k=2))(keys)
     assert set(np.asarray(toks).tolist()) <= {0, 1}
+
+
+def test_rope_table_matches_apply_rope():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_llm.ops.rope import apply_rope, apply_rope_table, rope_table
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, 16)), jnp.float32)
+    positions = jnp.asarray([5, 6, 7], jnp.int32)
+    for variant in ("interleaved", "neox", "llmf90"):
+        table = rope_table(32, 16, 10000.0, variant)
+        direct = apply_rope(x, positions, 10000.0, variant)
+        via_table = apply_rope_table(x, table, positions, variant)
+        np.testing.assert_array_equal(
+            np.asarray(direct), np.asarray(via_table))
+
+
+def test_rope_table_partial_dims():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_llm.ops.rope import apply_rope, apply_rope_table, rope_table
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 2, 2, 32)), jnp.float32)
+    positions = jnp.asarray([0, 9], jnp.int32)
+    table = rope_table(16, 32, 10000.0, "neox", rope_dims=16)
+    direct = apply_rope(x, positions, 10000.0, "neox", rope_dims=16)
+    via = apply_rope_table(x, table, positions, "neox", rope_dims=16)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(via))

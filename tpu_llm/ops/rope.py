@@ -55,22 +55,48 @@ def rope_angles(
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def apply_rope(
-    x: jax.Array,
-    positions: jax.Array,
+def rope_table(
+    max_pos: int,
+    head_dim: int,
     theta: float = 10000.0,
     variant: str = "interleaved",
     rope_dims: Optional[int] = None,
-) -> jax.Array:
-    """Rotate ``x`` of shape (..., T, H, D) by position-dependent angles.
+) -> Tuple[jax.Array, jax.Array]:
+    """Precomputed (cos, sin) tables for positions 0..max_pos-1, each
+    (max_pos, rot//2) float32.
 
-    positions broadcasts against x's (..., T) leading shape (typically (T,)
-    or (B, T)).
-    """
+    The reference carries a vestigial generator for exactly this pos x freq
+    outer product (``get_rope_freqs``, read_ggml.f90:541-559 /
+    load.f90:538-556 — call sites commented out). Here it is live: decode
+    loops can gather one row per step (``apply_rope_table``) instead of
+    recomputing sin/cos, and converters can bake the table next to the
+    weights."""
+    positions = jnp.arange(max_pos, dtype=jnp.int32)
+    return rope_angles(positions, head_dim, theta, variant, rope_dims)
+
+
+def apply_rope_table(
+    x: jax.Array,            # (..., T, H, D)
+    table: Tuple[jax.Array, jax.Array],
+    positions: jax.Array,    # (T,) or (B, T)
+    variant: str = "interleaved",
+    rope_dims: Optional[int] = None,
+) -> jax.Array:
+    """apply_rope with a precomputed table: gathers rows of (cos, sin)
+    instead of evaluating transcendentals. Bit-identical to apply_rope for
+    the same variant/theta (the table rows ARE rope_angles outputs; the
+    llmf90 position shift is baked into the table, its pairing is
+    interleaved)."""
+    cos_t, sin_t = table
+    cos = jnp.take(cos_t, positions, axis=0)
+    sin = jnp.take(sin_t, positions, axis=0)
+    return _rotate(x, cos, sin, variant, rope_dims)
+
+
+def _rotate(x, cos, sin, variant, rope_dims):
     *lead, T, H, D = x.shape
     rot = rope_dims if rope_dims is not None else D
-    cos, sin = rope_angles(positions, D, theta, variant, rope_dims)
-    # -> (..., T, 1, rot//2) to broadcast over heads
+    # cos/sin (..., T, rot//2) -> (..., T, 1, rot//2) to broadcast over heads
     cos = jnp.expand_dims(cos, axis=-2)
     sin = jnp.expand_dims(sin, axis=-2)
 
@@ -90,3 +116,20 @@ def apply_rope(
     if rot < D:
         rotated = jnp.concatenate([rotated, x_pass], axis=-1)
     return rotated.astype(x.dtype)
+
+
+def apply_rope(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float = 10000.0,
+    variant: str = "interleaved",
+    rope_dims: Optional[int] = None,
+) -> jax.Array:
+    """Rotate ``x`` of shape (..., T, H, D) by position-dependent angles.
+
+    positions broadcasts against x's (..., T) leading shape (typically (T,)
+    or (B, T)).
+    """
+    D = x.shape[-1]
+    cos, sin = rope_angles(positions, D, theta, variant, rope_dims)
+    return _rotate(x, cos, sin, variant, rope_dims)

@@ -68,7 +68,14 @@ def main(argv=None) -> int:
     from tpu_llm.tokenizers.bpe import BPETokenizer
 
     t_load = time.perf_counter()
-    if args.ak:
+    if args.model.endswith(".npz"):
+        # fast-reload weight cache (llm-load --cache-out): the finished
+        # parameter pytree, no GGUF parsing
+        from tpu_llm.io.weight_cache import load_weight_cache
+
+        params, cfg = load_weight_cache(args.model)
+        tokenizer = None
+    elif args.ak:
         from tpu_llm.io.ak import load_ak
 
         params, cfg = load_ak(args.model, dtype_policy=args.dtype)
@@ -108,7 +115,7 @@ def main(argv=None) -> int:
         # the reference's verbose load log (tensor groups + dims,
         # llama2.f90:169-297) as a structured summary
         print(f"config: {cfg}", file=sys.stderr)
-        if not args.ak:
+        if not args.ak and not args.model.endswith(".npz"):
             from tpu_llm.io.gguf import GGML_TYPE_NAMES
 
             total = 0

@@ -15,6 +15,17 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--infile", required=True, help="input GGUF file")
     p.add_argument("-o", "--outfile", default="", help="output packed ak file")
     p.add_argument("-t", "--tokenizer", default="", help="output tokenizer.bin")
+    p.add_argument("--cache-out", default="", metavar="FILE.npz",
+                   help="write a fast-reload weight cache: the fully "
+                        "converted parameter pytree (dtype policy applied, "
+                        "QKV/gate-up fused, quants in device layout) as "
+                        "serialized arrays; `llm -m FILE.npz` reloads it "
+                        "without reparsing GGUF")
+    p.add_argument("--dtype", default="native", choices=["f32", "bf16", "native"],
+                   help="dtype policy baked into --cache-out")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse QKV / gate-up in --cache-out (fastest decode; "
+                        "incompatible with TP sharding)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -41,8 +52,16 @@ def main(argv=None) -> int:
         write_tokenizer_bin(args.tokenizer, tok.tokens, tok.scores)
         print(f"wrote {args.tokenizer} ({tok.vocab_size} tokens)")
 
-    if not args.outfile and not args.tokenizer:
-        print("nothing to do: pass -o and/or -t", file=sys.stderr)
+    if args.cache_out:
+        from tpu_llm.io.weight_cache import save_weight_cache
+        from tpu_llm.models.llama import load_gguf
+
+        params, cfg = load_gguf(gguf, dtype_policy=args.dtype, fuse=args.fuse)
+        save_weight_cache(args.cache_out, params, cfg)
+        print(f"wrote {args.cache_out} (dtype={args.dtype}, fuse={args.fuse})")
+
+    if not args.outfile and not args.tokenizer and not args.cache_out:
+        print("nothing to do: pass -o, -t and/or --cache-out", file=sys.stderr)
         return 1
     return 0
 
