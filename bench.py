@@ -40,11 +40,11 @@ def build_params(quant: str):
 
 
 def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
-            i4: bool = True):
+            i4: bool = True, cache_dtype=jnp.bfloat16):
     from tpu_llm.models import llama as M
     from tpu_llm.quant.convert_params import unpack_params_int4
 
-    cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16,
+    cache = M.init_cache(cfg, batch, max_seq, dtype=cache_dtype,
                          stacked=not isinstance(params["layers"], (list, tuple)))
     token = jnp.ones((batch,), jnp.int32)
 
@@ -84,14 +84,19 @@ def main():
     ap.add_argument("--quant", default="q4_0", choices=["none", "q4_0", "q8_0"])
     ap.add_argument("--no-i4", action="store_true",
                     help="keep the manual uint8 nibble-unpack kernel")
+    ap.add_argument("--cache-dtype", default="bf16",
+                    choices=["f32", "bf16", "int8"])
     args = ap.parse_args()
 
     from tpu_llm.config import tinyllama_1_1b
 
     cfg = tinyllama_1_1b()
     params = build_params(args.quant)
+    cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                   "int8": "int8"}[args.cache_dtype]
     tok_s = measure(params, cfg, args.steps, args.batch, args.max_seq,
-                    args.prompt_len, i4=not args.no_i4)
+                    args.prompt_len, i4=not args.no_i4,
+                    cache_dtype=cache_dtype)
 
     name = "bf16" if args.quant == "none" else args.quant
     print(json.dumps({

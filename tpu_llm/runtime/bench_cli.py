@@ -79,18 +79,22 @@ def _ttft_p50(params, cfg, prompt_len, max_seq, samples):
         rng.integers(0, cfg.vocab_size, (1, prompt_len)), jnp.int32
     )
 
+    stacked = not isinstance(params["layers"], (list, tuple))
+
     @jax.jit
-    def prefill_and_first(params, tokens, cache):
+    def prefill_and_first(params, tokens):
+        # cache allocated in-program: an eager zeros() dispatch would be
+        # counted as TTFT while being pure harness overhead
+        cache = M.init_cache(cfg, 1, max_seq, dtype=jnp.bfloat16,
+                             stacked=stacked)
         hidden, cache = M.forward(params, cfg, tokens, cache, jnp.int32(0))
         logits = M.lm_head(params, cfg, hidden[:, -1:, :])[:, 0, :]
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
     times = []
     for i in range(samples + 1):
-        cache = M.init_cache(cfg, 1, max_seq, dtype=jnp.bfloat16,
-                             stacked=not isinstance(params["layers"], (list, tuple)))
         t0 = time.perf_counter()
-        tok, cache = prefill_and_first(params, tokens, cache)
+        tok, cache = prefill_and_first(params, tokens)
         _ = int(np.asarray(tok)[0])
         if i > 0:  # skip compile
             times.append(time.perf_counter() - t0)

@@ -122,7 +122,7 @@ class Engine:
         self.batch = batch
         self.max_seq = max_seq
 
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._prefill = jax.jit(self._prefill_impl)
         self._decode = jax.jit(self._decode_impl, donate_argnums=(2,))
         self._decode_scan = jax.jit(
             self._decode_scan_impl, donate_argnums=(2,), static_argnums=(6,)
@@ -130,7 +130,12 @@ class Engine:
 
     # -- jitted bodies ----------------------------------------------------
 
-    def _prefill_impl(self, params, tokens, state, last_idx):
+    def _prefill_impl(self, params, tokens, last_idx):
+        # the state is ALLOCATED INSIDE the program: an eager zeros()
+        # dispatch is pure overhead (XLA fuses the in-program alloc into
+        # the first cache write; through a tunneled backend each eager
+        # dispatch also costs a host round-trip)
+        state = self.adapter.init_state(self.batch, self.max_seq)
         hidden, state = self.adapter.apply(
             params, tokens=tokens, state=state, offset=jnp.int32(0),
             length=last_idx + 1,
@@ -191,14 +196,13 @@ class Engine:
         emitted: List[int] = []
 
         t0 = time.perf_counter()
-        state = self.adapter.init_state(self.batch, self.max_seq)
 
         n_in = len(input_ids)
         pad_to = min(_next_bucket(n_in), self.max_seq)
         toks = np.zeros((self.batch, pad_to), np.int32)
         toks[:, :n_in] = np.asarray(input_ids, np.int32)
         logits, state = self._prefill(
-            self.params, jnp.asarray(toks), state, jnp.int32(n_in - 1)
+            self.params, jnp.asarray(toks), jnp.int32(n_in - 1)
         )
 
         # echo the prompt (reference prints prompt tokens as it forces them)
