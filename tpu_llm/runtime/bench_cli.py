@@ -35,6 +35,69 @@ def _build(quant: str):
     return unstack_layers(params)
 
 
+def _build_mamba():
+    """Random Mamba-130M weights in model orientation (throughput is
+    weight-content independent; the reference's headline Mamba number is
+    6.237 tok/s on one CPU core, ssm/README.md:77-78)."""
+    import jax.numpy as jnp
+
+    from tpu_llm.config import mamba_130m
+
+    cfg = mamba_130m()
+    rng = np.random.default_rng(0)
+    s = lambda *sh: jnp.asarray(
+        (rng.standard_normal(sh) * 0.02).astype(np.float32))
+    E, di, ds, dr, dc = (cfg.d_model, cfg.d_inner, cfg.d_state,
+                         cfg.dt_rank_, cfg.d_conv)
+    L, V = cfg.n_layers, cfg.vocab_size
+    params = {
+        "tok_emb": s(V, E),
+        "norm_f": s(E) + 1.0,
+        "wcls": s(E, V),
+        "layers": {
+            "norm": s(L, E) + 1.0,
+            "in_proj": s(L, E, 2 * di),
+            "conv_w": s(L, dc, di), "conv_b": s(L, di),
+            "x_proj": s(L, di, dr + 2 * ds),
+            "dt_proj": s(L, dr, di), "dt_bias": s(L, di),
+            "A_log": jnp.abs(s(L, ds, di)) + 0.1,
+            "d": s(L, di),
+            "out_proj": s(L, di, E),
+        },
+    }
+    return params, cfg
+
+
+def _decode_tok_s_mamba(params, cfg, steps, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.models import mamba as M
+
+    state = M.init_state(cfg, batch)
+    token = jnp.ones((batch,), jnp.int32)
+
+    @jax.jit
+    def decode_n(params, token, state):
+        def body(carry, _):
+            token, state = carry
+            hidden, state = M.forward(params, cfg, token[:, None], state)
+            logits = M.lm_head(params, cfg, hidden)[:, 0, :]
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (token, state), token
+
+        (token, state), toks = jax.lax.scan(
+            body, (token, state), None, length=steps)
+        return toks, state
+
+    toks, state = decode_n(params, token, state)
+    _ = np.asarray(toks[-1])
+    t0 = time.perf_counter()
+    toks, state = decode_n(params, token, state)
+    _ = np.asarray(toks[-1])
+    return steps * batch / (time.perf_counter() - t0)
+
+
 def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
                   cache_dtype=None):
     import jax
@@ -119,6 +182,16 @@ def main(argv=None) -> int:
     cfg = tinyllama_1_1b()
     for name in args.configs.split(","):
         name = name.strip()
+        if name == "mamba":
+            mparams, mcfg = _build_mamba()
+            tok_s = _decode_tok_s_mamba(mparams, mcfg, args.steps, args.batch)
+            print(json.dumps({
+                "metric": "mamba_130m_f32_decode_tokens_per_s_per_chip",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / 6.237, 2),  # ssm/README.md:77
+            }), flush=True)
+            continue
         params = _build(name)
         import jax.numpy as jnp
 
