@@ -245,14 +245,27 @@ class Engine:
                     if stream:
                         stream(int(t))
             else:
+                # one-step-deep emission pipeline: dispatch step i+1 before
+                # fetching step i's token, so the host round-trip (which
+                # dominates on remote links) overlaps the next device step.
+                # The sampled token feeds the next step as a DEVICE array —
+                # the host never sits on the critical path.
                 token = jnp.full((self.batch,), emitted[-1], jnp.int32)
+                pending = None
                 for _ in range(n_gen - 1):
                     key, sub = jax.random.split(key)
                     token, _, state = self._decode(
                         self.params, token, state, jnp.int32(pos), sub, temp
                     )
                     pos += 1
-                    tid = int(jax.device_get(token)[0])
+                    if pending is not None:
+                        tid = int(jax.device_get(pending)[0])
+                        emitted.append(tid)
+                        if stream:
+                            stream(tid)
+                    pending = token
+                if pending is not None:
+                    tid = int(jax.device_get(pending)[0])
                     emitted.append(tid)
                     if stream:
                         stream(tid)
