@@ -48,31 +48,49 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
                          stacked=not isinstance(params["layers"], (list, tuple)))
     token = jnp.ones((batch,), jnp.int32)
 
-    @jax.jit
-    def decode_n(params, token, cache, pos0):
-        if i4:
-            # one hoisted repack pass before the scan: q4_0 nibbles ->
-            # int4 planes (same HBM bytes, hardware widening in-kernel)
-            params = unpack_params_int4(params)
+    def make(length):
+        @jax.jit
+        def decode_n(params, token, cache, pos0):
+            if i4:
+                # one hoisted repack pass before the scan: q4_0 nibbles ->
+                # int4 planes (same HBM bytes, hardware widening in-kernel)
+                params = unpack_params_int4(params)
 
-        def body(carry, _):
-            token, cache, pos = carry
-            logits, cache = M.decode_step(params, cfg, token, cache, pos)
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (token, cache, pos + 1), token
+            def body(carry, _):
+                token, cache, pos = carry
+                logits, cache = M.decode_step(params, cfg, token, cache, pos)
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (token, cache, pos + 1), token
 
-        (token, cache, _), toks = jax.lax.scan(
-            body, (token, cache, pos0), None, length=steps
-        )
-        return toks, cache
+            (token, cache, _), toks = jax.lax.scan(
+                body, (token, cache, pos0), None, length=length
+            )
+            return toks, cache
 
-    toks, cache = decode_n(params, token, cache, jnp.int32(prompt_len))
-    _ = np.asarray(toks[-1])  # sync by fetch
-    t0 = time.perf_counter()
-    toks, cache = decode_n(params, token, cache, jnp.int32(prompt_len))
-    _ = np.asarray(toks[-1])
-    dt = time.perf_counter() - t0
-    return steps * batch / dt
+        def run():
+            toks, _ = decode_n(params, token, cache, jnp.int32(prompt_len))
+            _ = np.asarray(toks[-1])  # sync by fetch
+
+        return run
+
+    # Time the marginal steps between a short and a 5x scan: the tunnel's
+    # constant ~30ms dispatch+fetch round trip cancels in the slope
+    # (total/steps would overstate per-step time by RT/steps — see
+    # experiments/slope_timer.py).
+    run_short, run_long = make(steps), make(steps * 5)
+    for run in (run_short, run_long):
+        run()
+        run()
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_short()
+        t1 = time.perf_counter()
+        run_long()
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (4 * steps))
+    dt = float(np.median(slopes))
+    return batch / dt
 
 
 def main():

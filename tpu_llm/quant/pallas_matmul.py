@@ -45,23 +45,36 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
         blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
         lo = (blocks & 0x0F) - 8
         hi = ((blocks >> 4) & 0x0F) - 8
-        vals = jnp.concatenate([lo, hi], axis=1).astype(acc_dtype)
+        vals = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn)
     else:  # q8_0 / q4_0i4: values in natural order, hardware widening
-        vals = q_ref[:].reshape(tk // 32, 32, tn).astype(acc_dtype)
-    w = (vals * s_ref[:][:, None, :].astype(acc_dtype)).reshape(tk, tn)
-    # f32 mode (reference-parity): HIGHEST so dequantized values aren't
-    # silently rounded to bf16 in the MXU — 6 passes, but exact.
-    # bf16 mode (serving): ONE MXU pass with f32 accumulation — the q4
-    # int values are exact in bf16 and activations are already bf16; the
-    # 6x HIGHEST pass cost was the decode bottleneck (xprof: w13 42us
-    # observed vs 28us DMA floor; MXU time 6 x 12us at 8 padded rows).
-    precision = (
-        jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32 else None
-    )
-    acc = jnp.dot(
-        x_ref[:].astype(acc_dtype), w,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+        vals = q_ref[:]
+    # Dequant stays 2D the whole way (the 3D reshape-broadcast multiply
+    # cost a sublane relayout per tile — 35.6 -> 18.9 us on the w13 shape,
+    # experiments/q4_vpu_variants.py): expand scales with a sublane repeat
+    # and multiply in f32.
+    nb = s_ref.shape[0]
+    s = jnp.repeat(s_ref[:], tk // nb, axis=0)          # (tk, tn) f32
+    w = vals.astype(jnp.float32) * s
+    if acc_dtype == jnp.float32:
+        # f32 mode (reference-parity): HIGHEST so dequantized values
+        # aren't silently rounded to bf16 in the MXU — 6 passes, exact.
+        acc = jnp.dot(
+            x_ref[:].astype(jnp.float32), w,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        # bf16 serving mode: hand the MXU f32 operands at DEFAULT
+        # precision — it rounds to bf16 on ingest (one pass, f32 accum),
+        # so no explicit VPU cast pass over the weight tile is paid.
+        # Numerics: round_bf16(q * s_f32) — at least as accurate as the
+        # previous q_bf16 * s_bf16.
+        acc = jax.lax.dot_general(
+            x_ref[:].astype(jnp.float32), w,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
 
     @pl.when(k_step == 0)
     def _():
@@ -73,43 +86,51 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
 
 
 def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):
-    """Pick (tk, tn) to MINIMIZE GRID STEPS under a ~4MB dequantized-tile
-    VMEM budget. In the model the kernels are chained (each consumes the
-    previous one's output), so cross-call pipelining cannot hide per-step
-    sequencing cost (~0.8us/step measured via xprof: a 256-step classifier
-    ran at 205us, an 88-step w13 at 68us — both ~0.8us x steps, far above
-    their DMA floor). Fewer, bigger steps win; the earlier ~1MB-tile
-    choice optimized amortized throughput, the wrong regime.
+    """Pick (tk, tn): FULL-WIDTH n stripes, grid over K only (plus a
+    2048-wide stripe for vocab-sized N).
+
+    Measured on the honest slope-timed decode harness
+    (experiments/decode_slope.py — earlier per-call microbenches divided
+    a constant ~30ms tunnel round-trip by REPS and mis-ranked policies):
+    full-width tiles beat the old min-step (tk<=4096, tn<=1024) policy
+    979 vs 868 tok/s on TinyLlama q4_0 batch-1 decode. Wide stripes keep
+    each HBM read contiguous across the whole row and give the k-grid
+    deep pipelining; the f32 dequant tile (tk x N x 4B, up to ~32MB)
+    fits v5e's VMEM comfortably.
 
     Constraints: tk must divide K (a ragged K-tile would accumulate
     garbage into real outputs) and be a multiple of 256 so the scales
     block (tk/32, tn) keeps a sublane multiple of 8. tn need NOT divide
     N — the ragged last N-tile is masked by Pallas and its garbage
     columns die in the masked store (vital for vocab-sized N = 32000)."""
-    itemsize = 2 if acc_itemsize == 2 else 4
-    budget = 4 * 1024 * 1024  # dequantized-tile VMEM bytes
+    budget = 32 * 1024 * 1024  # f32 dequantized-tile VMEM bytes
+    if N > 16384:  # vocab-sized: full width would blow the tile budget
+        tk = next((t for t in (2048, 1024, 512, 256) if K % t == 0), None)
+        if tk is not None:
+            return tk, 2048
+    tk = max(
+        (t for t in (256, 512, 1024, 2048)
+         if K % t == 0 and t * N * 4 <= budget),
+        default=None,
+    )
+    if tk is not None:
+        return tk, N
+    # fall back to narrow stripes (very wide N with K not a multiple of
+    # 256, or tiny shapes)
     if N >= 512:
-        best = None
-        tks = [tk for tk in range(256, min(K, 4096) + 1, 256) if K % tk == 0]
-        if not tks and K % 32 == 0:
-            tks = [tk for tk in (32, 64, 128) if K % tk == 0]
-        for tn in (512, 1024):
-            for tk in tks:
-                if tk * tn * itemsize > budget:
-                    continue
-                steps = -(-N // tn) * (K // tk)
-                key = (steps, -(tk * tn))
-                if best is None or key < best[0]:
-                    best = (key, tk, tn)
-        if best is not None:
-            return best[1], best[2]
+        for tn in (1024, 512):
+            for tk_cand in (2048, 1024, 512, 256):
+                if K % tk_cand == 0:
+                    return tk_cand, tn
+        if K % 32 == 0:
+            tk = next((t for t in (128, 64, 32) if K % t == 0), None)
+            return tk, 1024
         return None, None
-    # narrow outputs (e.g. unfused wk/wv with few kv heads)
     tn = _pick_tile(N, (256, 128))
     if tn is None:
         return None, None
     for tk_cand in (2048, 1024, 512, 256, 128, 64, 32):
-        if K % tk_cand == 0 and tk_cand * tn * itemsize <= budget:
+        if K % tk_cand == 0:
             return tk_cand, tn
     return None, tn
 
