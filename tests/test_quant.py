@@ -137,10 +137,35 @@ def test_unpack_params_int4_tree():
     }
     out = jax.jit(unpack_params_int4)(params)
     assert out["wcls"].kind == "q4_0i4"
-    assert out["q8"].kind == "q8_0"          # untouched
+    assert out["q8"].kind == "q8_0"          # values untouched
     assert out["layers"][0]["wq"].kind == "q4_0i4"
     assert out["norm"].dtype == jnp.float32
-    np.testing.assert_array_equal(
-        np.asarray(dequantize(out["wcls"], jnp.float32)),
-        np.asarray(dequantize(params["wcls"], jnp.float32)),
-    )
+    # with pack_scales=True, scales become f16-bit int16 planes — EXACTLY
+    # representing the f32 scales (f16-valued by block-format construction)
+    out = jax.jit(lambda p: unpack_params_int4(p, pack_scales=True))(params)
+    assert out["wcls"].scales.dtype == jnp.int16
+    assert out["q8"].scales.dtype == jnp.int16
+    for a, b in (("wcls",) * 2, ("q8",) * 2):
+        np.testing.assert_array_equal(
+            np.asarray(dequantize(out[a], jnp.float32)),
+            np.asarray(dequantize(params[b], jnp.float32)),
+        )
+
+
+def test_qmatmul_f16bit_scales_interpret():
+    """The kernel's in-register f16-bits->f32 scale rebuild is exact,
+    including subnormal f16 scales (near-zero blocks)."""
+    import jax
+    from tpu_llm.quant.convert_params import unpack_params_int4
+    from tpu_llm.quant.qtensor import pack_scales_f16
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((256, 256)).astype(np.float32) * 0.05
+    w[:32, :] *= 1e-7                          # subnormal-scale blocks
+    x = rng.standard_normal((2, 256)).astype(np.float32).astype(jnp.bfloat16)
+    for kind in ("q4_0", "q8_0"):
+        qt = quantize_tensor(w, kind)
+        ref = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+        qp = jax.jit(lambda q: pack_scales_f16(q))(qt)
+        got = np.asarray(qmatmul_pallas(jnp.asarray(x), qp, interpret=True))
+        np.testing.assert_array_equal(got, ref)

@@ -58,20 +58,28 @@ def quantize_llama_params(
     return out
 
 
-def unpack_params_int4(params):
-    """q4_0 QTensors -> int4-plane QTensors ("q4_0i4"), everything else
-    untouched. jit-traceable: call INSIDE the decode program, before the
-    token scan — XLA hoists it to one conversion pass over the weights
-    (int4 cannot cross a jit boundary on the axon backend). Same bytes at
-    rest and on the wire; Mosaic's native int4 widening replaces the
-    manual nibble unpack in the kernel (~30% faster hot loop,
-    experiments/q4_serial_latency.py)."""
+def unpack_params_int4(params, pack_scales: bool = False):
+    """Decode fast-path weight transform: q4_0 QTensors -> int4-plane
+    QTensors ("q4_0i4"). jit-traceable: call INSIDE the decode program,
+    before the token scan — XLA hoists it to one conversion pass over the
+    weights (int4 cannot cross a jit boundary on the axon backend). Same
+    q bytes at rest and on the wire; Mosaic's native int4 widening
+    replaces the manual nibble unpack in the kernel.
+
+    ``pack_scales=True`` additionally stores scales as f16-bit int16
+    planes (exact, half the scale HBM bytes) — measured a net LOSS on the
+    current VPU-bound kernel (944 vs 980 tok/s: the in-kernel 5-op bit
+    rebuild costs more than the saved DMA), kept for when the kernel
+    becomes DMA-bound."""
     import jax
 
-    from tpu_llm.quant.qtensor import to_int4
+    from tpu_llm.quant.qtensor import pack_scales_f16, to_int4
 
     def leaf(x):
-        return to_int4(x) if isinstance(x, QTensor) else x
+        if not isinstance(x, QTensor):
+            return x
+        x = to_int4(x)
+        return pack_scales_f16(x) if pack_scales else x
 
     return jax.tree_util.tree_map(
         leaf, params, is_leaf=lambda x: isinstance(x, QTensor)

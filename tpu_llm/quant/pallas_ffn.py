@@ -86,6 +86,8 @@ def ffn_tiles_ok(E: int, F: int, w13: QTensor, w2: QTensor) -> bool:
         return False
     if w13.kind != w2.kind or w13.kind not in ("q4_0", "q8_0"):
         return False
+    if w13.scales.dtype == jnp.int16 or w2.scales.dtype == jnp.int16:
+        return False  # f16-bit scale planes: this kernel predates them
     if w13.q.ndim != 2 or w2.q.ndim != 2:
         return False
     return _ffn_tiles(E, F) is not None

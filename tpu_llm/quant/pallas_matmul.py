@@ -52,8 +52,21 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
     # cost a sublane relayout per tile — 35.6 -> 18.9 us on the w13 shape,
     # experiments/q4_vpu_variants.py): expand scales with a sublane repeat
     # and multiply in f32.
+    if s_ref.dtype == jnp.int16:
+        # f16 scale BITS (pack_scales_f16): exact half->float rebuild —
+        # Mosaic has no f16 type. Shift exponent+mantissa into f32
+        # position and fix the bias with one float multiply by 2^112
+        # (handles subnormal f16 scales exactly: they land in f32
+        # normal/subnormal range and scale through the multiply).
+        h = s_ref[:].astype(jnp.int32)
+        bits = ((h & 0x7FFF) << 13) | ((h & 0x8000) << 16)
+        s_f32 = jax.lax.bitcast_convert_type(bits, jnp.float32) * jnp.float32(
+            2.0 ** 112
+        )
+    else:
+        s_f32 = s_ref[:]
     nb = s_ref.shape[0]
-    s = jnp.repeat(s_ref[:], tk // nb, axis=0)          # (tk, tn) f32
+    s = jnp.repeat(s_f32, tk // nb, axis=0)             # (tk, tn) f32
     w = vals.astype(jnp.float32) * s
     if acc_dtype == jnp.float32:
         # f32 mode (reference-parity): HIGHEST so dequantized values
@@ -189,7 +202,8 @@ def qmatmul_pallas(
         out_specs=pl.BlockSpec((tb, tn), lambda b, n, k: (b, n), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * K * N,
-            bytes_accessed=qbytes + qt.scales.size * 4 + rows * (K + N) * 4,
+            bytes_accessed=qbytes + qt.scales.size * qt.scales.dtype.itemsize
+            + rows * (K + N) * 4,
             transcendentals=0,
         ),
         # b/n blocks are independent; only k accumulates. Telling Mosaic so

@@ -151,6 +151,30 @@ def to_int4(qt: QTensor) -> QTensor:
     )
 
 
+def pack_scales_f16(qt: QTensor) -> QTensor:
+    """f32 scales -> f16 BITS stored as int16 (half the scale bytes).
+
+    Exact for GGUF-origin and quantize_tensor scales (both are f16-valued
+    — the on-disk Q4_0/Q8_0 block format stores an f16 ``d``). Mosaic has
+    no f16 type, so the kernel gets raw bits and rebuilds f32 with
+    integer ops on the (K/32, N) plane — 1/32 of the weight values, ~free
+    next to the dequant multiply. jit-traceable; like ``to_int4``, call
+    inside the decode program ahead of the token scan."""
+    if qt.scales.dtype == jnp.int16:
+        return qt
+    bits = jax.lax.bitcast_convert_type(
+        qt.scales.astype(jnp.float16), jnp.int16
+    )
+    return QTensor(q=qt.q, scales=bits, kind=qt.kind)
+
+
+def unpack_scales_f16(scales: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """int16 f16-bit scales -> float (XLA ops; kernels do it in-register)."""
+    if scales.dtype != jnp.int16:
+        return scales.astype(dtype)
+    return jax.lax.bitcast_convert_type(scales, jnp.float16).astype(dtype)
+
+
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the logical (.., K, N) weight (XLA ops, any backend)."""
     if qt.kind == "q4_0":
@@ -161,5 +185,7 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         raise ValueError(qt.kind)
     k = vals.shape[-2]
     nblocks = qt.scales.shape[-2]
-    scale = jnp.repeat(qt.scales.astype(dtype), k // nblocks, axis=-2)
+    scale = jnp.repeat(
+        unpack_scales_f16(qt.scales, dtype).astype(dtype), k // nblocks, axis=-2
+    )
     return vals * scale

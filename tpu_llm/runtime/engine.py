@@ -153,6 +153,17 @@ class Engine:
         return next_tok, logits, state
 
     def _decode_scan_impl(self, params, token, state, pos, key, temperature, n_steps):
+        # int4-plane weights for the scan: one hoisted conversion pass,
+        # then Mosaic's native int4 widening in every step's kernels
+        # (980 vs 766 tok/s — experiments/decode_slope.py). The per-step
+        # loop can't use this: int4 arrays cannot cross the jit boundary
+        # on the axon backend, and converting inside each step would cost
+        # a full weight pass per token.
+        if jax.default_backend() not in ("cpu", "gpu"):
+            from tpu_llm.quant.convert_params import unpack_params_int4
+
+            params = unpack_params_int4(params)
+
         def body(carry, _):
             token, state, pos, key = carry
             key, sub = jax.random.split(key)
