@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -48,7 +47,7 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
                          stacked=not isinstance(params["layers"], (list, tuple)))
     token = jnp.ones((batch,), jnp.int32)
 
-    def make(length):
+    def make_run(length):
         @jax.jit
         def decode_n(params, token, cache, pos0):
             if i4:
@@ -73,24 +72,12 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
 
         return run
 
-    # Time the marginal steps between a short and a 5x scan: the tunnel's
-    # constant ~30ms dispatch+fetch round trip cancels in the slope
-    # (total/steps would overstate per-step time by RT/steps — see
-    # experiments/slope_timer.py).
-    run_short, run_long = make(steps), make(steps * 5)
-    for run in (run_short, run_long):
-        run()
-        run()
-    slopes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_short()
-        t1 = time.perf_counter()
-        run_long()
-        t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / (4 * steps))
-    dt = float(np.median(slopes))
-    return batch / dt
+    # Slope timing between a short and a 5x scan: the tunnel's constant
+    # ~30ms dispatch+fetch round trip cancels (total/steps would
+    # overstate per-step time by RT/steps).
+    from tpu_llm.runtime.timing import slope_time_s
+
+    return batch / slope_time_s(make_run, steps, steps * 5)
 
 
 def main():

@@ -73,29 +73,32 @@ def _decode_tok_s_mamba(params, cfg, steps, batch):
     import jax.numpy as jnp
 
     from tpu_llm.models import mamba as M
+    from tpu_llm.runtime.timing import slope_time_s
 
     state = M.init_state(cfg, batch)
     token = jnp.ones((batch,), jnp.int32)
 
-    @jax.jit
-    def decode_n(params, token, state):
-        def body(carry, _):
-            token, state = carry
-            hidden, state = M.forward(params, cfg, token[:, None], state)
-            logits = M.lm_head(params, cfg, hidden)[:, 0, :]
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (token, state), token
+    def make_run(length):
+        @jax.jit
+        def decode_n(params, token, state):
+            def body(carry, _):
+                token, state = carry
+                hidden, state = M.forward(params, cfg, token[:, None], state)
+                logits = M.lm_head(params, cfg, hidden)[:, 0, :]
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (token, state), token
 
-        (token, state), toks = jax.lax.scan(
-            body, (token, state), None, length=steps)
-        return toks, state
+            (token_, state_), toks = jax.lax.scan(
+                body, (token, state), None, length=length)
+            return toks, state_
 
-    toks, state = decode_n(params, token, state)
-    _ = np.asarray(toks[-1])
-    t0 = time.perf_counter()
-    toks, state = decode_n(params, token, state)
-    _ = np.asarray(toks[-1])
-    return steps * batch / (time.perf_counter() - t0)
+        def run():
+            toks, _ = decode_n(params, token, state)
+            _ = np.asarray(toks[-1])
+
+        return run
+
+    return batch / slope_time_s(make_run, steps, steps * 5)
 
 
 def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
@@ -104,31 +107,39 @@ def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
     import jax.numpy as jnp
 
     from tpu_llm.models import llama as M
+    from tpu_llm.quant.convert_params import unpack_params_int4
+    from tpu_llm.runtime.timing import slope_time_s
 
     stacked = not isinstance(params["layers"], (list, tuple))
     cache = M.init_cache(cfg, batch, max_seq,
                          dtype=cache_dtype or jnp.bfloat16, stacked=stacked)
     token = jnp.ones((batch,), jnp.int32)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
-    @jax.jit
-    def decode_n(params, token, cache, pos0):
-        def body(carry, _):
-            token, cache, pos = carry
-            logits, cache = M.decode_step(params, cfg, token, cache, pos)
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (token, cache, pos + 1), token
+    def make_run(length):
+        @jax.jit
+        def decode_n(params, token, cache, pos0):
+            if on_tpu:  # int4 planes, hoisted ahead of the scan
+                params = unpack_params_int4(params)
 
-        (token, cache, _), toks = jax.lax.scan(
-            body, (token, cache, pos0), None, length=steps
-        )
-        return toks, cache
+            def body(carry, _):
+                token, cache, pos = carry
+                logits, cache = M.decode_step(params, cfg, token, cache, pos)
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (token, cache, pos + 1), token
 
-    toks, cache = decode_n(params, token, cache, jnp.int32(prompt_len))
-    _ = np.asarray(toks[-1])
-    t0 = time.perf_counter()
-    toks, cache = decode_n(params, token, cache, jnp.int32(prompt_len))
-    _ = np.asarray(toks[-1])
-    return steps * batch / (time.perf_counter() - t0)
+            (token_, cache_, _), toks = jax.lax.scan(
+                body, (token, cache, pos0), None, length=length
+            )
+            return toks, cache_
+
+        def run():
+            toks, _ = decode_n(params, token, cache, jnp.int32(prompt_len))
+            _ = np.asarray(toks[-1])
+
+        return run
+
+    return batch / slope_time_s(make_run, steps, steps * 5)
 
 
 def _ttft_p50(params, cfg, prompt_len, max_seq, samples):
