@@ -138,6 +138,8 @@ def main():
     ap.add_argument("--quant", default="q4_0")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no-i4", action="store_true")
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--prompt-len", type=int, default=16)
     ap.add_argument("--policies", default="prod,small,tn256,fullN")
     args = ap.parse_args()
 
@@ -153,7 +155,8 @@ def main():
     for name in args.policies.split(","):
         PM._pick_tiles = POLICIES[name]
         try:
-            ms = measure(params, cfg, batch=args.batch, i4=not args.no_i4)
+            ms = measure(params, cfg, batch=args.batch, i4=not args.no_i4,
+                         max_seq=args.max_seq, prompt_len=args.prompt_len)
             print(f"{name:8s}: {ms:7.3f} ms/step -> {args.batch/ms*1e3:7.1f} tok/s",
                   flush=True)
         except Exception as e:  # noqa: BLE001

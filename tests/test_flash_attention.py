@@ -50,3 +50,28 @@ def test_flash_mha_large_blocks():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("pos", [0, 3, 77, 511])
+def test_flash_decode_matches_einsum(pos):
+    from tpu_llm.ops.flash_attention import flash_decode_attention
+
+    q, k, v = make(B=2, T=1, S=512, H=8, Hkv=2, D=64, seed=2)
+    positions = jnp.full((2,), pos, jnp.int32)
+    expected = gqa_attention(q, k, v, jnp.asarray([[pos], [pos]], jnp.int32))
+    got = flash_decode_attention(q, k, v, positions, chunk=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_decode_per_row_positions():
+    from tpu_llm.ops.flash_attention import flash_decode_attention
+
+    q, k, v = make(B=3, T=1, S=256, H=4, Hkv=4, D=64, seed=3)
+    positions = jnp.asarray([5, 130, 255], jnp.int32)
+    expected = gqa_attention(q, k, v, positions[:, None])
+    got = flash_decode_attention(q, k, v, positions, chunk=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )

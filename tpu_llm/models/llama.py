@@ -116,6 +116,14 @@ def _attend(q, kc, vc, positions, offset):
 
     T, S, H = q.shape[1], kc.shape[1], q.shape[2]
     scores_bytes = q.shape[0] * T * S * H * 4
+
+    # Decode (T=1) stays on the einsum path deliberately: a fused
+    # online-softmax decode kernel (ops/flash_attention.flash_decode_
+    # attention, with O(pos) cache DMA via pinned block indices) measured
+    # SLOWER in-model at every probed point — 958 vs 980 tok/s at S=1024,
+    # 880 vs 936 at S=2048/pos~1600 — XLA's einsum chain overlaps with
+    # the projection kernels better than a separate pallas call does.
+
     use_flash = (
         T > 1
         and not isinstance(kc, QuantKV)   # flash kernel reads dense planes

@@ -96,6 +96,172 @@ def _flash_kernel(
         o_ref[0, 0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
 
 
+def _decode_kernel(
+    pos_ref,            # SMEM (B,) — absolute position of the query per row
+    q_ref,              # (1, H, D)
+    k_ref,              # (1, CS, Hkv*D)
+    v_ref,              # (1, CS, Hkv*D)
+    o_ref,              # (1, H, D)
+    m_scr,              # VMEM (H, LANES) f32
+    l_scr,              # VMEM (H, LANES) f32
+    acc_scr,            # VMEM (H, D) f32
+    *,
+    chunk: int,
+    n_chunks: int,
+    hkv: int,
+    group: int,
+    d: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    ik = pl.program_id(1)
+    pos = pos_ref[b]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # chunks past the query position are fully masked — their compute is
+    # predicated off AND their K/V DMAs never happen (the index map pins
+    # the block index at pos//chunk for them)
+    @pl.when(ik * chunk <= pos)
+    def _run():
+        q = q_ref[0]                                     # (H, D) bf16/f32
+        kc = k_ref[0]                                    # (CS, Hkv*D)
+        # ONE MXU pass for all heads: expand q block-diagonally to
+        # (H, Hkv*D) — row h is zero outside its kv head's D columns —
+        # so q_bd @ kc^T contracts each row against only its own head.
+        # (The 8-small-dots version cost ~2x: MXU fill overhead per dot.)
+        col_head = jax.lax.broadcasted_iota(
+            jnp.int32, (heads := hkv * group, hkv * d), 1) // d
+        row_head = jax.lax.broadcasted_iota(
+            jnp.int32, (heads, hkv * d), 0) // group
+        diag = col_head == row_head                      # (H, Hkv*D)
+        q_tiled = jnp.concatenate([q] * hkv, axis=1)     # (H, Hkv*D)
+        q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
+        s = jax.lax.dot_general(
+            q_bd, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                     # (H, CS)
+
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * chunk
+        s = jnp.where(s_idx <= pos, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)       # (H, 1)
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next)
+        p = jnp.exp(s - m_next)                          # (H, CS)
+        l_next = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        # ONE MXU pass for AV: (H, CS) @ (CS, Hkv*D) -> (H, Hkv*D); each
+        # row then keeps only its own head's D-column slice.
+        full = jax.lax.dot_general(
+            p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (H, Hkv*D)
+        picked = jnp.where(diag, full, jnp.zeros_like(full))
+        # sum the hkv D-column groups (static lane slices — a 3D reshape
+        # here is an unsupported Mosaic shape cast)
+        av = picked[:, :d]
+        for i in range(1, hkv):
+            av = av + picked[:, i * d : (i + 1) * d]     # (H, D)
+        acc_scr[:] = acc_scr[:] * alpha + av
+
+    @pl.when(ik == n_chunks - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+
+
+def flash_decode_attention(
+    q: jax.Array,         # (B, 1, H, D)
+    k_cache: jax.Array,   # (B, S, Hkv, D)
+    v_cache: jax.Array,
+    positions: jax.Array,  # (B,) int32 — absolute position of each query
+    *,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-query flash GQA attention against the KV cache.
+
+    A single kernel per layer: one pass over the cache, online softmax in
+    VMEM scratch, O(pos) HBM traffic — cache chunks past the query
+    position are compute-predicated AND never DMA'd (the index map pins
+    their block index, Mosaic skips the re-fetch).
+
+    NOT wired into the decode path: measured slower in-model than the
+    XLA einsum chain at every probed operating point (958 vs 980 tok/s
+    at S=1024/pos<200; 880 vs 936 at S=2048/pos~1600, TinyLlama q4
+    batch-1) — a separate pallas call per layer overlaps worse with the
+    projection kernels than XLA's scheduled einsums do. Kept (with
+    parity tests) as the starting point for ring/sequence-sharded decode
+    variants, where per-shard softmax state is required anyway.
+    """
+    B, T, H, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    G = H // Hkv
+    assert T == 1
+    n_chunks = -(-S // chunk)
+    sm_scale = 1.0 / (D ** 0.5)
+
+    q2 = q.reshape(B, H, D)
+    kc = k_cache.reshape(B, S, Hkv * D)
+    vc = v_cache.reshape(B, S, Hkv * D)
+    pos = positions.astype(jnp.int32).reshape(B)
+
+    def kv_index(b, ik, pos_ref):
+        return (b, jnp.minimum(ik, pos_ref[b] // chunk), 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            chunk=chunk, n_chunks=n_chunks, hkv=Hkv, group=G, d=D,
+            sm_scale=sm_scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, H, D), lambda b, ik, pos: (b, 0, 0)),
+                pl.BlockSpec((1, chunk, Hkv * D), kv_index),
+                pl.BlockSpec((1, chunk, Hkv * D), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, H, D), lambda b, ik, pos: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos, q2, kc, vc)
+    return out.reshape(B, 1, H, D)
+
+
+def flash_decode_ok(q, k_cache, S: int, chunk: int = 256) -> bool:
+    """Shape gate for the decode kernel: lane-aligned head slices and a
+    chunkable cache length."""
+    B, T, H, D = q.shape
+    Hkv = k_cache.shape[2]
+    return (
+        T == 1
+        and D in (64, 128)
+        and (Hkv * D) % LANES == 0
+        and S % chunk == 0
+        and H % Hkv == 0
+    )
+
+
 def flash_gqa_attention(
     q: jax.Array,         # (B, T, H, D)
     k_cache: jax.Array,   # (B, S, Hkv, D)
