@@ -240,3 +240,35 @@ def test_engine_mamba_generation():
             token = int(np.argmax(logits))
             emitted.append(token)
     assert res.tokens == emitted
+
+
+def test_unstacked_matches_stacked():
+    """Unstacked (python layer loop) decode and prefill numerics equal the
+    stacked lax.scan path exactly."""
+    arrays = make_torch_arrays(4)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.bin")
+        write_packed(path, arrays, CFG)
+        params, cfg = read_packed(path)
+
+    pu = M.unstack_layers(params)
+    tokens = jnp.asarray([[7, 2, 41, 13]], jnp.int32)
+
+    # prefill (time-parallel path)
+    h_s, st_s = M.forward(params, cfg, tokens, M.init_state(cfg, 1))
+    h_u, st_u = M.forward(pu, cfg, tokens, M.init_state(cfg, 1, stacked=False))
+    np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_u),
+                               rtol=1e-6, atol=1e-6)
+    for k in ("conv", "ssm"):
+        np.testing.assert_allclose(
+            np.asarray(st_s[k]), np.stack([np.asarray(x) for x in st_u[k]]),
+            rtol=1e-6, atol=1e-6)
+
+    # decode step from those states
+    nxt = jnp.asarray([[9]], jnp.int32)
+    h_s2, _ = M.forward(params, cfg, nxt, st_s)
+    h_u2, _ = M.forward(pu, cfg, nxt, st_u)
+    np.testing.assert_allclose(np.asarray(h_s2), np.asarray(h_u2),
+                               rtol=1e-6, atol=1e-6)

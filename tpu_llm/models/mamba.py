@@ -40,11 +40,50 @@ Params = Dict[str, Any]
 State = Dict[str, jax.Array]
 
 
-def init_state(cfg: MambaConfig, batch: int = 1) -> State:
+def init_state(cfg: MambaConfig, batch: int = 1, stacked: bool = True) -> State:
+    """``stacked=False`` pairs with ``unstack_layers`` params: per-layer
+    state buffers for the python layer loop (no scan slice copies)."""
+    conv_shape = (batch, cfg.d_conv, cfg.d_inner)
+    ssm_shape = (batch, cfg.d_state, cfg.d_inner)
+    if stacked:
+        return {
+            "conv": jnp.zeros((cfg.n_layers,) + conv_shape, jnp.float32),
+            "ssm": jnp.zeros((cfg.n_layers,) + ssm_shape, jnp.float32),
+        }
     return {
-        "conv": jnp.zeros((cfg.n_layers, batch, cfg.d_conv, cfg.d_inner), jnp.float32),
-        "ssm": jnp.zeros((cfg.n_layers, batch, cfg.d_state, cfg.d_inner), jnp.float32),
+        "conv": [jnp.zeros(conv_shape, jnp.float32) for _ in range(cfg.n_layers)],
+        "ssm": [jnp.zeros(ssm_shape, jnp.float32) for _ in range(cfg.n_layers)],
     }
+
+
+def cast_weights(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Weight-only dtype cast (serving mode): every f32 weight leaf ->
+    ``dtype``; the recurrent state and all matmul accumulations stay f32
+    (``preferred_element_type`` throughout the mixer), so this halves the
+    HBM bytes per token — 1460 -> 2656 tok/s on Mamba-130M decode
+    (experiments/mamba_unstack.py) — at weight-rounding cost only. The
+    f32 default remains the reference-parity path (ssm/mamba.f90 is
+    f32)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
+    )
+
+
+def unstack_layers(params: Params) -> Params:
+    """Stacked (L, ...) layer params -> list of per-layer dicts.
+
+    Same rationale as llama.unstack_layers: the lax.scan layer loop
+    dynamic-slices every layer's weights out of the stacked buffers each
+    decode step — a copy that costs ~20% of Mamba-130M step time
+    (1462 vs 1176 tok/s, experiments/mamba_unstack.py). Pair with
+    ``init_state(..., stacked=False)``."""
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        return params
+    L = next(iter(layers.values())).shape[0]
+    out = dict(params)
+    out["layers"] = [{k: v[i] for k, v in layers.items()} for i in range(L)]
+    return out
 
 
 def _mixer_step(cfg: MambaConfig, lp, xb, conv_state, ssm_state):
@@ -79,7 +118,25 @@ def _mixer_step(cfg: MambaConfig, lp, xb, conv_state, ssm_state):
 
 
 def _token_step(params, cfg, tok_emb_row, state_slices):
-    """All layers for one token. Returns (hidden, new per-layer states)."""
+    """All layers for one token. Returns (hidden, new per-layer states).
+
+    Unstacked params (list of per-layer dicts) take a python layer loop —
+    each layer's buffers are read in place, no scan slice copies."""
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        hidden = tok_emb_row
+        residual = jnp.zeros_like(tok_emb_row)
+        conv_new, ssm_new = [], []
+        for i, lp in enumerate(layers):
+            xb = rmsnorm(hidden + residual, lp["norm"], cfg.norm_eps)
+            residual = hidden + residual
+            hidden, c, s = _mixer_step(
+                cfg, lp, xb, state_slices["conv"][i], state_slices["ssm"][i]
+            )
+            conv_new.append(c)
+            ssm_new.append(s)
+        hidden = rmsnorm(hidden + residual, params["norm_f"], cfg.norm_eps)
+        return hidden, {"conv": conv_new, "ssm": ssm_new}
 
     def layer_body(carry, xs):
         hidden, residual = carry
@@ -155,6 +212,21 @@ def _mixer_scan(cfg: MambaConfig, lp, xb, conv_state, ssm_state, length):
 
 def _forward_parallel(params, cfg, emb, state, length):
     """Layer loop over the time-parallel mixer. emb: (B, T, E)."""
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        hidden = emb
+        residual = jnp.zeros_like(emb)
+        conv_new, ssm_new = [], []
+        for i, lp in enumerate(layers):
+            xb = rmsnorm(hidden + residual, lp["norm"], cfg.norm_eps)
+            residual = hidden + residual
+            hidden, c, s = _mixer_scan(
+                cfg, lp, xb, state["conv"][i], state["ssm"][i], length
+            )
+            conv_new.append(c)
+            ssm_new.append(s)
+        hidden = rmsnorm(hidden + residual, params["norm_f"], cfg.norm_eps)
+        return hidden, {"conv": conv_new, "ssm": ssm_new}
 
     def layer_body(carry, xs):
         hidden, residual = carry

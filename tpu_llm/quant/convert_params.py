@@ -40,9 +40,11 @@ def quantize_llama_params(
 
     ``fuse=True`` additionally concatenates wq|wk|wv -> wqkv and
     w1|w3 -> w13 along the output axis (the reference's fused layout,
-    read_ggml.f90:265,340): 7 -> 4 projection kernels per layer — each
-    pallas call carries ~15us fixed cost, so call count sets the decode
-    floor (experiments/decode_bisect.py). Fused params are NOT compatible
+    read_ggml.f90:265,340): 7 -> 4 projection kernels per layer — wider
+    N stripes per kernel and fewer pipeline ramps (the old "~15us fixed
+    cost per call" reading was tunnel-round-trip bias; the honest
+    slope-timed win of fusing is smaller but real). Fused params are NOT
+    compatible
     with the TP sharding specs (head-aligned column split); use unfused
     for tensor parallelism."""
     out = dict(params)

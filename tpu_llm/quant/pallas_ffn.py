@@ -2,10 +2,12 @@
 out = g @ w2 — ONE pallas call per layer instead of two matmul kernels
 plus XLA glue.
 
-Why: decode kernels are chained by data dependency, so each pallas call
-pays a ~12us serialized launch/glue floor (xprof, experiments/
-decode_bisect.py). Fusing the FFN pair removes one launch and the
-intermediate HBM round-trip of h13/g per layer.
+Why it was built: an early xprof reading suggested a ~12us serialized
+launch floor per pallas call; honest slope timing later showed that
+number was tunnel-round-trip bias and per-call overhead is small — the
+measured benefit of this fusion is neutral, which is why it stays
+opt-in. The intermediate h13/g HBM round-trip it removes is real but
+minor at decode shapes.
 
 Structure: one linear grid. Phase A (stepsA = ceil(2F/tnA)) computes
 x @ w13 one tnA-column stripe at a time — full-K dot, stripe stored into

@@ -75,7 +75,8 @@ def _decode_tok_s_mamba(params, cfg, steps, batch):
     from tpu_llm.models import mamba as M
     from tpu_llm.runtime.timing import slope_time_s
 
-    state = M.init_state(cfg, batch)
+    params = M.unstack_layers(params)
+    state = M.init_state(cfg, batch, stacked=False)
     token = jnp.ones((batch,), jnp.int32)
 
     def make_run(length):
@@ -193,11 +194,16 @@ def main(argv=None) -> int:
     cfg = tinyllama_1_1b()
     for name in args.configs.split(","):
         name = name.strip()
-        if name == "mamba":
+        if name in ("mamba", "mamba_bf16"):
             mparams, mcfg = _build_mamba()
+            if name == "mamba_bf16":
+                from tpu_llm.models.mamba import cast_weights
+
+                mparams = cast_weights(mparams)
             tok_s = _decode_tok_s_mamba(mparams, mcfg, args.steps, args.batch)
+            dt = "f32" if name == "mamba" else "bf16"
             print(json.dumps({
-                "metric": "mamba_130m_f32_decode_tokens_per_s_per_chip",
+                "metric": f"mamba_130m_{dt}_decode_tokens_per_s_per_chip",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / 6.237, 2),  # ssm/README.md:77

@@ -70,7 +70,10 @@ class ModelAdapter:
         )
 
     @classmethod
-    def mamba(cls, cfg, bos_id: Optional[int] = None) -> "ModelAdapter":
+    def mamba(cls, cfg, bos_id: Optional[int] = None,
+              stacked: bool = True) -> "ModelAdapter":
+        """``stacked=False`` pairs with ``mamba.unstack_layers`` params
+        (per-layer buffers, no scan slice copies — ~24% faster decode)."""
         from tpu_llm.models import mamba as M
 
         return cls(
@@ -78,7 +81,9 @@ class ModelAdapter:
                 params, cfg, tokens, state, length=length
             ),
             lm_head=lambda params, hidden: M.lm_head(params, cfg, hidden),
-            init_state=lambda batch, max_seq: M.init_state(cfg, batch),
+            init_state=lambda batch, max_seq: M.init_state(
+                cfg, batch, stacked=stacked
+            ),
             bos_id=bos_id if bos_id is not None else -1,  # Mamba: no BOS (mamba.f90:406)
         )
 

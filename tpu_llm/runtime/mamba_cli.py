@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     p.add_argument("--ak", action="store_true",
                    help="packed format (always on; kept for flag parity)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="f32 = reference-parity numerics (default); bf16 = "
+                        "weight-only cast, ~1.8x decode throughput")
     p.add_argument("--scan", action="store_true")
     p.add_argument("--convert", metavar="HF_DIR",
                    help="convert a HF Mamba dir to packed format at -m, then exit")
@@ -61,7 +64,12 @@ def main(argv=None) -> int:
         print(f"config: {cfg}", file=sys.stderr)
         print(f"loaded in {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
-    adapter = ModelAdapter.mamba(cfg)
+    from tpu_llm.models.mamba import cast_weights, unstack_layers
+
+    if args.dtype == "bf16":
+        params = cast_weights(params)
+    params = unstack_layers(params)   # per-layer buffers: no scan slice copies
+    adapter = ModelAdapter.mamba(cfg, stacked=False)
     engine = Engine(params, adapter, max_seq=max(args.num_tokens + 8, 64))
 
     prompt_ids = tokenizer.encode(args.prompt) if args.prompt else []
