@@ -74,9 +74,12 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
 
     # Slope timing between a short and a 5x scan: the tunnel's constant
     # ~30ms dispatch+fetch round trip cancels (total/steps would
-    # overstate per-step time by RT/steps).
+    # overstate per-step time by RT/steps). Both scans must stay inside
+    # the cache: positions reach prompt_len + 5*steps, and
+    # dynamic_update_slice would silently clamp past max_seq.
     from tpu_llm.runtime.timing import slope_time_s
 
+    steps = min(steps, max(1, (max_seq - prompt_len - 1) // 5))
     return batch / slope_time_s(make_run, steps, steps * 5)
 
 

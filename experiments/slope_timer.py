@@ -12,14 +12,21 @@ Each REPS gets its own jit (length is static) — compile both before
 timing. Repeat the pair measurement `pairs` times and take the median.
 """
 
-import time
 
 import numpy as np
 import jax
 
 
 def time_scan_body(body, carry, args=(), r1=128, r2=640, pairs=5, prep=None):
-    def make(loop_len):
+    """us/step. Thin wrapper over the production measurement protocol
+    (tpu_llm.runtime.timing.slope_time_s) that builds the two-length
+    jitted scans from a step body."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tpu_llm.runtime.timing import slope_time_s
+
+    def make_run(loop_len):
         @jax.jit
         def loop(carry, *args):
             if prep is not None:
@@ -31,26 +38,11 @@ def time_scan_body(body, carry, args=(), r1=128, r2=640, pairs=5, prep=None):
             c, _ = jax.lax.scan(step, carry, None, length=loop_len)
             return c
 
-        return loop
+        def run():
+            c = loop(carry, *args)
+            leaf = jax.tree_util.tree_leaves(c)[0]
+            _ = np.asarray(leaf).ravel()[:1]
 
-    loops = {r: make(r) for r in (r1, r2)}
+        return run
 
-    def run(r):
-        c = loops[r](carry, *args)
-        leaf = jax.tree_util.tree_leaves(c)[0]
-        _ = np.asarray(leaf).ravel()[:1]
-
-    # compile + warm both
-    for r in (r1, r2):
-        run(r)
-        run(r)
-
-    slopes = []
-    for _ in range(pairs):
-        t0 = time.perf_counter()
-        run(r1)
-        t1 = time.perf_counter()
-        run(r2)
-        t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / (r2 - r1))
-    return float(np.median(slopes) * 1e6)
+    return slope_time_s(make_run, r1, r2, pairs=pairs) * 1e6

@@ -206,8 +206,12 @@ def flash_decode_attention(
     B, T, H, D = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
     G = H // Hkv
-    assert T == 1
-    n_chunks = -(-S // chunk)
+    assert flash_decode_ok(q, k_cache, S, chunk), (
+        f"shape gate failed: T={T} D={D} Hkv*D={Hkv * D} S={S} chunk={chunk}"
+        " (S % chunk != 0 would dot Pallas-padded garbage rows in the last"
+        " K chunk whenever pos >= S - S % chunk)"
+    )
+    n_chunks = S // chunk
     sm_scale = 1.0 / (D ** 0.5)
 
     q2 = q.reshape(B, H, D)

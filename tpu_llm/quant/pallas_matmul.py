@@ -98,7 +98,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
         o_ref[:] = o_ref[:] + acc
 
 
-def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):
+def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):  # noqa: ARG001 — unused; kept so policy monkeypatches (experiments/decode_slope.py) share a signature
     """Pick (tk, tn): FULL-WIDTH n stripes, grid over K only (plus a
     2048-wide stripe for vocab-sized N).
 
@@ -128,16 +128,11 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):
     )
     if tk is not None:
         return tk, N
-    # fall back to narrow stripes (very wide N with K not a multiple of
-    # 256, or tiny shapes)
+    # K has no 256-multiple divisor: small tk (scales block keeps legal
+    # sublanes only when tk == K, i.e. the block spans the full array dim)
     if N >= 512:
-        for tn in (1024, 512):
-            for tk_cand in (2048, 1024, 512, 256):
-                if K % tk_cand == 0:
-                    return tk_cand, tn
-        if K % 32 == 0:
-            tk = next((t for t in (128, 64, 32) if K % t == 0), None)
-            return tk, 1024
+        if K % 32 == 0 and K in (32, 64, 128):
+            return K, min(N, 1024)
         return None, None
     tn = _pick_tile(N, (256, 128))
     if tn is None:
@@ -183,7 +178,7 @@ def qmatmul_pallas(
     # Partial blocks: rows need NOT be a multiple of tb — Pallas masks the
     # ragged edge. Padding x on the host path instead costs ~34us per call
     # (experiments/q4_wrapper_delta.py), 2.4x the whole kernel.
-    tk, tn = _pick_tiles(K, N, acc_itemsize=jnp.dtype(acc_dtype).itemsize)
+    tk, tn = _pick_tiles(K, N)
     tb = min(256, -(-rows // 8) * 8)
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")

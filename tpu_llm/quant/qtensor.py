@@ -185,7 +185,5 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         raise ValueError(qt.kind)
     k = vals.shape[-2]
     nblocks = qt.scales.shape[-2]
-    scale = jnp.repeat(
-        unpack_scales_f16(qt.scales, dtype).astype(dtype), k // nblocks, axis=-2
-    )
+    scale = jnp.repeat(unpack_scales_f16(qt.scales, dtype), k // nblocks, axis=-2)
     return vals * scale

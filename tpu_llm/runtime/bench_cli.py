@@ -140,6 +140,9 @@ def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
 
         return run
 
+    # keep the 5x scan inside the cache (update_kv_cache would silently
+    # clamp writes past max_seq and corrupt the measured regime)
+    steps = min(steps, max(1, (max_seq - prompt_len - 1) // 5))
     return batch / slope_time_s(make_run, steps, steps * 5)
 
 
