@@ -38,17 +38,21 @@ from tpu_llm.ops.norms import rmsnorm  # noqa: E402
 
 cfg = tinyllama_1_1b()
 I4 = True
+import os
+BATCH = int(os.environ.get("BISECT_BATCH", "1"))
+CACHE_DTYPE = os.environ.get("BISECT_CACHE", "bf16")
 
 
 def report(label, us):
-    print(f"{label:12s}: {us:8.1f} us/step -> {1e6/us:7.1f} tok/s-equiv",
+    print(f"{label:12s}: {us:8.1f} us/step -> {BATCH*1e6/us:7.1f} tok/s-equiv",
           flush=True)
 
 
 def main():
     params = B.build_params("q4_0")
-    cache = M.init_cache(cfg, 1, 1024, dtype=jnp.bfloat16, stacked=False)
-    token = jnp.ones((1,), jnp.int32)
+    cdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, "int8": "int8"}[CACHE_DTYPE]
+    cache = M.init_cache(cfg, BATCH, 1024, dtype=cdt, stacked=False)
+    token = jnp.ones((BATCH,), jnp.int32)
     pos0 = jnp.int32(16)
     prep = (lambda *a: (unpack_params_int4(a[0]),) + a[1:]) if I4 else None
 
@@ -69,7 +73,7 @@ def main():
     report("no_cls", time_scan_body(no_cls, (token, cache, pos0), (params,),
                                     prep=prep))
 
-    x0 = jnp.full((1, 1, cfg.dim), 0.1, jnp.bfloat16)
+    x0 = jnp.full((BATCH, 1, cfg.dim), 0.1, jnp.bfloat16)
 
     def cls_only(c, params):
         y = M.lm_head(params, cfg, c)
@@ -101,7 +105,7 @@ def main():
 
         return body
 
-    x1 = jnp.full((1, 1, cfg.dim), 0.1, jnp.bfloat16)
+    x1 = jnp.full((BATCH, 1, cfg.dim), 0.1, jnp.bfloat16)
     for label, keys in (
         ("proj_all", ("wqkv", "wo", "w13", "w2")),
         ("proj_wqkv", ("wqkv",)),
@@ -115,8 +119,8 @@ def main():
     def attn_only(c, params):
         cache, pos = c
         positions = pos + jnp.arange(1, dtype=jnp.int32)
-        q = jnp.full((1, 1, cfg.n_heads, cfg.head_dim), 0.1, jnp.bfloat16)
-        kv = jnp.full((1, 1, cfg.n_kv_heads, cfg.head_dim), 0.1, jnp.bfloat16)
+        q = jnp.full((BATCH, 1, cfg.n_heads, cfg.head_dim), 0.1, jnp.bfloat16)
+        kv = jnp.full((BATCH, 1, cfg.n_kv_heads, cfg.head_dim), 0.1, jnp.bfloat16)
         acc = jnp.bfloat16(0)
         knew, vnew = [], []
         for i in range(cfg.n_layers):

@@ -219,3 +219,30 @@ def test_fused_projections_match_unfused():
     cache3 = M.init_cache(cfg, 2, CFG["seq_len"])
     h3, _ = M.forward(qp2, cfg, tokens, cache3, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h3), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8"])
+def test_flat_unstacked_cache_matches_stacked(cache_dtype):
+    """Unstacked caches store flat (B, S, Hkv*D) planes (in-place updates
+    — experiments/dus_alias.py); numerics must match the stacked 4D path
+    exactly (dense) / exactly (int8: same quantization, different plane
+    layout)."""
+    w = make_weights(11)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG)
+    pu = M.unstack_layers(dict(params, layers=dict(params["layers"])))
+
+    tokens = jnp.asarray([[3, 17, 42], [9, 9, 1]], jnp.int32)
+    c_s = M.init_cache(cfg, 2, CFG["seq_len"], dtype=cache_dtype)
+    c_u = M.init_cache(cfg, 2, CFG["seq_len"], dtype=cache_dtype,
+                       stacked=False)
+    h_s, c_s = M.forward(params, cfg, tokens, c_s, jnp.int32(0))
+    h_u, c_u = M.forward(pu, cfg, tokens, c_u, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_u),
+                               rtol=1e-5, atol=1e-5)
+
+    nxt = jnp.asarray([[7], [12]], jnp.int32)
+    h_s2, _ = M.forward(params, cfg, nxt, c_s, jnp.int32(3))
+    h_u2, _ = M.forward(pu, cfg, nxt, c_u, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(h_s2), np.asarray(h_u2),
+                               rtol=1e-5, atol=1e-5)

@@ -59,19 +59,27 @@ def init_cache(
     values + per-(token, head) f32 scales, tpu_llm.ops.kv_cache)."""
     s = max_seq or cfg.seq_len
     quant = dtype == "int8"
+    if stacked:
+        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
+        if quant:
+            from tpu_llm.ops.kv_cache import QuantKV
+
+            return {"k": QuantKV.zeros(shape), "v": QuantKV.zeros(shape)}
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    # unstacked planes store FLAT (B, S, Hkv*D): the (.., Hkv, D) minor
+    # dims pad on TPU and every cache update then copies the whole plane
+    # (experiments/dus_alias.py; 27us x 44 planes/step at batch 32)
+    shape = (batch, s, cfg.n_kv_heads, cfg.head_dim)
     if quant:
         from tpu_llm.ops.kv_cache import QuantKV
 
-        mk = QuantKV.zeros
+        mk = lambda: QuantKV.zeros(shape, flat=True)  # noqa: E731
     else:
-        mk = jnp.zeros
-    if stacked:
-        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
-        return {"k": mk(shape, dtype), "v": mk(shape, dtype)}
-    shape = (batch, s, cfg.n_kv_heads, cfg.head_dim)
+        flat = (batch, s, cfg.n_kv_heads * cfg.head_dim)
+        mk = lambda: jnp.zeros(flat, dtype)  # noqa: E731
     return {
-        "k": [mk(shape, dtype) for _ in range(cfg.n_layers)],
-        "v": [mk(shape, dtype) for _ in range(cfg.n_layers)],
+        "k": [mk() for _ in range(cfg.n_layers)],
+        "v": [mk() for _ in range(cfg.n_layers)],
     }
 
 
@@ -139,6 +147,12 @@ def _attend(q, kc, vc, positions, offset):
     if use_flash:
         from tpu_llm.ops.flash_attention import flash_gqa_attention
 
+        if kc.ndim == 3:  # flat planes -> 4D view for the kernel's
+            # per-head index maps (one materialization per PREFILL call)
+            B = q.shape[0]
+            D = q.shape[3]
+            kc = kc.reshape(B, S, kc.shape[2] // D, D)
+            vc = vc.reshape(B, S, vc.shape[2] // D, D)
         return flash_gqa_attention(q, kc, vc, offset)
     return gqa_attention(q, kc, vc, positions)
 

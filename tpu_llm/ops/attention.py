@@ -24,7 +24,7 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def update_kv_cache(
-    k_cache,             # (B, S, Hkv, D) array or QuantKV
+    k_cache,             # (B, S, Hkv, D) or flat (B, S, Hkv*D) array or QuantKV
     v_cache,
     k_new: jax.Array,    # (B, T, Hkv, D)
     v_new: jax.Array,
@@ -32,16 +32,32 @@ def update_kv_cache(
 ):
     from tpu_llm.ops.kv_cache import QuantKV, quantize_kv
 
+    if k_new.ndim == 4:
+        B, T, Hkv, D = k_new.shape
     if isinstance(k_cache, QuantKV):
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
+        if k_cache.q.ndim == 3:  # flat plane + flat (B, S*Hkv) scales
+            kq = kq.reshape(B, T, Hkv * D)
+            vq = vq.reshape(B, T, Hkv * D)
+            kq_c, vq_c = update_kv_cache(k_cache.q, v_cache.q, kq, vq, offset)
+            ks_c, vs_c = _update_scales_flat(
+                k_cache.s, v_cache.s, ks.reshape(B, T * Hkv),
+                vs.reshape(B, T * Hkv), offset, Hkv)
+            return QuantKV(kq_c, ks_c), QuantKV(vq_c, vs_c)
         kq_c, vq_c = update_kv_cache(k_cache.q, v_cache.q, kq, vq, offset)
         ks_c, vs_c = _update_scales(k_cache.s, v_cache.s, ks, vs, offset)
         return QuantKV(kq_c, ks_c), QuantKV(vq_c, vs_c)
+    if k_cache.ndim == 3 and k_new.ndim == 4:
+        # flat storage (see QuantKV.zeros / llama.init_cache): the 4D
+        # (.., Hkv, D) layout is padded on TPU and every update copies
+        # the whole plane (experiments/dus_alias.py)
+        k_new = k_new.reshape(B, T, Hkv * D)
+        v_new = v_new.reshape(B, T, Hkv * D)
     offset = offset.astype(jnp.int32)
     if offset.ndim == 0:
         zero = jnp.zeros((), dtype=jnp.int32)
-        idx = (zero, offset, zero, zero)
+        idx = (zero, offset) + (zero,) * (k_cache.ndim - 2)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), idx)
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), idx)
         return k_cache, v_cache
@@ -49,11 +65,32 @@ def update_kv_cache(
     # per-slot offsets (continuous batching): vmap the row update
     def row(kc, vc, kn, vn, off):
         zero = jnp.zeros((), dtype=jnp.int32)
-        kc = jax.lax.dynamic_update_slice(kc, kn.astype(kc.dtype), (off, zero, zero))
-        vc = jax.lax.dynamic_update_slice(vc, vn.astype(vc.dtype), (off, zero, zero))
+        idx = (off,) + (zero,) * (kc.ndim - 1)
+        kc = jax.lax.dynamic_update_slice(kc, kn.astype(kc.dtype), idx)
+        vc = jax.lax.dynamic_update_slice(vc, vn.astype(vc.dtype), idx)
         return kc, vc
 
     return jax.vmap(row)(k_cache, v_cache, k_new, v_new, offset)
+
+
+def _update_scales_flat(ks_c, vs_c, ks, vs, offset, hkv: int):
+    """Write (B, T*Hkv) scale rows into flat (B, S*Hkv) planes."""
+    offset = offset.astype(jnp.int32)
+    if offset.ndim == 0:
+        zero = jnp.zeros((), dtype=jnp.int32)
+        idx = (zero, offset * hkv)
+        return (
+            jax.lax.dynamic_update_slice(ks_c, ks.astype(ks_c.dtype), idx),
+            jax.lax.dynamic_update_slice(vs_c, vs.astype(vs_c.dtype), idx),
+        )
+
+    def row(sc, sn, off):
+        return jax.lax.dynamic_update_slice(sc, sn.astype(sc.dtype), (off * hkv,))
+
+    return (
+        jax.vmap(row)(ks_c, ks, offset),
+        jax.vmap(row)(vs_c, vs, offset),
+    )
 
 
 def _update_scales(ks_c, vs_c, ks, vs, offset):
@@ -100,7 +137,12 @@ def gqa_attention(
     from tpu_llm.ops.kv_cache import QuantKV
 
     if isinstance(k_cache, QuantKV):
+        if k_cache.q.ndim == 3:
+            return _gqa_attention_int8_flat(
+                q, k_cache, v_cache, q_positions, kv_lengths)
         return _gqa_attention_int8(q, k_cache, v_cache, q_positions, kv_lengths)
+    if k_cache.ndim == 3:
+        return _gqa_attention_flat(q, k_cache, v_cache, q_positions, kv_lengths)
     B, T, H, D = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
     G = H // Hkv
@@ -141,6 +183,119 @@ def gqa_attention(
         "bthgs,bshd->bthgd", att, v_cache, preferred_element_type=jnp.float32
     )
     return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def _block_diag_q(q, Hkv: int, dtype):
+    """(B, T, H, D) -> (B, T, H, Hkv*D) with row h zero outside kv head
+    h // G's D columns: one full-width contraction against a FLAT cache
+    plane replaces the per-group einsum (same math — the zero columns
+    contribute exact zeros)."""
+    B, T, H, D = q.shape
+    G = H // Hkv
+    col_head = jnp.arange(Hkv * D, dtype=jnp.int32) // D        # (Hkv*D,)
+    row_head = jnp.arange(H, dtype=jnp.int32) // G              # (H,)
+    diag = row_head[:, None] == col_head[None, :]               # (H, Hkv*D)
+    q_tiled = jnp.concatenate([q.astype(dtype)] * Hkv, axis=-1)
+    return jnp.where(diag[None, None], q_tiled, jnp.zeros((), dtype))
+
+
+def _pick_own_block(full, Hkv: int, G: int):
+    """(B, T, H, Hkv*D) AV output -> (B, T, H, D): row h keeps kv head
+    h // G's D-column block (small array; reshape+einsum selection)."""
+    B, T, H, HkvD = full.shape
+    D = HkvD // Hkv
+    sel = (jnp.arange(H, dtype=jnp.int32)[:, None] // G
+           == jnp.arange(Hkv, dtype=jnp.int32)[None, :])
+    return jnp.einsum(
+        "bthkd,hk->bthd", full.reshape(B, T, H, Hkv, D),
+        sel.astype(full.dtype), preferred_element_type=jnp.float32,
+    )
+
+
+def _gqa_attention_flat(q, k_cache, v_cache, q_positions, kv_lengths):
+    """Dense attention against FLAT (B, S, Hkv*D) cache planes.
+
+    The contraction runs over the full Hkv*D axis with a block-diagonal
+    q (exact — zero columns add zeros), trading Hkv x more MXU MACs
+    (trivial at decode shapes) for a cache layout whose updates are
+    in-place (see update_kv_cache)."""
+    B, T, H, D = q.shape
+    S, HkvD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HkvD // D
+    G = H // Hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    bf16_inputs = (
+        q.dtype == jnp.bfloat16
+        and k_cache.dtype == jnp.bfloat16
+        and v_cache.dtype == jnp.bfloat16
+    )
+    cdt = jnp.bfloat16 if bf16_inputs else jnp.float32
+    if not bf16_inputs:
+        k_cache = k_cache.astype(jnp.float32)
+        v_cache = v_cache.astype(jnp.float32)
+    qbd = _block_diag_q(q, Hkv, cdt)
+
+    scores = jnp.einsum(
+        "bthc,bsc->bths", qbd, k_cache, preferred_element_type=jnp.float32
+    ) * scale                                             # (B, T, H, S)
+
+    if q_positions.ndim == 1:
+        q_positions = q_positions[None, :]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    mask = s_idx[None, None, :] <= q_positions[:, :, None]   # (B, T, S)
+    if kv_lengths is not None:
+        mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
+    scores = jnp.where(mask[:, :, None, :], scores, _NEG_INF)
+
+    att = jax.nn.softmax(scores, axis=-1)
+    full = jnp.einsum(
+        "bths,bsc->bthc", att.astype(cdt), v_cache,
+        preferred_element_type=jnp.float32,
+    )                                                     # (B, T, H, Hkv*D)
+    return _pick_own_block(full, Hkv, G).astype(q.dtype)
+
+
+def _gqa_attention_int8_flat(q, k_cache, v_cache, q_positions, kv_lengths):
+    """int8 attention against flat QuantKV planes (q (B,S,Hkv*D) int8,
+    s (B,S*Hkv) f32): block-diag contraction as _gqa_attention_flat, with
+    the per-(token, head) K scale applied to the score matrix and the V
+    scale folded into the attention weights."""
+    B, T, H, D = q.shape
+    S, HkvD = k_cache.q.shape[1], k_cache.q.shape[2]
+    Hkv = HkvD // D
+    G = H // Hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    cdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    qbd = _block_diag_q(q, Hkv, cdt)
+    scores = jnp.einsum(
+        "bthc,bsc->bths", qbd, k_cache.q.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    # (B, S*Hkv) -> per-query-head (B, H, S): transpose to (B, Hkv, S)
+    # first (sublane-only padding), then repeat each kv head G times
+    def head_scales(s_flat):
+        s3 = s_flat.reshape(B, S, Hkv).transpose(0, 2, 1)   # (B, Hkv, S)
+        return jnp.repeat(s3, G, axis=1)                     # (B, H, S)
+
+    scores = scores * (head_scales(k_cache.s) * scale)[:, None]
+
+    if q_positions.ndim == 1:
+        q_positions = q_positions[None, :]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    mask = s_idx[None, None, :] <= q_positions[:, :, None]
+    if kv_lengths is not None:
+        mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
+    scores = jnp.where(mask[:, :, None, :], scores, _NEG_INF)
+
+    att = jax.nn.softmax(scores, axis=-1)
+    att = att * head_scales(v_cache.s)[:, None]
+    full = jnp.einsum(
+        "bths,bsc->bthc", att.astype(cdt), v_cache.q.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return _pick_own_block(full, Hkv, G).astype(q.dtype)
 
 
 def _causal_mask(scores, q_positions, S, kv_lengths):

@@ -54,7 +54,19 @@ class QuantKV:
         return self.q.dtype
 
     @classmethod
-    def zeros(cls, shape, *_ignored) -> "QuantKV":
+    def zeros(cls, shape, *_ignored, flat: bool = False) -> "QuantKV":
+        """``flat=True`` stores the logical (B, S, Hkv, D) plane as
+        (B, S, Hkv*D) int8 with scales (B, S*Hkv): the (.., 4, 64) minor
+        dims of TinyLlama-class caches force a padded TPU layout on which
+        XLA copies the WHOLE plane per dynamic_update_slice (27us/plane
+        at batch 32 — experiments/dus_alias.py); the flat layout updates
+        in place."""
+        if flat:
+            *lead, s_len, hkv, d = shape
+            return cls(
+                q=jnp.zeros((*lead, s_len, hkv * d), jnp.int8),
+                s=jnp.zeros((*lead, s_len * hkv), jnp.float32),
+            )
         return cls(
             q=jnp.zeros(shape, jnp.int8),
             s=jnp.zeros(shape[:-1], jnp.float32),
