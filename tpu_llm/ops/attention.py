@@ -37,13 +37,13 @@ def update_kv_cache(
     if isinstance(k_cache, QuantKV):
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
-        if k_cache.q.ndim == 3:  # flat plane + flat (B, S*Hkv) scales
+        if k_cache.q.ndim == 3:  # flat plane + (B, Hkv, S) scales
             kq = kq.reshape(B, T, Hkv * D)
             vq = vq.reshape(B, T, Hkv * D)
             kq_c, vq_c = update_kv_cache(k_cache.q, v_cache.q, kq, vq, offset)
             ks_c, vs_c = _update_scales_flat(
-                k_cache.s, v_cache.s, ks.reshape(B, T * Hkv),
-                vs.reshape(B, T * Hkv), offset, Hkv)
+                k_cache.s, v_cache.s, ks.transpose(0, 2, 1),
+                vs.transpose(0, 2, 1), offset)
             return QuantKV(kq_c, ks_c), QuantKV(vq_c, vs_c)
         kq_c, vq_c = update_kv_cache(k_cache.q, v_cache.q, kq, vq, offset)
         ks_c, vs_c = _update_scales(k_cache.s, v_cache.s, ks, vs, offset)
@@ -73,19 +73,21 @@ def update_kv_cache(
     return jax.vmap(row)(k_cache, v_cache, k_new, v_new, offset)
 
 
-def _update_scales_flat(ks_c, vs_c, ks, vs, offset, hkv: int):
-    """Write (B, T*Hkv) scale rows into flat (B, S*Hkv) planes."""
+def _update_scales_flat(ks_c, vs_c, ks, vs, offset):
+    """Write (B, Hkv, T) scale slabs into (B, Hkv, S) planes at lane
+    offset ``offset`` (in-place — experiments/dus_alias.py)."""
     offset = offset.astype(jnp.int32)
     if offset.ndim == 0:
         zero = jnp.zeros((), dtype=jnp.int32)
-        idx = (zero, offset * hkv)
+        idx = (zero, zero, offset)
         return (
             jax.lax.dynamic_update_slice(ks_c, ks.astype(ks_c.dtype), idx),
             jax.lax.dynamic_update_slice(vs_c, vs.astype(vs_c.dtype), idx),
         )
 
     def row(sc, sn, off):
-        return jax.lax.dynamic_update_slice(sc, sn.astype(sc.dtype), (off * hkv,))
+        zero = jnp.zeros((), dtype=jnp.int32)
+        return jax.lax.dynamic_update_slice(sc, sn.astype(sc.dtype), (zero, off))
 
     return (
         jax.vmap(row)(ks_c, ks, offset),
@@ -273,10 +275,9 @@ def _gqa_attention_int8_flat(q, k_cache, v_cache, q_positions, kv_lengths):
         "bthc,bsc->bths", qbd, k_cache.q.astype(cdt),
         preferred_element_type=jnp.float32,
     )
-    # (B, S*Hkv) -> per-query-head (B, H, S): transpose to (B, Hkv, S)
-    # first (sublane-only padding), then repeat each kv head G times
-    def head_scales(s_flat):
-        s3 = s_flat.reshape(B, S, Hkv).transpose(0, 2, 1)   # (B, Hkv, S)
+    # scales are stored kv-head-major (B, Hkv, S): repeat each kv head G
+    # times for the per-query-head (B, H, S) factor — no transpose
+    def head_scales(s3):
         return jnp.repeat(s3, G, axis=1)                     # (B, H, S)
 
     scores = scores * (head_scales(k_cache.s) * scale)[:, None]

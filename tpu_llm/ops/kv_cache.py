@@ -65,7 +65,10 @@ class QuantKV:
             *lead, s_len, hkv, d = shape
             return cls(
                 q=jnp.zeros((*lead, s_len, hkv * d), jnp.int8),
-                s=jnp.zeros((*lead, s_len * hkv), jnp.float32),
+                # scales kv-head-major: updates write a (B, Hkv, T) slab
+                # at lane offset pos (in-place), and the attention read
+                # needs (B, Hkv, S) anyway — no per-step transpose
+                s=jnp.zeros((*lead, hkv, s_len), jnp.float32),
             )
         return cls(
             q=jnp.zeros(shape, jnp.int8),
