@@ -138,13 +138,28 @@ def gqa_attention(
     """
     from tpu_llm.ops.kv_cache import QuantKV
 
+    T, D = q.shape[1], q.shape[3]
     if isinstance(k_cache, QuantKV):
         if k_cache.q.ndim == 3:
-            return _gqa_attention_int8_flat(
-                q, k_cache, v_cache, q_positions, kv_lengths)
+            if T > 1:
+                # prefill: the block-diag flat contraction costs Hkv x
+                # the MACs and materializes an Hkv x wider AV tensor —
+                # one reshape to the 4D layout per prefill call is
+                # cheaper (decode T=1 keeps the flat path)
+                k_cache, v_cache = (_quantkv_to_4d(k_cache, D),
+                                    _quantkv_to_4d(v_cache, D))
+            else:
+                return _gqa_attention_int8_flat(
+                    q, k_cache, v_cache, q_positions, kv_lengths)
         return _gqa_attention_int8(q, k_cache, v_cache, q_positions, kv_lengths)
     if k_cache.ndim == 3:
-        return _gqa_attention_flat(q, k_cache, v_cache, q_positions, kv_lengths)
+        if T > 1:
+            B, S, HkvD = k_cache.shape
+            k_cache = k_cache.reshape(B, S, HkvD // D, D)
+            v_cache = v_cache.reshape(B, S, HkvD // D, D)
+        else:
+            return _gqa_attention_flat(
+                q, k_cache, v_cache, q_positions, kv_lengths)
     B, T, H, D = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
     G = H // Hkv
@@ -170,13 +185,7 @@ def gqa_attention(
         "bthgd,bshd->bthgs", qg, k_cache, preferred_element_type=jnp.float32
     ) * scale
 
-    if q_positions.ndim == 1:
-        q_positions = q_positions[None, :]
-    s_idx = jnp.arange(S, dtype=jnp.int32)
-    mask = s_idx[None, None, :] <= q_positions[:, :, None]  # (B, T, S)
-    if kv_lengths is not None:
-        mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
-    scores = jnp.where(mask[:, :, None, None, :], scores, _NEG_INF)
+    scores = _causal_mask(scores, q_positions, S, kv_lengths)
 
     att = jax.nn.softmax(scores, axis=-1)
     if bf16_inputs:
@@ -185,6 +194,18 @@ def gqa_attention(
         "bthgs,bshd->bthgd", att, v_cache, preferred_element_type=jnp.float32
     )
     return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def _quantkv_to_4d(kv, head_dim: int):
+    """Flat QuantKV (q (B,S,Hkv*D), s (B,Hkv,S)) -> 4D layout view."""
+    from tpu_llm.ops.kv_cache import QuantKV
+
+    B, S, HkvD = kv.q.shape
+    hkv = HkvD // head_dim
+    return QuantKV(
+        q=kv.q.reshape(B, S, hkv, head_dim),
+        s=jnp.swapaxes(kv.s, 1, 2),
+    )
 
 
 def _block_diag_q(q, Hkv: int, dtype):
@@ -242,13 +263,7 @@ def _gqa_attention_flat(q, k_cache, v_cache, q_positions, kv_lengths):
         "bthc,bsc->bths", qbd, k_cache, preferred_element_type=jnp.float32
     ) * scale                                             # (B, T, H, S)
 
-    if q_positions.ndim == 1:
-        q_positions = q_positions[None, :]
-    s_idx = jnp.arange(S, dtype=jnp.int32)
-    mask = s_idx[None, None, :] <= q_positions[:, :, None]   # (B, T, S)
-    if kv_lengths is not None:
-        mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
-    scores = jnp.where(mask[:, :, None, :], scores, _NEG_INF)
+    scores = _causal_mask(scores, q_positions, S, kv_lengths)
 
     att = jax.nn.softmax(scores, axis=-1)
     full = jnp.einsum(
@@ -282,13 +297,7 @@ def _gqa_attention_int8_flat(q, k_cache, v_cache, q_positions, kv_lengths):
 
     scores = scores * (head_scales(k_cache.s) * scale)[:, None]
 
-    if q_positions.ndim == 1:
-        q_positions = q_positions[None, :]
-    s_idx = jnp.arange(S, dtype=jnp.int32)
-    mask = s_idx[None, None, :] <= q_positions[:, :, None]
-    if kv_lengths is not None:
-        mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
-    scores = jnp.where(mask[:, :, None, :], scores, _NEG_INF)
+    scores = _causal_mask(scores, q_positions, S, kv_lengths)
 
     att = jax.nn.softmax(scores, axis=-1)
     att = att * head_scales(v_cache.s)[:, None]
@@ -300,13 +309,16 @@ def _gqa_attention_int8_flat(q, k_cache, v_cache, q_positions, kv_lengths):
 
 
 def _causal_mask(scores, q_positions, S, kv_lengths):
+    """Mask ``scores`` (B, T, <head axes...>, S) to slots s <= q_position
+    (and s < kv_length per row). Head-axis count inferred from ndim."""
     if q_positions.ndim == 1:
         q_positions = q_positions[None, :]
     s_idx = jnp.arange(S, dtype=jnp.int32)
     mask = s_idx[None, None, :] <= q_positions[:, :, None]  # (B, T, S)
     if kv_lengths is not None:
         mask = mask & (s_idx[None, None, :] < kv_lengths[:, None, None])
-    return jnp.where(mask[:, :, None, None, :], scores, _NEG_INF)
+    expand = (slice(None), slice(None)) + (None,) * (scores.ndim - 3)
+    return jnp.where(mask[expand + (slice(None),)], scores, _NEG_INF)
 
 
 def _gqa_attention_int8(q, k_cache, v_cache, q_positions, kv_lengths):

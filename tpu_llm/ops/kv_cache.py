@@ -56,11 +56,11 @@ class QuantKV:
     @classmethod
     def zeros(cls, shape, *_ignored, flat: bool = False) -> "QuantKV":
         """``flat=True`` stores the logical (B, S, Hkv, D) plane as
-        (B, S, Hkv*D) int8 with scales (B, S*Hkv): the (.., 4, 64) minor
-        dims of TinyLlama-class caches force a padded TPU layout on which
-        XLA copies the WHOLE plane per dynamic_update_slice (27us/plane
-        at batch 32 — experiments/dus_alias.py); the flat layout updates
-        in place."""
+        (B, S, Hkv*D) int8 with kv-head-major scales (B, Hkv, S): the
+        (.., 4, 64) minor dims of TinyLlama-class caches force a padded
+        TPU layout on which XLA copies the WHOLE plane per
+        dynamic_update_slice (27us/plane at batch 32 —
+        experiments/dus_alias.py); the flat layout updates in place."""
         if flat:
             *lead, s_len, hkv, d = shape
             return cls(
@@ -86,5 +86,17 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, s
 
 
-def dequantize_kv(kv: QuantKV, dtype=jnp.float32) -> jax.Array:
+def dequantize_kv(kv: QuantKV, dtype=jnp.float32, head_dim: int | None = None
+                  ) -> jax.Array:
+    """Materialize the float cache. 4D layout -> (B, S, Hkv, D); flat
+    layout (q (B, S, Hkv*D), s (B, Hkv, S)) -> same 4D shape —
+    ``head_dim`` is required for flat planes to split Hkv*D."""
+    if kv.q.ndim == kv.s.ndim:  # flat layout
+        if head_dim is None:
+            raise ValueError("flat QuantKV needs head_dim to dequantize")
+        *lead, S, HkvD = kv.q.shape
+        hkv = HkvD // head_dim
+        q4 = kv.q.reshape(*lead, S, hkv, head_dim).astype(jnp.float32)
+        s = jnp.swapaxes(kv.s, -1, -2)          # (..., S, Hkv)
+        return (q4 * s[..., None]).astype(dtype)
     return (kv.q.astype(jnp.float32) * kv.s[..., None]).astype(dtype)
