@@ -89,3 +89,16 @@ def test_nested_string_array(tmp_path):
     gg.write_gguf(path, {"strs": ["a", "bb", "ccc"]}, {"t": np.zeros((2, 2), np.float32)})
     f = gg.GGUFFile(path)
     assert f.metadata["strs"] == ["a", "bb", "ccc"]
+
+
+def test_q5_tensor_roundtrip(tmp_path):
+    path = str(tmp_path / "q5.gguf")
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((4, 64)).astype(np.float32)
+    gg.write_gguf(path, {}, {"w50": (w, gg.GGML_Q5_0), "w51": (w, gg.GGML_Q5_1)})
+    f = gg.GGUFFile(path)
+    assert f.tensors["w50"].nbytes == 4 * 2 * blocks.Q5_0_BLOCK_BYTES
+    assert f.tensors["w51"].nbytes == 4 * 2 * blocks.Q5_1_BLOCK_BYTES
+    for name in ("w50", "w51"):
+        deq = f.dequantized(name)
+        assert np.abs(deq - w).max() <= np.abs(w).max() / 14.0

@@ -145,3 +145,31 @@ def test_quantkv_is_donatable_pytree():
     assert len(leaves) == 2
     back = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(back, QuantKV)
+
+
+def test_flash_prefill_over_dequantized_int8_matches_einsum():
+    """The int8-prefill flash route (models/llama._attend): dequantize the
+    QuantKV cache once to bf16 and run the flash kernel — must match the
+    direct int8 einsum attention within bf16 tolerance."""
+    from tpu_llm.ops.flash_attention import flash_gqa_attention
+
+    rng = np.random.default_rng(9)
+    B, T, S, H, Hkv, D = 1, 32, 32, 8, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    kc, vc = QuantKV.zeros((B, S, Hkv, D), flat=True), QuantKV.zeros(
+        (B, S, Hkv, D), flat=True)
+    kc, vc = update_kv_cache(kc, vc, k, v, jnp.int32(0))
+    positions = jnp.arange(T, dtype=jnp.int32)
+    expected = gqa_attention(q, kc, vc, positions)
+
+    kd = dequantize_kv(kc, jnp.bfloat16, head_dim=D)
+    vd = dequantize_kv(vc, jnp.bfloat16, head_dim=D)
+    got = flash_gqa_attention(
+        q.astype(jnp.bfloat16), kd, vd, jnp.int32(0),
+        block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected), rtol=0.05, atol=0.05
+    )

@@ -169,3 +169,30 @@ def test_qmatmul_f16bit_scales_interpret():
         qp = jax.jit(lambda q: pack_scales_f16(q))(qt)
         got = np.asarray(qmatmul_pallas(jnp.asarray(x), qp, interpret=True))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_q5_0_roundtrip_error_bounded():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(256).astype(np.float32)
+    y = blocks.dequantize_q5_0(blocks.quantize_q5_0(x), 256)
+    for b in range(256 // 32):
+        blk = slice(b * 32, (b + 1) * 32)
+        bound = np.abs(x[blk]).max() / 14.0  # half a 5-bit step + f16 scale error
+        assert np.abs(x[blk] - y[blk]).max() <= bound
+
+
+def test_q5_1_roundtrip_error_bounded():
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(256).astype(np.float32)
+    y = blocks.dequantize_q5_1(blocks.quantize_q5_1(x), 256)
+    for b in range(256 // 32):
+        blk = slice(b * 32, (b + 1) * 32)
+        span = x[blk].max() - x[blk].min()
+        assert np.abs(x[blk] - y[blk]).max() <= span / 30.0
+
+
+def test_q5_0_uses_high_bit():
+    # values needing 5 bits: +/-15 around 0 quantize distinguishably
+    x = np.linspace(-1.0, 1.0, 32, dtype=np.float32)
+    y = blocks.dequantize_q5_0(blocks.quantize_q5_0(x), 32)
+    assert len(np.unique(y)) > 16  # 4-bit could represent at most 16 levels

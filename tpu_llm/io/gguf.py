@@ -6,7 +6,7 @@ magic 1179993927 = "GGUF" (``read_ggml.f90:122``), u64 tensor/kv counts
 ggml_type, offset), data section aligned to ``general.alignment`` (default
 32, ``read_ggml.f90:176-192``) — plus what the reference doesn't: v1 (u32
 counts), all 13 scalar KV types, nested arrays, and quantized tensor dtypes
-Q4_0/Q4_1/Q8_0 in addition to F32/F16/BF16.
+Q4_0/Q4_1/Q5_0/Q5_1/Q8_0 in addition to F32/F16/BF16.
 
 Tensor data is memory-mapped, not eagerly read: loaders slice per-tensor
 views and dequantize (or repack for the Pallas kernels) lazily.
@@ -50,6 +50,7 @@ GGML_BF16 = 30
 GGML_TYPE_NAMES = {
     GGML_F32: "f32", GGML_F16: "f16", GGML_BF16: "bf16", GGML_F64: "f64",
     GGML_Q4_0: "q4_0", GGML_Q4_1: "q4_1", GGML_Q8_0: "q8_0",
+    GGML_Q5_0: "q5_0", GGML_Q5_1: "q5_1",
     GGML_I8: "i8", GGML_I16: "i16", GGML_I32: "i32",
 }
 
@@ -59,6 +60,8 @@ _TYPE_TRAITS = {
     GGML_I8: (1, 1), GGML_I16: (1, 2), GGML_I32: (1, 4),
     GGML_Q4_0: (qblocks.QK4_0, qblocks.Q4_0_BLOCK_BYTES),
     GGML_Q4_1: (qblocks.QK4_1, qblocks.Q4_1_BLOCK_BYTES),
+    GGML_Q5_0: (qblocks.QK5_0, qblocks.Q5_0_BLOCK_BYTES),
+    GGML_Q5_1: (qblocks.QK5_1, qblocks.Q5_1_BLOCK_BYTES),
     GGML_Q8_0: (qblocks.QK8_0, qblocks.Q8_0_BLOCK_BYTES),
 }
 
@@ -228,6 +231,10 @@ class GGUFFile:
             return qblocks.dequantize_q4_0(raw, t.n_elems).reshape(t.shape).astype(dtype)
         if t.ggml_type == GGML_Q4_1:
             return qblocks.dequantize_q4_1(raw, t.n_elems).reshape(t.shape).astype(dtype)
+        if t.ggml_type == GGML_Q5_0:
+            return qblocks.dequantize_q5_0(raw, t.n_elems).reshape(t.shape).astype(dtype)
+        if t.ggml_type == GGML_Q5_1:
+            return qblocks.dequantize_q5_1(raw, t.n_elems).reshape(t.shape).astype(dtype)
         if t.ggml_type == GGML_Q8_0:
             return qblocks.dequantize_q8_0(raw, t.n_elems).reshape(t.shape).astype(dtype)
         raise ValueError(
@@ -310,6 +317,10 @@ def _encode_tensor(data: np.ndarray, ggml_type: int) -> bytes:
         return rounded.tobytes()
     if ggml_type == GGML_Q4_0:
         return qblocks.quantize_q4_0(flat.reshape(-1))
+    if ggml_type == GGML_Q5_0:
+        return qblocks.quantize_q5_0(flat.reshape(-1))
+    if ggml_type == GGML_Q5_1:
+        return qblocks.quantize_q5_1(flat.reshape(-1))
     if ggml_type == GGML_Q8_0:
         return qblocks.quantize_q8_0(flat.reshape(-1))
     if ggml_type == GGML_I32:

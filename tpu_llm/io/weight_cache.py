@@ -75,7 +75,11 @@ def save_weight_cache(path: str, params: Any, cfg: LlamaConfig):
 
 
 def load_weight_cache(path: str) -> Tuple[Any, LlamaConfig]:
-    z = np.load(path)
+    with np.load(path) as z:
+        return _build_tree(z)
+
+
+def _build_tree(z) -> Tuple[Any, LlamaConfig]:
     meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
     assert meta.get("magic") == MAGIC, f"not a tpu_llm weight cache: {path}"
     cfg = LlamaConfig(**meta["config"])

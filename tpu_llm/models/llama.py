@@ -7,7 +7,8 @@ parameters stacked on a leading L axis (one compiled block, MXU-friendly,
 fast compiles), replacing the reference's per-layer Fortran loop
 (``llama2.f90:523-624``).
 
-Numerics parity with the reference (pinned by tests/test_parity_fortran.py):
+Numerics parity with the reference (pinned by tests/test_llama.py and
+tests/test_ops.py against the tests/reference_impl.py oracle):
 RMSNorm eps-inside-mean (llama2.f90:454), interleaved RoPE (llama2.f90:543-
 559; exact 1-based variant available as rope_variant="llmf90"), correct GQA
 kv-head mapping h // kv_groups (the INTENT of llama2.f90:581 — the literal
@@ -134,7 +135,6 @@ def _attend(q, kc, vc, positions, offset):
 
     use_flash = (
         T > 1
-        and not isinstance(kc, QuantKV)   # flash kernel reads dense planes
         and offset.ndim == 0
         and jax.default_backend() not in ("cpu",)
         and not os.environ.get("TPU_LLM_DISABLE_FLASH")
@@ -147,13 +147,24 @@ def _attend(q, kc, vc, positions, offset):
     if use_flash:
         from tpu_llm.ops.flash_attention import flash_gqa_attention
 
-        if kc.ndim == 3:  # flat planes -> 4D view for the kernel's
+        B, D = q.shape[0], q.shape[3]
+        out_dtype = q.dtype
+        if isinstance(kc, QuantKV):
+            # int8 cache: dequantize ONCE per prefill call (bf16, 2x the
+            # int8 plane bytes, amortized over the whole prompt) rather
+            # than fall to the einsum path and materialize the full
+            # (B,T,Hkv,G,S) score tensor — the blowup flash exists to
+            # avoid (~0.5 GB at full context)
+            from tpu_llm.ops.kv_cache import dequantize_kv
+
+            kc = dequantize_kv(kc, jnp.bfloat16, head_dim=D)
+            vc = dequantize_kv(vc, jnp.bfloat16, head_dim=D)
+            q = q.astype(jnp.bfloat16)
+        elif kc.ndim == 3:  # flat planes -> 4D view for the kernel's
             # per-head index maps (one materialization per PREFILL call)
-            B = q.shape[0]
-            D = q.shape[3]
             kc = kc.reshape(B, S, kc.shape[2] // D, D)
             vc = vc.reshape(B, S, vc.shape[2] // D, D)
-        return flash_gqa_attention(q, kc, vc, offset)
+        return flash_gqa_attention(q, kc, vc, offset).astype(out_dtype)
     return gqa_attention(q, kc, vc, positions)
 
 

@@ -32,9 +32,9 @@ def update_kv_cache(
 ):
     from tpu_llm.ops.kv_cache import QuantKV, quantize_kv
 
-    if k_new.ndim == 4:
-        B, T, Hkv, D = k_new.shape
     if isinstance(k_cache, QuantKV):
+        assert k_new.ndim == 4, f"k_new must be (B, T, Hkv, D), got {k_new.shape}"
+        B, T, Hkv, D = k_new.shape
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
         if k_cache.q.ndim == 3:  # flat plane + (B, Hkv, S) scales
@@ -50,8 +50,9 @@ def update_kv_cache(
         return QuantKV(kq_c, ks_c), QuantKV(vq_c, vs_c)
     if k_cache.ndim == 3 and k_new.ndim == 4:
         # flat storage (see QuantKV.zeros / llama.init_cache): the 4D
-        # (.., Hkv, D) layout is padded on TPU and every update copies
+        # (.., Hkv, D) layout is padded on TPU and every cache update copies
         # the whole plane (experiments/dus_alias.py)
+        B, T, Hkv, D = k_new.shape
         k_new = k_new.reshape(B, T, Hkv * D)
         v_new = v_new.reshape(B, T, Hkv * D)
     offset = offset.astype(jnp.int32)
@@ -275,7 +276,8 @@ def _gqa_attention_flat(q, k_cache, v_cache, q_positions, kv_lengths):
 
 def _gqa_attention_int8_flat(q, k_cache, v_cache, q_positions, kv_lengths):
     """int8 attention against flat QuantKV planes (q (B,S,Hkv*D) int8,
-    s (B,S*Hkv) f32): block-diag contraction as _gqa_attention_flat, with
+    kv-head-major scales s (B,Hkv,S) f32 — see QuantKV.zeros(flat=True)):
+    block-diag contraction as _gqa_attention_flat, with
     the per-(token, head) K scale applied to the score matrix and the V
     scale folded into the attention weights."""
     B, T, H, D = q.shape

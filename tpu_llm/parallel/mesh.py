@@ -21,20 +21,29 @@ def make_mesh(
     data: int = 1,
     model: Optional[int] = None,
     pipe: int = 1,
+    expert: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (pipe, data, model) mesh. ``model`` defaults to all remaining
-    devices. model-axis devices are placed innermost (adjacent device ids)
-    so TP collectives ride the fastest ICI links; pipe is outermost — stage
-    handoffs are the rarest, cheapest collective, so they can cross hosts
-    (DCN) while TP stays on ICI."""
+    """Build a (pipe, data, expert, model) mesh. ``model`` defaults to all
+    remaining devices. model-axis devices are placed innermost (adjacent
+    device ids) so TP collectives ride the fastest ICI links; pipe is
+    outermost — stage handoffs are the rarest, cheapest collective, so they
+    can cross hosts (DCN) while TP stays on ICI.
+
+    ``expert`` is the reserved expert-parallel axis (SURVEY.md §2.3 EP row:
+    no MoE models in the capability set, so the axis exists for sharding
+    specs to name but defaults to size 1 — a size-1 axis is free)."""
     devs = list(devices if devices is not None else jax.devices())
     if model is None:
-        model = len(devs) // (data * pipe)
-    if pipe * data * model > len(devs):
-        raise ValueError(f"mesh {pipe}x{data}x{model} exceeds {len(devs)} devices")
-    grid = np.asarray(devs[: pipe * data * model]).reshape(pipe, data, model)
-    return Mesh(grid, axis_names=("pipe", "data", "model"))
+        model = len(devs) // (data * pipe * expert)
+    if pipe * data * expert * model > len(devs):
+        raise ValueError(
+            f"mesh {pipe}x{data}x{expert}x{model} exceeds {len(devs)} devices"
+        )
+    grid = np.asarray(devs[: pipe * data * expert * model]).reshape(
+        pipe, data, expert, model
+    )
+    return Mesh(grid, axis_names=("pipe", "data", "expert", "model"))
 
 
 def single_device_mesh() -> Mesh:

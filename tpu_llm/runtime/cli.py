@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "heads/ffn/vocab over the mesh 'model' axis")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel degree (batch axis of the mesh)")
+    p.add_argument("--timings", action="store_true",
+                   help="after generation, measure and print the reference's "
+                        "five per-token timing buckets (qkv/rope/attention/"
+                        "ffn/classifier, llama2.f90:403-410) — each bucket "
+                        "slope-timed on device at the run's decode shapes")
     p.add_argument("--profile", default="", metavar="DIR",
                    help="capture an XProf trace of the run into DIR; the "
                         "reference's five timing buckets (qkv/rope/attention/"
@@ -196,11 +201,19 @@ def main(argv=None) -> int:
     print(f" Inference time: {res.total_s:10.4f} seconds")
     print(f" {res.tokens_per_s:10.4f} tokens/second (decode)")
     print(f" TTFT: {res.ttft_s * 1000:10.2f} ms")
+    if args.timings:
+        from tpu_llm.runtime.phase_timing import format_report, measure_phase_times
+
+        res.phase_times = measure_phase_times(
+            params, cfg, batch=1, pos=len(res.tokens), max_seq=max_seq
+        )
+        print(format_report(res.phase_times))
     if args.profile:
         print(f" Timings: XProf trace written to {args.profile}")
         print("  buckets qkv/rope/attention/ffn/classifier are named scopes")
-    else:
-        print(" Timings: pass --profile DIR for the per-bucket XProf trace")
+    elif not args.timings:
+        print(" Timings: pass --timings for the per-bucket report, or "
+              "--profile DIR for an XProf trace")
     return 0
 
 
