@@ -114,3 +114,43 @@ def test_mamba_slot_reuse_resets_state():
     se = Engine(params, adapter, max_seq=24)
     s2 = se.generate([9, 4], n_new=5, add_bos=False)
     assert r2.tokens == s2.tokens[2:]
+
+
+def test_long_prompt_admitted_in_one_step():
+    """Dedicated prefill: a P-token prompt costs ONE engine step to produce
+    its first token, not P teacher-forcing steps."""
+    _, _, _, be, se = setup(batch=2)
+    long_prompt = list(range(3, 3 + 10))
+    r = be.submit(Request(prompt=long_prompt, max_new=3))
+    steps = 0
+    while not r.tokens and steps < 5:
+        be.step()
+        steps += 1
+    assert len(r.tokens) >= 1 and steps == 1, (steps, r.tokens)
+    be.run()
+    assert r.tokens == single_stream_tokens(se, long_prompt, 3)
+
+
+def test_long_prompt_admitted_mid_decode():
+    """Admitting a long prompt while another slot decodes must not perturb
+    either stream (VERDICT r1 item 5)."""
+    _, _, _, be, se = setup(batch=2)
+    r1 = be.submit(Request(prompt=[5, 11], max_new=8))
+    be.step()
+    be.step()
+    long_prompt = list(range(2, 2 + 9))
+    r2 = be.submit(Request(prompt=long_prompt, max_new=4))
+    be.run()
+    assert r1.tokens == single_stream_tokens(se, [5, 11], 8)
+    assert r2.tokens == single_stream_tokens(se, long_prompt, 4)
+
+
+def test_sampled_stream_matches_single_stream():
+    """With prefill admission the PRNG split order matches the single
+    stream engine exactly: same seed -> same sampled tokens, batched or
+    not."""
+    _, _, _, be, se = setup(seed=3)
+    r = be.submit(Request(prompt=[4, 9], max_new=6, temperature=0.8, seed=123))
+    be.run()
+    assert r.tokens == single_stream_tokens(
+        se, [4, 9], 6, temperature=0.8, seed=123)

@@ -7,11 +7,20 @@ of SLOTS: each step runs ONE jitted decode for all slots at their own
 positions (vector ``offset``), and the host scheduler admits/retires
 requests between steps (Orca-style iteration-level scheduling).
 
-Admission uses teacher forcing: a newly admitted request's prompt tokens
-are fed one per step (outputs ignored) while other slots keep generating
-— exactly the reference's prompt handling, generalized to a batch. A
-dedicated prefill pass for long prompts is a planned optimization; the
-scheduler's correctness does not depend on it.
+Admission runs a DEDICATED PREFILL: the new request's whole prompt goes
+through one jitted forward on a fresh batch-1 state slice (big MXU
+matmuls, bucketed padding), which is then scattered into the slot's rows
+of the batch state — TTFT for a P-token prompt is one prefill pass, not P
+batched decode steps. The prefill also resets the slot's state rows
+(vital for recurrent models — stale Mamba state would leak).
+
+The decode loop is pipelined one step deep, like the single-stream engine
+(engine.py): step i+1 is dispatched with the DEVICE-side sampled tokens
+before step i's tokens are fetched to host, so the host round-trip (which
+dominates on remote links) overlaps the next device step. Bookkeeping
+(append/EOS/completion) lags one step; a slot whose request just finished
+decodes one garbage token into its own cache rows, which the next
+admission's prefill overwrites.
 
 Everything device-side is fixed-shape: one compiled step per (B, max_seq)
 regardless of which slots are live (dead slots decode garbage into their
@@ -21,14 +30,13 @@ own cache rows and are ignored — their writes can't leak into other rows).
 from __future__ import annotations
 
 import dataclasses
-import time
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_llm.runtime.engine import ModelAdapter, _select_token
+from tpu_llm.runtime.engine import ModelAdapter, _next_bucket, _select_token
 
 
 @dataclasses.dataclass
@@ -49,8 +57,6 @@ class Request:
 class _Slot:
     req: Optional[Request] = None
     pos: int = 0                 # next cache write position
-    fed: int = 0                 # prompt tokens already fed
-    next_token: int = 0          # token to feed this step
     key: Any = None
 
     @property
@@ -74,19 +80,20 @@ class BatchEngine:
         self.eos_id = eos_id
         self.slots = [_Slot() for _ in range(batch)]
         self.state = adapter.init_state(batch, max_seq)
+        self._baxis = adapter.state_batch_axis
         self._queue: List[Request] = []
         self._next_rid = 0
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
-        # Zero one slot's state row (axis 1 = batch in both the KV cache
-        # (L,B,S,H,D) and Mamba state (L,B,...)). Attention would mask
-        # stale rows anyway; recurrent state would NOT — it must be reset
-        # on admission.
-        self._reset_slot = jax.jit(
-            lambda state, i: jax.tree_util.tree_map(
-                lambda a: a.at[:, i].set(jnp.zeros_like(a[:, i])), state
-            ),
-            donate_argnums=(0,),
-        )
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        # NOT donated: the in-flight snapshot may alias the current
+        # token_dev — donating would invalidate the pending host fetch
+        self._set_lane = jax.jit(lambda t, i, v: t.at[i].set(v))
+        # device-resident sampled tokens: decode feeds on these directly,
+        # the host only reads them one step behind
+        self._token_dev = jnp.zeros((batch,), jnp.int32)
+        self._inflight = None        # (token_dev snapshot, [(slot_idx, req)])
+
+    # -- jitted bodies ----------------------------------------------------
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps):
         hidden, state = self.adapter.apply(
@@ -94,6 +101,29 @@ class BatchEngine:
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
         sampled = jax.vmap(_select_token)(logits, keys, temps)
+        return sampled, state
+
+    def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp):
+        """Prefill ``tokens`` (1, Tpad) into fresh batch-1 state rows, then
+        scatter them into the batch state at ``slot``. Returns the first
+        sampled token and the updated state."""
+        ax = self._baxis
+        fresh = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(
+                jax.lax.slice_in_dim(a, 0, 1, axis=ax)), state
+        )
+        hidden, sub = self.adapter.apply(
+            params, tokens=tokens, state=fresh, offset=jnp.int32(0),
+            length=last_idx + 1,
+        )
+        last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
+        logits = self.adapter.lm_head(params, hidden=last)[:, 0, :]
+        sampled = _select_token(logits, key, temp)[0]
+        state = jax.tree_util.tree_map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(
+                a, b.astype(a.dtype), slot, axis=ax),
+            state, sub,
+        )
         return sampled, state
 
     # -- public API -------------------------------------------------------
@@ -117,25 +147,73 @@ class BatchEngine:
             if slot.free and self._queue:
                 req = self._queue.pop(0)
                 slot.req = req
-                self.state = self._reset_slot(self.state, jnp.int32(idx))
-                slot.pos = 0
-                slot.fed = 0
-                # BOS then teacher-forced prompt, like the reference driver
-                if self.adapter.bos_id >= 0:
-                    slot.next_token = self.adapter.bos_id
-                else:
-                    slot.next_token = req.prompt[0]
-                    slot.fed = 1
                 slot.key = jax.random.PRNGKey(req.seed)
 
+                bos = [self.adapter.bos_id] if self.adapter.bos_id >= 0 else []
+                input_ids = bos + req.prompt
+                n_in = len(input_ids)
+                pad_to = min(_next_bucket(n_in), self.max_seq)
+                toks = np.zeros((1, pad_to), np.int32)
+                toks[0, :n_in] = np.asarray(input_ids, np.int32)
+
+                slot.key, sub = jax.random.split(slot.key)
+                sampled, self.state = self._prefill(
+                    self.params, jnp.asarray(toks), self.state,
+                    jnp.int32(idx), jnp.int32(n_in - 1), sub,
+                    jnp.float32(req.temperature),
+                )
+                # one host fetch per REQUEST (not per token): the prefill
+                # token is the request's first generated token
+                tok = int(jax.device_get(sampled))
+                slot.pos = n_in
+                self._token_dev = self._set_lane(
+                    self._token_dev, jnp.int32(idx), jnp.int32(tok)
+                )
+                self._record(slot, tok)
+
+    def _record(self, slot: _Slot, tok: int):
+        """Append a fetched token to the slot's request; retire on EOS /
+        budget / context exhaustion."""
+        req = slot.req
+        if req is None or req.done:
+            return
+        req.tokens.append(tok)
+        if req.stream:
+            req.stream(tok)
+        ends = len(req.tokens) >= req.max_new or (
+            req.stop_at_eos and tok == self.eos_id
+        )
+        if ends or slot.pos >= self.max_seq:
+            req.done = True
+            slot.req = None
+
+    _POP = object()        # sentinel: collect whatever is in flight
+
+    def _collect(self, inflight=_POP):
+        """Fetch a dispatched step's sampled tokens and update bookkeeping
+        (one step behind the device)."""
+        if inflight is BatchEngine._POP:
+            inflight, self._inflight = self._inflight, None
+        if inflight is None:
+            return
+        token_snapshot, metas = inflight
+        fetched = np.asarray(jax.device_get(token_snapshot))
+        for idx, req in metas:
+            slot = self.slots[idx]
+            if slot.req is not req or req.done:
+                continue            # slot was retired/reused after dispatch
+            self._record(slot, int(fetched[idx]))
+
     def step(self) -> int:
-        """One engine iteration. Returns number of live slots stepped."""
+        """One engine iteration: admit (prefill), dispatch one batched
+        decode, then fetch the PREVIOUS step's tokens. Returns the number
+        of live slots the dispatch covered."""
         self._admit()
-        live = [i for i, s in enumerate(self.slots) if not s.free]
+        live = [(i, s.req) for i, s in enumerate(self.slots) if not s.free]
         if not live:
+            self._collect()
             return 0
 
-        tokens = np.zeros((self.batch,), np.int32)
         offsets = np.zeros((self.batch,), np.int32)
         temps = np.zeros((self.batch,), np.float32)
         keys = []
@@ -143,46 +221,27 @@ class BatchEngine:
             if slot.free:
                 keys.append(jax.random.PRNGKey(0))
                 continue
-            tokens[i] = slot.next_token
-            offsets[i] = slot.pos
+            offsets[i] = min(slot.pos, self.max_seq - 1)
             temps[i] = slot.req.temperature
             slot.key, sub = jax.random.split(slot.key)
             keys.append(sub)
+            slot.pos += 1
 
-        sampled, self.state = self._step(
+        self._token_dev, self.state = self._step(
             self.params,
-            jnp.asarray(tokens),
+            self._token_dev,
             self.state,
             jnp.asarray(offsets),
             jnp.stack(keys),
             jnp.asarray(temps),
         )
-        sampled = np.asarray(jax.device_get(sampled))
-
-        for i, slot in enumerate(self.slots):
-            if slot.free:
-                continue
-            req = slot.req
-            slot.pos += 1
-            if slot.fed < len(req.prompt):
-                # still teacher-forcing the prompt; model output ignored
-                slot.next_token = req.prompt[slot.fed]
-                slot.fed += 1
-                continue
-            tok = int(sampled[i])
-            req.tokens.append(tok)
-            if req.stream:
-                req.stream(tok)
-            slot.next_token = tok
-            ends = len(req.tokens) >= req.max_new or (
-                req.stop_at_eos and tok == self.eos_id
-            )
-            if ends or slot.pos + 1 >= self.max_seq:
-                req.done = True
-                slot.req = None
+        prev = self._inflight
+        self._inflight = (self._token_dev, live)
+        self._collect(prev)
         return len(live)
 
     def run(self) -> None:
         """Drive until all submitted requests complete."""
         while self._queue or self.n_active:
             self.step()
+        self._collect()

@@ -50,6 +50,9 @@ class ModelAdapter:
     lm_head: Callable
     init_state: Callable
     bos_id: int = 1
+    # batch axis of every state leaf: 1 for stacked layouts ((L, B, ...)
+    # planes), 0 for unstacked per-layer buffer lists ((B, ...) leaves)
+    state_batch_axis: int = 1
 
     @classmethod
     def llama(cls, cfg, cache_dtype=jnp.float32, bos_id: int = 1,
@@ -67,6 +70,7 @@ class ModelAdapter:
                 cfg, batch, max_seq, cache_dtype, stacked=stacked
             ),
             bos_id=bos_id,
+            state_batch_axis=1 if stacked else 0,
         )
 
     @classmethod
@@ -85,6 +89,7 @@ class ModelAdapter:
                 cfg, batch, stacked=stacked
             ),
             bos_id=bos_id if bos_id is not None else -1,  # Mamba: no BOS (mamba.f90:406)
+            state_batch_axis=1 if stacked else 0,
         )
 
 
