@@ -179,6 +179,94 @@ def _ttft_p50(params, cfg, prompt_len, max_seq, samples):
     return float(np.percentile(times, 50))
 
 
+def _scaling_rows(args):
+    """Data-parallel weak-scaling harness (BASELINE ">=85% 2-host scaling
+    efficiency"): decode tok/s at dp in {1, 2, 4, ...} with constant
+    per-replica batch, same jitted program at every world size. On the
+    one-real-chip dev environment this runs on virtual CPU devices
+    (harness correctness); on a slice it measures real ICI scaling."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.config import LlamaConfig, tinyllama_1_1b
+    from tpu_llm.models import llama as M
+    from tpu_llm.parallel import (
+        llama_cache_spec, llama_param_specs, make_mesh, shard_pytree,
+    )
+    from tpu_llm.runtime.timing import slope_time_s
+
+    ndev = len(jax.devices())
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu:
+        cfg = tinyllama_1_1b()
+    else:
+        # CPU virtual mesh: scaled-down llama shape (the harness, not the
+        # hardware, is under test below one real slice)
+        cfg = LlamaConfig(dim=256, hidden_dim=512, n_layers=4, n_heads=8,
+                          n_kv_heads=4, vocab_size=2048, seq_len=256)
+    rng = np.random.default_rng(0)
+    s = lambda *sh: jnp.asarray(
+        (rng.standard_normal(sh) * 0.02).astype(np.float32)).astype(jnp.bfloat16)
+    L, E, F, V, KV = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size, cfg.kv_dim
+    params = {
+        "tok_emb": s(V, E),
+        "final_norm": jnp.ones((E,), jnp.float32),
+        "wcls": s(E, V),
+        "layers": {
+            "attn_norm": jnp.ones((L, E), jnp.float32),
+            "ffn_norm": jnp.ones((L, E), jnp.float32),
+            "wq": s(E, E)[None].repeat(L, 0), "wk": s(E, KV)[None].repeat(L, 0),
+            "wv": s(E, KV)[None].repeat(L, 0), "wo": s(E, E)[None].repeat(L, 0),
+            "w1": s(E, F)[None].repeat(L, 0), "w3": s(E, F)[None].repeat(L, 0),
+            "w2": s(F, E)[None].repeat(L, 0),
+        },
+    }
+    max_seq = min(cfg.seq_len, args.max_seq)
+    steps = min(args.steps, max(1, (max_seq - 2) // 5))
+    base = None
+    dp = 1
+    while dp <= ndev:
+        mesh = make_mesh(data=dp, model=1)
+        p_sh = shard_pytree(params, llama_param_specs(cfg), mesh)
+        batch = args.batch * dp
+        cache = M.init_cache(cfg, batch, max_seq, dtype=jnp.bfloat16)
+        cache = shard_pytree(cache, llama_cache_spec(), mesh)
+        token = jnp.zeros((batch,), jnp.int32)
+
+        def make_run(length, p_sh=p_sh, cache=cache, token=token):
+            @jax.jit
+            def decode_n(params, token, cache):
+                def body(carry, _):
+                    token, cache, pos = carry
+                    logits, cache = M.decode_step(params, cfg, token, cache, pos)
+                    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (token, cache, pos + 1), token
+
+                (_, cache_, _), toks = jax.lax.scan(
+                    body, (token, cache, jnp.int32(1)), None, length=length)
+                return toks, cache_
+
+            def run():
+                toks, _ = decode_n(p_sh, token, cache)
+                _ = np.asarray(jax.device_get(toks[-1].addressable_shards[0].data))
+
+            return run
+
+        tok_s = batch / slope_time_s(make_run, steps, steps * 5)
+        if base is None:
+            base = tok_s
+        eff = tok_s / (dp * base)
+        print(json.dumps({
+            "metric": f"scaling_dp{dp}_decode_tokens_per_s"
+                      + ("" if on_tpu else "_cpuvirtual"),
+            "value": round(tok_s, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(eff, 3),   # weak-scaling efficiency vs dp=1
+        }), flush=True)
+        dp *= 2
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="llm-bench", description=__doc__)
     ap.add_argument("--configs", default="bf16,q8_0,q4_0")
@@ -190,7 +278,13 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-ttft", action="store_true")
     ap.add_argument("--cache-dtype", default="bf16",
                     choices=["f32", "bf16", "int8"])
+    ap.add_argument("--scaling", action="store_true",
+                    help="emit dp-scaling rows (tok/s + efficiency at "
+                         "dp=1,2,4,... over the available devices)")
     args = ap.parse_args(argv)
+
+    if args.scaling:
+        return _scaling_rows(args)
 
     from tpu_llm.config import tinyllama_1_1b
 

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "heads/ffn/vocab over the mesh 'model' axis")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel degree (batch axis of the mesh)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host bring-up: process 0's coordinator "
+                        "address (jax.distributed.initialize); or set "
+                        "TPU_LLM_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--timings", action="store_true",
                    help="after generation, measure and print the reference's "
                         "five per-token timing buckets (qkv/rope/attention/"
@@ -64,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # multi-host bring-up must precede any device use
+    from tpu_llm.parallel.distributed import init_distributed
+
+    proc_id, n_procs = init_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    if n_procs > 1 and args.verbose:
+        print(f"distributed: process {proc_id}/{n_procs}", file=sys.stderr)
 
     import dataclasses
 
