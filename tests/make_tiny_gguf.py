@@ -1,6 +1,14 @@
-"""Write a tiny synthetic llama GGUF (random weights, toy vocab) for
-end-to-end CLI verification. Usage: python tests/make_tiny_gguf.py out.gguf
-[--q4]."""
+"""Write synthetic llama GGUFs for end-to-end verification.
+
+``build``: tiny (2-layer) model + toy vocab for CLI smoke tests.
+``build_mid``: mid-sized (6-layer, ~15M param) model with a peaked output
+distribution — the independent-validation stand-in for a real checkpoint
+(VERDICT r1 item 2: no llama-family GGUF is reachable in this
+environment, so cross-dtype ppl deltas and golden generations are pinned
+against this model instead; the weights are deterministic in the seed).
+
+Usage: python tests/make_tiny_gguf.py out.gguf [--q4|--mid].
+"""
 
 import sys
 
@@ -55,6 +63,58 @@ def build(path: str, quant: bool = False, seed: int = 0):
     print(f"wrote {path}")
 
 
+def build_mid(path: str, seed: int = 7):
+    """Mid-sized llama: dim 384, 6 layers, 6 heads (GQA 3 kv), ffn 1024,
+    vocab 1024 (~15M params). The classifier is correlated with the
+    embedding (tied-ish) and scaled so the output distribution is PEAKED —
+    quantization error then shifts ppl measurably instead of vanishing
+    into a near-uniform softmax."""
+    rng = np.random.default_rng(seed)
+    dim, hidden, L, H, KVH, V = 384, 1024, 6, 6, 3, 1024
+    kv = dim // H * KVH
+    s = lambda *sh: (rng.standard_normal(sh) * 0.03).astype(np.float32)
+
+    tokens = ["<unk>", "<s>", "</s>"] + [f"▁w{i}" for i in range(V - 3)]
+    scores = np.zeros((V,), np.float32)
+    meta = {
+        "general.architecture": "llama",
+        "llama.block_count": L,
+        "llama.embedding_length": dim,
+        "llama.feed_forward_length": hidden,
+        "llama.attention.head_count": H,
+        "llama.attention.head_count_kv": KVH,
+        "llama.context_length": 512,
+        "llama.rope.freq_base": 10000.0,
+        "llama.attention.layer_norm_rms_epsilon": 1e-5,
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    emb = s(V, dim)
+    tensors = {
+        "token_embd.weight": emb,
+        "output_norm.weight": 1.0 + 0.1 * s(dim),
+        # correlated with the embedding and upscaled: peaked logits
+        "output.weight": (8.0 * emb + s(V, dim)).astype(np.float32),
+    }
+    for i in range(L):
+        tensors[f"blk.{i}.attn_norm.weight"] = 1.0 + 0.1 * s(dim)
+        tensors[f"blk.{i}.ffn_norm.weight"] = 1.0 + 0.1 * s(dim)
+        tensors[f"blk.{i}.attn_q.weight"] = s(dim, dim)
+        tensors[f"blk.{i}.attn_k.weight"] = s(kv, dim)
+        tensors[f"blk.{i}.attn_v.weight"] = s(kv, dim)
+        tensors[f"blk.{i}.attn_output.weight"] = s(dim, dim)
+        tensors[f"blk.{i}.ffn_gate.weight"] = s(hidden, dim)
+        tensors[f"blk.{i}.ffn_up.weight"] = s(hidden, dim)
+        tensors[f"blk.{i}.ffn_down.weight"] = s(dim, hidden)
+    gg.write_gguf(path, meta, tensors)
+    print(f"wrote {path}")
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tiny.gguf"
-    build(out, quant="--q4" in sys.argv)
+    if "--mid" in sys.argv:
+        build_mid(out)
+    else:
+        build(out, quant="--q4" in sys.argv)

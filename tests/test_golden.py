@@ -1,0 +1,84 @@
+"""Golden-generation + cross-dtype validation against the mid-sized
+synthetic checkpoint (VERDICT r1 item 2: no real llama GGUF is reachable
+in this environment, so the independent end-to-end check is a committed
+GGUF -> load -> decode pin plus writer-round-trip ppl deltas — the
+reference's own validation story is golden generations,
+/root/reference/README.md:42-82).
+
+The pinned sequences were produced by the f32 engine on the CPU backend;
+any change to loader, numerics, sampling, or engine order that shifts a
+single argmax breaks these.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_gguf import build_mid
+from tpu_llm.models.llama import load_gguf
+from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+GOLDEN_F32_GREEDY_64 = [
+    712, 712, 712, 712, 643, 643, 643, 44, 44, 906, 906, 906, 906, 906,
+    906, 906, 831, 831, 831, 831, 806, 806, 806, 806, 806, 806, 806, 806,
+    806, 806, 806, 806, 806, 806, 906, 214, 214, 214, 214, 214, 214, 214,
+    214, 214, 214, 214, 214, 214, 214, 214, 214, 214, 214, 214, 214, 28,
+    28, 28, 28, 28, 28, 28, 28, 28,
+]
+GOLDEN_T09_SEED1234_32 = [
+    776, 55, 55, 55, 55, 55, 55, 55, 55, 776, 776, 776, 776, 776, 776,
+    776, 776, 776, 776, 776, 776, 776, 776, 776, 776, 776, 776, 776, 585,
+    585, 585, 585,
+]
+
+
+@pytest.fixture(scope="module")
+def mid_gguf(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mid") / "mid.gguf")
+    build_mid(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def f32_engine(mid_gguf):
+    params, cfg = load_gguf(mid_gguf, dtype_policy="f32")
+    return Engine(params, ModelAdapter.llama(cfg), max_seq=128), cfg
+
+
+def test_golden_greedy_64(f32_engine):
+    eng, _ = f32_engine
+    res = eng.generate([5, 10, 20], n_new=64, temperature=0.0, seed=0)
+    assert res.tokens[:3] == [5, 10, 20]          # prompt echo
+    assert res.tokens[3:] == GOLDEN_F32_GREEDY_64
+
+
+def test_golden_temperature_sampled(f32_engine):
+    eng, _ = f32_engine
+    res = eng.generate([7], n_new=32, temperature=0.9, seed=1234)
+    assert res.tokens[1:] == GOLDEN_T09_SEED1234_32
+
+
+def test_golden_scan_loop_matches(f32_engine):
+    """The all-on-device lax.scan loop must reproduce the same greedy
+    golden (one compiled program vs per-step dispatch)."""
+    eng, _ = f32_engine
+    res = eng.generate([5, 10, 20], n_new=64, temperature=0.0, seed=0,
+                       use_scan=True)
+    assert res.tokens[3:] == GOLDEN_F32_GREEDY_64
+
+
+def test_q8_roundtrip_ppl_close_to_f32(mid_gguf):
+    """Writer round-trip at q8_0, scored on a stream sampled from the f32
+    model: Δppl must be small and non-catastrophic, logit deviation
+    bounded by the blockwise quantization step."""
+    from tpu_llm.runtime.perplexity import dtype_table, model_sampled_stream
+
+    params, cfg = load_gguf(mid_gguf, dtype_policy="f32")
+    ids = model_sampled_stream(params, cfg, n=256, seed=0)
+    rows = dtype_table(mid_gguf, ids, window=128, formats=("f32", "q8_0"))
+    f32, q8 = rows
+    assert f32["ppl"] < 2000            # in-distribution, far from uniform
+    delta = q8["ppl"] - f32["ppl"]
+    assert -0.02 * f32["ppl"] < delta < 0.15 * f32["ppl"], rows
+    assert q8["logit_max_abs_delta"] < 2.0, rows

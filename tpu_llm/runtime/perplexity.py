@@ -83,6 +83,128 @@ def compute_ppl(
     return PplResult(ppl=math.exp(nll_sum / count), nll_sum=nll_sum, n_tokens=count)
 
 
+_TABLE_FORMATS = ("f32", "f16", "bf16", "q8_0", "q4_0")
+
+
+def eval_stream(n: int = 1024, vocab: int = 1024, seed: int = 11) -> List[int]:
+    """Deterministic token stream with bigram structure for ppl evals when
+    no text corpus is available (pure noise would make every model score
+    near-uniform and hide quantization error)."""
+    rng = np.random.default_rng(seed)
+    ids = [int(rng.integers(3, vocab))]
+    for _ in range(n - 1):
+        if rng.random() < 0.5:           # half the stream is bigram-determined
+            ids.append(3 + (ids[-1] * 7 + 1) % (vocab - 3))
+        else:
+            ids.append(int(rng.integers(3, vocab)))
+    return ids
+
+
+def model_sampled_stream(
+    params, cfg, n: int = 512, seed: int = 0, temperature: float = 1.0,
+) -> List[int]:
+    """Sample a token stream FROM the model (temp 1.0). Scoring this
+    stream under each quantized variant of the same model turns Δppl into
+    a real divergence measure: the f32 model is optimal on its own
+    distribution (ppl ≈ exp entropy), any quantization error shows up as
+    Δppl >= 0 in expectation — meaningful even with synthetic weights,
+    where ppl of an arbitrary stream is astronomically off-distribution."""
+    from tpu_llm.runtime.engine import Engine
+
+    adapter = ModelAdapter.llama(cfg)
+    eng = Engine(params, adapter, max_seq=min(cfg.seq_len, n + 8))
+    res = eng.generate([3], n_new=n, temperature=temperature, seed=seed)
+    return res.tokens
+
+
+def dtype_table(
+    base_path: str,
+    ids: Optional[Sequence[int]] = None,
+    window: int = 256,
+    formats: Sequence[str] = _TABLE_FORMATS,
+) -> List[dict]:
+    """Cross-dtype validation table (BASELINE "ppl Δ vs reference at each
+    bit width"): round-trip a base f32 GGUF through the WRITER at each
+    storage format, reload each with the native device path, and score
+    (a) windowed ppl over ``ids`` and (b) logit deviation vs the f32 model
+    on the first window. The quantization is the real on-disk block
+    format, the load is the real serving path — an independent check of
+    writer + loader + kernels together."""
+    import os
+    import tempfile
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.io.gguf import GGUFFile, write_gguf
+    from tpu_llm.models.llama import load_gguf
+
+    base = GGUFFile(base_path)
+    fmt_ids = {"f32": gg.GGML_F32, "f16": gg.GGML_F16, "bf16": gg.GGML_BF16,
+               "q8_0": gg.GGML_Q8_0, "q5_0": gg.GGML_Q5_0,
+               "q5_1": gg.GGML_Q5_1, "q4_0": gg.GGML_Q4_0}
+
+    def variant(fmt: str, out_path: str):
+        ttype = fmt_ids[fmt]
+        tensors = {}
+        for name, t in base.tensors.items():
+            arr = base.dequantized(name, np.float32)
+            # norms stay f32 (llama.cpp convention; the reference keeps
+            # them f32 on every branch)
+            quantize = arr.ndim == 2 and "norm" not in name
+            tensors[name] = (arr, ttype) if quantize else arr
+        write_gguf(out_path, dict(base.metadata), tensors)
+
+    if ids is None:
+        params_f32, cfg_f32 = load_gguf(base_path, dtype_policy="f32")
+        ids = model_sampled_stream(params_f32, cfg_f32,
+                                   n=min(512, cfg_f32.seq_len - 8))
+        del params_f32
+
+    rows: List[dict] = []
+    ref_logits = None
+    with tempfile.TemporaryDirectory() as td:
+        for fmt in formats:
+            path = base_path
+            if fmt != "f32" or base.tensors["output.weight"].ggml_type != gg.GGML_F32:
+                path = os.path.join(td, f"{fmt}.gguf")
+                variant(fmt, path)
+            params, cfg = load_gguf(path, dtype_policy="native"
+                                    if fmt != "f32" else "f32")
+            adapter = ModelAdapter.llama(cfg)
+            res = compute_ppl(params, adapter, ids,
+                              window=min(window, cfg.seq_len))
+
+            # logit deviation on the first window
+            w = min(window, cfg.seq_len, len(ids))
+            toks = jnp.asarray([list(ids[:w])], jnp.int32)
+            state = adapter.init_state(1, w)
+            hidden, _ = adapter.apply(params, tokens=toks, state=state,
+                                      offset=jnp.int32(0), length=jnp.int32(w))
+            logits = np.asarray(adapter.lm_head(params, hidden=hidden))
+            if ref_logits is None:
+                ref_logits = logits
+                dmax = dmean = 0.0
+            else:
+                d = np.abs(logits - ref_logits)
+                dmax, dmean = float(d.max()), float(d.mean())
+            rows.append({
+                "format": fmt, "ppl": res.ppl, "n_tokens": res.n_tokens,
+                "ppl_delta_vs_f32": res.ppl - rows[0]["ppl"] if rows else 0.0,
+                "logit_max_abs_delta": dmax, "logit_mean_abs_delta": dmean,
+            })
+    return rows
+
+
+def format_table(rows: List[dict]) -> str:
+    out = ["| format | ppl | Δppl vs f32 | max|Δlogit| | mean|Δlogit| |",
+           "|---|---|---|---|---|"]
+    for r in rows:
+        out.append(
+            f"| {r['format']} | {r['ppl']:.4f} | {r['ppl_delta_vs_f32']:+.4f} "
+            f"| {r['logit_max_abs_delta']:.4g} | {r['logit_mean_abs_delta']:.4g} |"
+        )
+    return "\n".join(out)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
     import sys
@@ -91,11 +213,35 @@ def main(argv: Optional[List[str]] = None) -> int:
         prog="llm-ppl", description="perplexity of a text file under a GGUF model"
     )
     p.add_argument("-m", "--model", required=True)
-    p.add_argument("-f", "--file", required=True, help="UTF-8 text file")
+    p.add_argument("-f", "--file", default=None, help="UTF-8 text file")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "native"])
     p.add_argument("--window", type=int, default=512)
     p.add_argument("--max-tokens", type=int, default=0, help="truncate input")
+    p.add_argument("--table", action="store_true",
+                   help="cross-dtype ppl/logit-delta table: round-trip the "
+                        "model through the GGUF writer at f32/f16/bf16/"
+                        "q8_0/q4_0 and score each (uses -f text, or a "
+                        "deterministic synthetic stream)")
     args = p.parse_args(argv)
+
+    if args.table:
+        if args.file:
+            from tpu_llm.io.gguf import GGUFFile
+            from tpu_llm.tokenizers.bpe import BPETokenizer
+
+            tok = BPETokenizer.from_gguf(GGUFFile(args.model))
+            with open(args.file, "rb") as fh:
+                ids = tok.encode(fh.read().decode("utf-8", errors="replace"))
+        else:
+            ids = None   # dtype_table self-samples from the f32 model
+        if ids is not None and args.max_tokens:
+            ids = ids[: args.max_tokens]
+        rows = dtype_table(args.model, ids, window=args.window)
+        print(format_table(rows))
+        return 0
+
+    if not args.file:
+        p.error("-f/--file is required unless --table")
 
     from tpu_llm.io.gguf import GGUFFile
     from tpu_llm.tokenizers.bpe import BPETokenizer
