@@ -267,6 +267,100 @@ def _scaling_rows(args):
     return 0
 
 
+def _tp_rows(args):
+    """Sharded-decode rows: the explicit shard_map TP decode step
+    (tpu_llm.parallel.tp_decode — unstacked buffers, per-shard Pallas
+    kernels, Megatron psum placement) at every tp that divides the
+    available devices and the KV heads. On the 1-chip dev environment
+    this is tp=1 (proves the shard_map path runs the quantized kernel on
+    real hardware); on a slice it measures real TP decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.config import tinyllama_1_1b, LlamaConfig
+    from tpu_llm.parallel.mesh import make_mesh
+    from tpu_llm.parallel.tp_decode import (
+        init_tp_cache, make_tp_decode_step, repack_fused_for_tp,
+        shard_tp_params,
+    )
+    from tpu_llm.models.llama import unstack_layers
+    from tpu_llm.quant.convert_params import quantize_llama_params
+    from tpu_llm.runtime.timing import slope_time_s
+
+    ndev = len(jax.devices())
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu:
+        cfg = tinyllama_1_1b()
+        import __graft_entry__ as ge
+
+        _, (params, _, _, _) = ge.entry()
+        params = quantize_llama_params(params, "q4_0", fuse=True)
+        name = "q4_0"
+    else:
+        cfg = LlamaConfig(dim=256, hidden_dim=512, n_layers=4, n_heads=8,
+                          n_kv_heads=4, vocab_size=2048, seq_len=256)
+        rng = np.random.default_rng(0)
+        s = lambda *sh: jnp.asarray(
+            (rng.standard_normal(sh) * 0.02).astype(np.float32))
+        L, E, F, V, KV = (cfg.n_layers, cfg.dim, cfg.hidden_dim,
+                          cfg.vocab_size, cfg.kv_dim)
+        params = {
+            "tok_emb": s(V, E), "final_norm": s(E) + 1.0, "wcls": s(E, V),
+            "layers": {
+                "attn_norm": s(L, E) + 1.0, "ffn_norm": s(L, E) + 1.0,
+                "wq": s(L, E, E), "wk": s(L, E, KV), "wv": s(L, E, KV),
+                "wo": s(L, E, E), "w1": s(L, E, F), "w3": s(L, E, F),
+                "w2": s(L, F, E)},
+        }
+        name = "bf16"
+    params = unstack_layers(params)
+    fused = "wqkv" in params["layers"][0]
+
+    max_seq = min(cfg.seq_len, args.max_seq)
+    steps = min(args.steps, max(1, (max_seq - 2) // 5))
+    tp = 1
+    while tp <= min(ndev, cfg.n_kv_heads):
+        mesh = make_mesh(data=1, model=tp)
+        layers = (repack_fused_for_tp(params["layers"], cfg, tp)
+                  if fused and tp > 1 else params["layers"])
+        p_sh = shard_tp_params(dict(params, layers=layers), cfg, mesh,
+                               fused=fused)
+        cache = init_tp_cache(cfg, mesh, args.batch, max_seq)
+        step = make_tp_decode_step(cfg, mesh, fused=fused)
+        token = jnp.zeros((args.batch,), jnp.int32)
+
+        def make_run(length, step=step, p_sh=p_sh, cache=cache, token=token):
+            @jax.jit
+            def decode_n(params, token, cache):
+                def body(carry, _):
+                    token, cache, pos = carry
+                    logits, cache = step(params, token, cache, pos)
+                    token = jnp.argmax(logits, -1).astype(jnp.int32)
+                    return (token, cache, pos + 1), token
+
+                (_, cache_, _), toks = jax.lax.scan(
+                    body, (token, cache, jnp.int32(1)), None, length=length)
+                return toks, cache_
+
+            def run():
+                toks, _ = decode_n(p_sh, token, cache)
+                _ = np.asarray(jax.device_get(
+                    toks[-1].addressable_shards[0].data))
+
+            return run
+
+        tok_s = args.batch / slope_time_s(make_run, steps, steps * 5)
+        print(json.dumps({
+            "metric": f"tp{tp}_shardmap_{name}_decode_tokens_per_s"
+                      + ("" if on_tpu else "_cpuvirtual"),
+            "value": round(tok_s, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(tok_s / REFERENCE_TOK_S, 2) if on_tpu else None,
+        }), flush=True)
+        tp *= 2
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="llm-bench", description=__doc__)
     ap.add_argument("--configs", default="bf16,q8_0,q4_0")
@@ -281,10 +375,15 @@ def main(argv=None) -> int:
     ap.add_argument("--scaling", action="store_true",
                     help="emit dp-scaling rows (tok/s + efficiency at "
                          "dp=1,2,4,... over the available devices)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="emit shard_map TP decode rows (tp=1,2,... up to "
+                         "min(devices, kv heads))")
     args = ap.parse_args(argv)
 
     if args.scaling:
         return _scaling_rows(args)
+    if args.sharded:
+        return _tp_rows(args)
 
     from tpu_llm.config import tinyllama_1_1b
 
