@@ -79,3 +79,47 @@ def test_cp_prefill_matches_single_device(data, seq):
         np.testing.assert_allclose(
             np.asarray(cache1[kk]), np.asarray(cache0[kk]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_cp_decode_matches_dense():
+    """Sequence-sharded DECODE (ring.decode_step_context_parallel): a
+    fresh cache sharded over 4 devices, 10 decode steps crossing two
+    shard-ownership boundaries — logits must match the dense
+    single-device decode at every step."""
+    import jax.numpy as jnp
+
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.models import llama as M
+    from tpu_llm.parallel.mesh import make_mesh
+    from tpu_llm.parallel.ring import decode_step_context_parallel
+
+    cfg = LlamaConfig(dim=32, hidden_dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=2, vocab_size=64, seq_len=16)
+    rng = np.random.default_rng(3)
+    s = lambda *sh: jnp.asarray((rng.standard_normal(sh) * 0.05).astype(np.float32))
+    L, E, F, V, KV = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size, cfg.kv_dim
+    params = {
+        "tok_emb": s(V, E), "final_norm": s(E) + 1.0, "wcls": s(E, V),
+        "layers": {
+            "attn_norm": s(L, E) + 1.0, "ffn_norm": s(L, E) + 1.0,
+            "wq": s(L, E, E), "wk": s(L, E, KV), "wv": s(L, E, KV),
+            "wo": s(L, E, E), "w1": s(L, E, F), "w3": s(L, E, F),
+            "w2": s(L, F, E)},
+    }
+    B = 2
+    mesh = make_mesh(data=1, model=4)
+
+    dense_cache = M.init_cache(cfg, B, cfg.seq_len)
+    cp_cache = M.init_cache(cfg, B, cfg.seq_len)
+    tok = jnp.asarray([3, 7], jnp.int32)
+    tok_cp = tok
+    for step in range(10):
+        pos = jnp.int32(step)
+        ref_logits, dense_cache = M.decode_step(params, cfg, tok, dense_cache, pos)
+        got_logits, cp_cache = decode_step_context_parallel(
+            params, cfg, tok_cp, cp_cache, pos, mesh)
+        np.testing.assert_allclose(
+            np.asarray(got_logits), np.asarray(ref_logits),
+            rtol=2e-5, atol=2e-5)
+        tok = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+        tok_cp = jnp.argmax(got_logits, -1).astype(jnp.int32)

@@ -198,7 +198,7 @@ def _norm(cfg: LlamaConfig, x, lp, prefix: str):
 
 
 def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
-           attn_fn=None, kv_offset=None):
+           attn_fn=None, kv_offset=None, update_fn=None):
     # named scopes reproduce the reference's five timing buckets
     # (llama2.f90:538,561,599,622,638) as XProf trace annotations
     B, T, E = x.shape
@@ -229,7 +229,7 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
 
     with jax.named_scope("attention"):
-        kc, vc = update_kv_cache(
+        kc, vc = (update_fn or update_kv_cache)(
             kc, vc, k, v, offset if kv_offset is None else kv_offset
         )
         attn = (attn_fn or _attend)(q, kc, vc, positions, offset)
@@ -287,6 +287,7 @@ def run_layers(
     attn_fn=None,
     kv_offset=None,
     act_constraint=None,
+    update_fn=None,
 ):
     """Run a stacked layer range under lax.scan. Factored out of ``forward``
     so pipeline stages (tpu_llm.parallel.pipeline) can run their local layer
@@ -296,7 +297,8 @@ def run_layers(
         x = carry
         lp, kc, vc = xs
         x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
-                           attn_fn=attn_fn, kv_offset=kv_offset)
+                           attn_fn=attn_fn, kv_offset=kv_offset,
+                           update_fn=update_fn)
         if act_constraint is not None:
             x = act_constraint(x)
         return x, (kc, vc)
@@ -316,6 +318,8 @@ def forward(
     kv_offset=None,          # cache write position when it differs from the
                              # rope position (sequence-sharded caches)
     act_constraint=None,     # residual-stream sharding constraint (SP prefill)
+    update_fn=None,          # override the cache write (CP decode's
+                             # ownership-masked write)
 ) -> Tuple[jax.Array, Cache]:
     """Run the transformer trunk. Returns (hidden (B, T, E), new cache).
 
@@ -338,7 +342,8 @@ def forward(
         for i, lp in enumerate(layers):
             x, kc, vc = _block(cfg, x, lp, cache["k"][i], cache["v"][i],
                                positions, offset,
-                               attn_fn=attn_fn, kv_offset=kv_offset)
+                               attn_fn=attn_fn, kv_offset=kv_offset,
+                               update_fn=update_fn)
             if act_constraint is not None:
                 x = act_constraint(x)
             k_new.append(kc)
@@ -347,6 +352,7 @@ def forward(
         x, k_new, v_new = run_layers(
             layers, cfg, x, cache["k"], cache["v"], positions, offset,
             attn_fn=attn_fn, kv_offset=kv_offset, act_constraint=act_constraint,
+            update_fn=update_fn,
         )
 
     x = apply_final_norm(params, cfg, x)

@@ -132,3 +132,105 @@ def prefill_context_parallel(
         check_vma=False,
     )
     return fn(params, tokens, cache)
+
+
+# -- sequence-sharded DECODE --------------------------------------------------
+
+def cp_decode_attention(
+    q: jax.Array,        # (B, 1, H, D) — replicated query
+    k: jax.Array,        # (B, Sl, Hkv, D) resident local KV shard
+    v: jax.Array,
+    kv_pos: jax.Array,   # (Sl,) absolute positions of the local slots
+    pos: jax.Array,      # scalar: the query's absolute position
+    axis_name: str,
+) -> jax.Array:
+    """Distributed-softmax decode attention over a sequence-sharded cache.
+
+    Unlike prefill, decode needs no ring: each device scores the query
+    against its RESIDENT shard and the partial softmax states combine with
+    two collectives (pmax of the score max, psum of numerator/denominator)
+    — the factorization flash_decode_attention uses per-shard
+    (ops/flash_attention.py), lifted across devices. KV shards never move;
+    per-device cache stays O(S / n_devices), removing the reference's
+    single-memory context cap (llama2.f90:311-313)."""
+    B, T, H, D = q.shape
+    Hkv = k.shape[2]
+    G = H // Hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
+    scores = jnp.einsum("bthgd,bshd->bthgs", qf, k.astype(jnp.float32)) * scale
+    mask = kv_pos <= pos                                   # (Sl,)
+    scores = jnp.where(mask[None, None, None, None, :], scores, _NEG_INF)
+
+    m = jax.lax.pmax(jnp.max(scores, axis=-1), axis_name)  # global max
+    p = jnp.exp(scores - m[..., None])                     # masked -> exp(-inf)=0
+    l = jax.lax.psum(jnp.sum(p, axis=-1), axis_name)
+    acc = jax.lax.psum(
+        jnp.einsum("bthgs,bshd->bthgd", p, v.astype(jnp.float32)), axis_name)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def decode_step_context_parallel(
+    params,
+    cfg,
+    token: jax.Array,      # (B,) int32
+    cache,                 # stacked llama cache (L, B, S, Hkv, D), S seq-sharded
+    pos: jax.Array,        # scalar int32 absolute position
+    mesh: Mesh,
+    data_axis: str = "data",
+    seq_axis: str = "model",
+):
+    """One decode step over a sequence-sharded KV cache. Returns
+    (logits (B, V) f32, cache) — numerically matching the dense
+    single-device decode step.
+
+    Slot placement is contiguous: device r owns absolute positions
+    [r*Sl, (r+1)*Sl). The new K/V row is written only by the owning
+    device (masked select at the local offset); attention is the
+    all-reduce softmax combine of ``cp_decode_attention``."""
+    from jax import shard_map
+
+    from tpu_llm.models import llama as M
+
+    cache_spec = P(None, data_axis, seq_axis, None, None)
+    tok_spec = P(data_axis)
+
+    def local_fn(params, token, cache, pos):
+        r = jax.lax.axis_index(seq_axis)
+        Sl = cache["k"].shape[2]
+        first = r * Sl
+        kv_pos = first + jnp.arange(Sl, dtype=jnp.int32)
+
+        def update_fn(kc, vc, k_new, v_new, offset):
+            # ownership-masked write: only the device whose shard holds
+            # ``offset`` commits the new row; others write back the old
+            local_off = jnp.clip(offset - first, 0, Sl - 1)
+            own = (offset >= first) & (offset < first + Sl)
+
+            def masked(c, new):
+                old = jax.lax.dynamic_slice_in_dim(c, local_off, 1, axis=1)
+                row = jnp.where(own, new.astype(c.dtype), old)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    c, row, local_off, axis=1)
+
+            return masked(kc, k_new), masked(vc, v_new)
+
+        def attn_fn(q, kc, vc, positions, offset):
+            return cp_decode_attention(q, kc, vc, kv_pos, pos, seq_axis)
+
+        hidden, cache = M.forward(
+            params, cfg, token[:, None], cache, pos,
+            attn_fn=attn_fn, update_fn=update_fn,
+        )
+        logits = M.lm_head(params, cfg, hidden)[:, 0, :]
+        return logits, cache
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), tok_spec, {"k": cache_spec, "v": cache_spec}, P()),
+        out_specs=(P(data_axis, None), {"k": cache_spec, "v": cache_spec}),
+        check_vma=False,
+    )
+    return fn(params, token, cache, pos)
