@@ -1,0 +1,119 @@
+"""Paged KV cache (tpu_llm.ops.paged_kv): update/gather round trips,
+decode-attention parity with the dense cache, garbage-block isolation via
+kv_lengths (its load-bearing caller), and the host-side allocator."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_llm.ops.attention import gqa_attention, update_kv_cache
+from tpu_llm.ops.paged_kv import (
+    BlockAllocator, PagedKV, paged_gather, paged_gqa_attention, paged_update,
+)
+
+
+def build(B=2, n_blocks=16, bs=4, max_blocks=4, Hkv=2, D=8, dtype=jnp.float32):
+    kv = PagedKV.zeros(n_blocks, bs, B, max_blocks, Hkv * D, dtype)
+    # map each row to its own distinct blocks (like an allocator would)
+    table = np.zeros((B, max_blocks), np.int32)
+    alloc = BlockAllocator(n_blocks)
+    for b in range(B):
+        table[b] = alloc.alloc(max_blocks)
+    return PagedKV(kv.k_pool, kv.v_pool, jnp.asarray(table), kv.lengths), alloc
+
+
+def test_update_gather_roundtrip():
+    rng = np.random.default_rng(0)
+    kv, _ = build()
+    Hkv, D = 2, 8
+    writes = {}
+    for pos in [0, 1, 3, 4, 5, 11]:       # crosses block boundaries
+        k = jnp.asarray(rng.standard_normal((2, 1, Hkv, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 1, Hkv, D)), jnp.float32)
+        kv = paged_update(kv, k, v, jnp.full((2,), pos, jnp.int32))
+        writes[pos] = (np.asarray(k), np.asarray(v))
+    kflat, vflat = paged_gather(kv)
+    kflat = np.asarray(kflat).reshape(2, -1, Hkv, D)
+    for pos, (k, v) in writes.items():
+        np.testing.assert_allclose(kflat[:, pos], k[:, 0], rtol=1e-6)
+    assert np.asarray(kv.lengths).tolist() == [12, 12]
+
+
+def test_per_row_positions():
+    rng = np.random.default_rng(1)
+    kv, _ = build()
+    k = jnp.asarray(rng.standard_normal((2, 1, 2, 8)), jnp.float32)
+    kv = paged_update(kv, k, k, jnp.asarray([2, 9], jnp.int32))
+    kflat, _ = paged_gather(kv)
+    kflat = np.asarray(kflat).reshape(2, -1, 2, 8)
+    np.testing.assert_allclose(kflat[0, 2], np.asarray(k)[0, 0], rtol=1e-6)
+    np.testing.assert_allclose(kflat[1, 9], np.asarray(k)[1, 0], rtol=1e-6)
+    assert np.asarray(kv.lengths).tolist() == [3, 10]
+
+
+def test_paged_attention_matches_dense():
+    """Fill both a dense and a paged cache with the same tokens; decode
+    attention must agree."""
+    rng = np.random.default_rng(2)
+    B, Hkv, D, H = 2, 2, 8, 4
+    S = 16
+    kv, _ = build(B=B, Hkv=Hkv, D=D)
+    dense_k = jnp.zeros((B, S, Hkv, D))
+    dense_v = jnp.zeros((B, S, Hkv, D))
+    n_ctx = 7
+    for pos in range(n_ctx):
+        k = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.float32)
+        kv = paged_update(kv, k, v, jnp.full((B,), pos, jnp.int32))
+        dense_k, dense_v = update_kv_cache(dense_k, dense_v, k, v,
+                                           jnp.int32(pos))
+
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    q_pos = jnp.full((B, 1), n_ctx - 1, jnp.int32)
+    ref = gqa_attention(q, dense_k, dense_v, q_pos)
+    got = paged_gqa_attention(q, kv, q_pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_garbage_blocks_masked_by_lengths():
+    """Poison the pool beyond each sequence's length: attention must not
+    change (kv_lengths isolation — causality alone would NOT mask a
+    stale block mapped at a position <= q_pos after table reuse)."""
+    rng = np.random.default_rng(3)
+    B, Hkv, D, H = 2, 2, 8, 4
+    kv, _ = build(B=B, Hkv=Hkv, D=D)
+    for pos in range(5):
+        k = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.float32)
+        kv = paged_update(kv, k, k, jnp.full((B,), pos, jnp.int32))
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    # q claims a position far past the valid extent: only lengths protect
+    q_pos = jnp.full((B, 1), 15, jnp.int32)
+    base = np.asarray(paged_gqa_attention(q, kv, q_pos))
+
+    # valid region: block 0 fully (bs=4) + block 1 offset 0 (lengths=5).
+    # poison everything beyond: block 1 offsets 1.., blocks 2..3 entirely.
+    table = np.asarray(kv.block_table)
+    tail_blocks = jnp.asarray(table[:, 2:].ravel())
+    mid_blocks = jnp.asarray(table[:, 1])
+    k_pool = kv.k_pool.at[tail_blocks].add(1e3)
+    k_pool = k_pool.at[mid_blocks, 1:].add(1e3)
+    v_pool = kv.v_pool.at[tail_blocks].add(1e3)
+    v_pool = v_pool.at[mid_blocks, 1:].add(1e3)
+    poisoned = PagedKV(k_pool=k_pool, v_pool=v_pool,
+                       block_table=kv.block_table, lengths=kv.lengths)
+    got = np.asarray(paged_gqa_attention(q, poisoned, q_pos))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
+def test_allocator_free_list():
+    a = BlockAllocator(8)
+    assert a.n_free == 7                  # block 0 reserved
+    blocks = a.alloc(3)
+    assert len(set(blocks)) == 3 and 0 not in blocks
+    a.release(blocks)
+    assert a.n_free == 7
+    with pytest.raises(MemoryError):
+        a.alloc(8)
