@@ -92,3 +92,40 @@ def test_pp_rejects_indivisible_layers():
             make_params(0), cfg, jnp.zeros((1,), jnp.int32),
             M.init_cache(cfg, 1, 8), jnp.int32(0), mesh,
         )
+
+
+def test_pp_tp_composed_decode_matches_dense():
+    """PP=2 x TP=2 x DP=2 over 8 devices: composed decode parity with the
+    dense single-device step (VERDICT r1 missing 7)."""
+    import jax.numpy as jnp
+
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.models import llama as M
+    from tpu_llm.parallel.mesh import make_mesh
+    from tpu_llm.parallel.pipeline import decode_step_pp_tp
+
+    cfg = LlamaConfig(dim=32, hidden_dim=64, n_layers=4, n_heads=4,
+                      n_kv_heads=2, vocab_size=64, seq_len=16)
+    rng = np.random.default_rng(9)
+    s = lambda *sh: jnp.asarray((rng.standard_normal(sh) * 0.05).astype(np.float32))
+    L, E, F, V, KV = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size, cfg.kv_dim
+    params = {
+        "tok_emb": s(V, E), "final_norm": s(E) + 1.0, "wcls": s(E, V),
+        "layers": {
+            "attn_norm": s(L, E) + 1.0, "ffn_norm": s(L, E) + 1.0,
+            "wq": s(L, E, E), "wk": s(L, E, KV), "wv": s(L, E, KV),
+            "wo": s(L, E, E), "w1": s(L, E, F), "w3": s(L, E, F),
+            "w2": s(L, F, E)},
+    }
+    mesh = make_mesh(data=2, model=2, pipe=2)
+    B = 2
+    tok = jnp.asarray([3, 9], jnp.int32)
+    dense_cache = M.init_cache(cfg, B, cfg.seq_len)
+    pp_cache = M.init_cache(cfg, B, cfg.seq_len)
+    for step in range(4):
+        pos = jnp.int32(step)
+        ref, dense_cache = M.decode_step(params, cfg, tok, dense_cache, pos)
+        got, pp_cache = decode_step_pp_tp(params, cfg, tok, pp_cache, pos, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        tok = jnp.argmax(ref, -1).astype(jnp.int32)

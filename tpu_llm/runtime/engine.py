@@ -251,6 +251,13 @@ class Engine:
         if n_gen > 1:
             if use_scan:
                 key, sub = jax.random.split(key)
+                # bucket the scan length so distinct -n values share a
+                # compile (n_steps is a static argnum); extra steps decode
+                # past the requested count into the slack the n_total
+                # clamp guarantees, and their tokens are discarded
+                steps = n_gen - 1
+                bucket = min(_next_bucket(steps), self.max_seq - pos)
+                assert bucket >= steps, (bucket, steps)
                 toks_dev, state = self._decode_scan(
                     self.params,
                     jnp.full((self.batch,), emitted[-1], jnp.int32),
@@ -258,9 +265,9 @@ class Engine:
                     jnp.int32(pos),
                     sub,
                     temp,
-                    n_gen - 1,
+                    bucket,
                 )
-                toks_host = np.asarray(jax.device_get(toks_dev))[:, 0]
+                toks_host = np.asarray(jax.device_get(toks_dev))[:steps, 0]
                 for t in toks_host:
                     emitted.append(int(t))
                     if stream:
