@@ -171,6 +171,41 @@ def test_qmatmul_f16bit_scales_interpret():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_qmatmul_bf16_scales_interpret():
+    """bf16 scale planes: half the scale bytes at <=2^-8 relative scale
+    rounding; kernel result matches dequantizing with bf16-rounded scales
+    exactly (the only difference vs f32 scales is the scale rounding)."""
+    import jax
+    from tpu_llm.quant.convert_params import unpack_params_int4
+    from tpu_llm.quant.qtensor import QTensor, pack_scales_bf16
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((256, 256)).astype(np.float32) * 0.05
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    for kind in ("q4_0", "q8_0"):
+        qt = quantize_tensor(w, kind)
+        qp = jax.jit(pack_scales_bf16)(qt)
+        assert qp.scales.dtype == jnp.bfloat16
+        rounded = QTensor(
+            q=qt.q, scales=np.asarray(qp.scales).astype(np.float32), kind=kind
+        )
+        ref = x @ np.asarray(dequantize(rounded, jnp.float32))
+        got = np.asarray(
+            qmatmul_pallas(jnp.asarray(x), qp, interpret=True, out_dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+        # relative scale error bounded by bf16 rounding
+        rel = np.abs(np.asarray(qp.scales, np.float32) - np.asarray(qt.scales)) / (
+            np.abs(np.asarray(qt.scales)) + 1e-30
+        )
+        assert rel.max() <= 2.0 ** -8
+    # tree transform routes "bf16" mode
+    params = {"wcls": quantize_tensor(w, "q4_0")}
+    out = jax.jit(lambda p: unpack_params_int4(p, pack_scales="bf16"))(params)
+    assert out["wcls"].scales.dtype == jnp.bfloat16
+    assert out["wcls"].kind == "q4_0i4"
+
+
 def test_q5_0_roundtrip_error_bounded():
     rng = np.random.default_rng(5)
     x = rng.standard_normal(256).astype(np.float32)

@@ -33,7 +33,7 @@ from tpu_llm.config import LlamaConfig
 from tpu_llm.ops.activations import gelu, silu
 from tpu_llm.ops.attention import gqa_attention, update_kv_cache
 from tpu_llm.ops.norms import layernorm, rmsnorm
-from tpu_llm.ops.rope import apply_rope
+from tpu_llm.ops.rope import _rotate, apply_rope, rope_angles
 from tpu_llm.quant.linear import matmul
 
 Params = Dict[str, Any]
@@ -198,7 +198,7 @@ def _norm(cfg: LlamaConfig, x, lp, prefix: str):
 
 
 def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
-           attn_fn=None, kv_offset=None, update_fn=None):
+           attn_fn=None, kv_offset=None, update_fn=None, rope_cs=None):
     # named scopes reproduce the reference's five timing buckets
     # (llama2.f90:538,561,599,622,638) as XProf trace annotations
     B, T, E = x.shape
@@ -225,8 +225,17 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
     v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
 
     with jax.named_scope("rope"):
-        q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
-        k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant, cfg.rope_dims)
+        # angles are position-only — computed ONCE per step by forward()
+        # and shared by every layer. Neutral in the unstacked path (XLA
+        # CSEs the duplicate sin/cos), but inside lax.scan the angle
+        # computation would otherwise rerun every layer iteration
+        # (~47us/step of pure VPU time, experiments/r2_phases.py).
+        if rope_cs is None:
+            rope_cs = rope_angles(positions, cfg.head_dim, cfg.rope_theta,
+                                  cfg.rope_variant, cfg.rope_dims)
+        cos, sin = rope_cs
+        q = _rotate(q, cos, sin, cfg.rope_variant, cfg.rope_dims)
+        k = _rotate(k, cos, sin, cfg.rope_variant, cfg.rope_dims)
 
     with jax.named_scope("attention"):
         kc, vc = (update_fn or update_kv_cache)(
@@ -288,6 +297,7 @@ def run_layers(
     kv_offset=None,
     act_constraint=None,
     update_fn=None,
+    rope_cs=None,
 ):
     """Run a stacked layer range under lax.scan. Factored out of ``forward``
     so pipeline stages (tpu_llm.parallel.pipeline) can run their local layer
@@ -298,7 +308,7 @@ def run_layers(
         lp, kc, vc = xs
         x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
                            attn_fn=attn_fn, kv_offset=kv_offset,
-                           update_fn=update_fn)
+                           update_fn=update_fn, rope_cs=rope_cs)
         if act_constraint is not None:
             x = act_constraint(x)
         return x, (kc, vc)
@@ -335,6 +345,8 @@ def forward(
     else:
         positions = offset[:, None] + jnp.arange(T, dtype=jnp.int32)  # (B, T)
 
+    rope_cs = rope_angles(positions, cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_variant, cfg.rope_dims)
     layers = params["layers"]
     if isinstance(layers, (list, tuple)):
         # unstacked fast path: direct per-layer buffers, no slice copies
@@ -343,7 +355,7 @@ def forward(
             x, kc, vc = _block(cfg, x, lp, cache["k"][i], cache["v"][i],
                                positions, offset,
                                attn_fn=attn_fn, kv_offset=kv_offset,
-                               update_fn=update_fn)
+                               update_fn=update_fn, rope_cs=rope_cs)
             if act_constraint is not None:
                 x = act_constraint(x)
             k_new.append(kc)
@@ -352,7 +364,7 @@ def forward(
         x, k_new, v_new = run_layers(
             layers, cfg, x, cache["k"], cache["v"], positions, offset,
             attn_fn=attn_fn, kv_offset=kv_offset, act_constraint=act_constraint,
-            update_fn=update_fn,
+            update_fn=update_fn, rope_cs=rope_cs,
         )
 
     x = apply_final_norm(params, cfg, x)

@@ -60,7 +60,7 @@ def quantize_llama_params(
     return out
 
 
-def unpack_params_int4(params, pack_scales: bool = False):
+def unpack_params_int4(params, pack_scales=False):
     """Decode fast-path weight transform: q4_0 QTensors -> int4-plane
     QTensors ("q4_0i4"). jit-traceable: call INSIDE the decode program,
     before the token scan — XLA hoists it to one conversion pass over the
@@ -68,20 +68,23 @@ def unpack_params_int4(params, pack_scales: bool = False):
     q bytes at rest and on the wire; Mosaic's native int4 widening
     replaces the manual nibble unpack in the kernel.
 
-    ``pack_scales=True`` additionally stores scales as f16-bit int16
-    planes (exact, half the scale HBM bytes) — measured a net LOSS on the
-    current VPU-bound kernel (944 vs 980 tok/s: the in-kernel 5-op bit
-    rebuild costs more than the saved DMA), kept for when the kernel
-    becomes DMA-bound."""
+    ``pack_scales`` halves the scale-plane HBM bytes (~10% of Q4_0's
+    total per-token traffic): "f16" (or True) stores exact f16 bits in
+    int16 planes (5-op in-kernel rebuild); "bf16" stores bf16 (1-op
+    upcast, rounds f16-origin scales by <=2^-8 relative)."""
     import jax
 
-    from tpu_llm.quant.qtensor import pack_scales_f16, to_int4
+    from tpu_llm.quant.qtensor import pack_scales_bf16, pack_scales_f16, to_int4
 
     def leaf(x):
         if not isinstance(x, QTensor):
             return x
         x = to_int4(x)
-        return pack_scales_f16(x) if pack_scales else x
+        if pack_scales in (True, "f16"):
+            return pack_scales_f16(x)
+        if pack_scales == "bf16":
+            return pack_scales_bf16(x)
+        return x
 
     return jax.tree_util.tree_map(
         leaf, params, is_leaf=lambda x: isinstance(x, QTensor)

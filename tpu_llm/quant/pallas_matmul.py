@@ -64,7 +64,9 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
             2.0 ** 112
         )
     else:
-        s_f32 = s_ref[:]
+        # f32 scales: no-op. bf16 scales (pack_scales_bf16): one cheap
+        # upcast on the (tk/32, tn) plane — 1/32 of the weight values.
+        s_f32 = s_ref[:].astype(jnp.float32)
     nb = s_ref.shape[0]
     s = jnp.repeat(s_f32, tk // nb, axis=0)             # (tk, tn) f32
     w = vals.astype(jnp.float32) * s

@@ -168,6 +168,20 @@ def pack_scales_f16(qt: QTensor) -> QTensor:
     return QTensor(q=qt.q, scales=bits, kind=qt.kind)
 
 
+def pack_scales_bf16(qt: QTensor) -> QTensor:
+    """f32 scales -> bf16 (half the scale bytes, 1-op upcast in-kernel).
+
+    NOT exact for f16-origin scales (bf16 keeps 7 mantissa bits vs f16's
+    10): each block's scale rounds by at most 2^-8 relative — noise well
+    under Q4's own quantization error, and in bf16 serving mode the
+    dequantized product is rounded to bf16 on MXU ingest anyway. Use
+    ``pack_scales_f16`` (int16 bit planes) when exact reference-parity
+    dequantization matters."""
+    if qt.scales.dtype in (jnp.bfloat16, jnp.int16):
+        return qt
+    return QTensor(q=qt.q, scales=qt.scales.astype(jnp.bfloat16), kind=qt.kind)
+
+
 def unpack_scales_f16(scales: jax.Array, dtype=jnp.float32) -> jax.Array:
     """int16 f16-bit scales -> float (XLA ops; kernels do it in-register)."""
     if scales.dtype != jnp.int16:
