@@ -67,13 +67,15 @@ def main():
         if "TPU" not in pids.get(e["pid"], ""):
             continue
         nm = e["name"]
-        if nm.startswith("jit_"):
+        if nm.startswith("jit_") or nm.startswith("while"):
             continue
-        per[nm] += e["dur"]
+        # group by op family: strip the trailing .NNN instance id
+        fam = nm.rsplit(".", 1)[0] if nm.rsplit(".", 1)[-1].isdigit() else nm
+        per[fam] += e["dur"]
         spans.append((e["ts"], e["ts"] + e["dur"], nm))
     total = sum(per.values())
     print(f"total device busy: {total/STEPS:.0f} us/step over {STEPS} steps")
-    for nm, us in sorted(per.items(), key=lambda kv: -kv[1])[:30]:
+    for nm, us in sorted(per.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {us/STEPS:9.2f} us/step  x  {nm[:100]}")
 
     # idle-gap analysis on the merged busy timeline

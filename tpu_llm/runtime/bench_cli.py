@@ -362,6 +362,9 @@ def _tp_rows(args):
 
 
 def main(argv=None) -> int:
+    from tpu_llm.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(prog="llm-bench", description=__doc__)
     ap.add_argument("--configs", default="bf16,q8_0,q4_0")
     ap.add_argument("--steps", type=int, default=128)

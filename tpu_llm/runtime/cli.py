@@ -71,6 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # persistent XLA compile cache: first run pays the jit compile,
+    # every later run starts in seconds (TPU_LLM_NO_COMPILE_CACHE=1 opts out)
+    import os
+
+    if not os.environ.get("TPU_LLM_NO_COMPILE_CACHE"):
+        from tpu_llm.runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+
     # multi-host bring-up must precede any device use
     from tpu_llm.parallel.distributed import init_distributed
 

@@ -15,6 +15,12 @@ import time
 
 
 def main(argv=None) -> int:
+    import os
+
+    if not os.environ.get("TPU_LLM_NO_COMPILE_CACHE"):
+        from tpu_llm.runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     p = argparse.ArgumentParser(prog="llm-ssm", description=__doc__)
     p.add_argument("-m", "--model", default="model.bin")
     p.add_argument("-p", "--prompt", default="")
