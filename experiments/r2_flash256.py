@@ -1,0 +1,58 @@
+"""fold + S=256 cache + flash decode kernel (single chunk) instead of the
+einsum chain: one pallas call replaces score-einsum + mask + softmax +
+AV-einsum per layer."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+import jax.numpy as jnp
+from tpu_llm.runtime.compile_cache import enable_compile_cache
+enable_compile_cache()
+from fast_params import synth_q4_llama
+from tpu_llm.models import llama as M
+from tpu_llm.ops.flash_attention import flash_decode_attention
+from tpu_llm.quant.convert_params import fold_rope_interleave, unpack_params_int4
+from tpu_llm.runtime.timing import slope_time_s
+
+def attn_flash(q, kc, vc, positions, offset):
+    B, T, H, D = q.shape
+    S = kc.shape[1]
+    Hkv = kc.shape[2] // D
+    return flash_decode_attention(
+        q, kc.reshape(B, S, Hkv, D), vc.reshape(B, S, Hkv, D), positions)
+
+def run_variant(label, params, cfg, S, attn_fn):
+    cache = M.init_cache(cfg, 1, S, dtype=jnp.bfloat16, stacked=False)
+    token = jnp.ones((1,), jnp.int32)
+    @jax.jit
+    def run_n(params, token, cache, n):
+        params = unpack_params_int4(params)
+        def body(i, c):
+            token, cache, pos = c
+            x, cache2 = M.forward(params, cfg, token[:, None], cache, pos,
+                                  attn_fn=attn_fn)
+            logits = M.lm_head(params, cfg, x)[:, 0, :]
+            return (jnp.argmax(logits, -1).astype(jnp.int32), cache2, pos + 1)
+        return jax.lax.fori_loop(0, n, body, (token, cache, jnp.int32(16)))
+    def make(n):
+        nd = jnp.int32(n)
+        def thunk():
+            out = run_n(params, token, cache, nd)
+            np.asarray(jax.device_get(out[0][0]))
+        return thunk
+    t0 = time.time()
+    make(4)()
+    print(f"[{label}] compile+warm {time.time()-t0:.1f}s", flush=True)
+    dt = slope_time_s(make, 16, 144)
+    print(f"[{label}] full step: {dt*1e6:.1f} us -> {1/dt:.1f} tok/s", flush=True)
+
+def main():
+    params, cfg = synth_q4_llama(fused=True)
+    params = M.unstack_layers(params)
+    params, cfg = fold_rope_interleave(params, cfg)
+    jax.block_until_ready(params["layers"][0]["wqkv"].q)
+    run_variant("fold+S256+flash", params, cfg, 256, attn_flash)
+    run_variant("fold+S256+einsum", params, cfg, 256, None)
+
+if __name__ == "__main__":
+    main()

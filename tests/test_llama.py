@@ -222,6 +222,110 @@ def test_fused_projections_match_unfused():
 
 
 @pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8"])
+def test_kv_window_decode_matches_full(cache_dtype):
+    """decode_step(kv_window=w) attends only to cache slots [0, w); for
+    positions < w the result is identical to full-cache attention (the
+    dropped slots carry exactly zero softmax weight)."""
+    w8 = make_weights(41)
+    params = to_params(w8)
+    cfg = LlamaConfig(**CFG)
+    pu = M.unstack_layers(dict(params, layers=dict(params["layers"])))
+
+    tokens = jnp.asarray([[3, 17, 42], [9, 9, 1]], jnp.int32)
+    c_a = M.init_cache(cfg, 2, CFG["seq_len"], dtype=cache_dtype, stacked=False)
+    c_b = M.init_cache(cfg, 2, CFG["seq_len"], dtype=cache_dtype, stacked=False)
+    _, c_a = M.forward(pu, cfg, tokens, c_a, jnp.int32(0))
+    _, c_b = M.forward(pu, cfg, tokens, c_b, jnp.int32(0))
+
+    tok = jnp.asarray([7, 12], jnp.int32)
+    for step in range(3):
+        pos = jnp.int32(3 + step)
+        lg_a, c_a = M.decode_step(pu, cfg, tok, c_a, pos)
+        lg_b, c_b = M.decode_step(pu, cfg, tok, c_b, pos, kv_window=8)
+        np.testing.assert_allclose(np.asarray(lg_b), np.asarray(lg_a),
+                                   rtol=1e-6, atol=1e-6)
+        tok = jnp.argmax(lg_a, -1).astype(jnp.int32)
+
+
+def test_fold_rope_interleave_matches():
+    """fold_rope_interleave: permuted wq/wk + neox rotation produce the
+    same logits as interleaved rope on the original weights (dot products
+    are permutation-invariant; only f32 summation order differs)."""
+    from tpu_llm.quant.convert_params import fold_rope_interleave
+
+    w = make_weights(31)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG, rope_variant="interleaved")
+    pf, cf = fold_rope_interleave(params, cfg)
+    assert cf.rope_variant == "neox"
+
+    tokens = jnp.asarray([[3, 17, 42, 8], [9, 9, 1, 77]], jnp.int32)
+    c0 = M.init_cache(cfg, 2, CFG["seq_len"])
+    c1 = M.init_cache(cf, 2, CFG["seq_len"])
+    h0, c0 = M.forward(params, cfg, tokens, c0, jnp.int32(0))
+    h1, c1 = M.forward(pf, cf, tokens, c1, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                               rtol=1e-5, atol=1e-5)
+    tok = jnp.asarray([7, 12], jnp.int32)
+    lg0, _ = M.decode_step(params, cfg, tok, c0, jnp.int32(4))
+    lg1, _ = M.decode_step(pf, cf, tok, c1, jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg0),
+                               rtol=1e-5, atol=1e-5)
+    # quantized + fused layout: permutation acts on QTensor column planes
+    # (the sharding fixture's dims are q4-blockable; this file's are not)
+    from tests.test_sharding import CFG as QCFG, make_params
+    from tpu_llm.quant.convert_params import quantize_llama_params
+
+    qcfg = LlamaConfig(**QCFG, rope_variant="interleaved")
+    pq = quantize_llama_params(make_params(5), "q4_0", fuse=True)
+    pqf, cqf = fold_rope_interleave(pq, qcfg)
+    qt = jnp.asarray([[3, 17, 42, 8]], jnp.int32)
+    cq0 = M.init_cache(qcfg, 1, QCFG["seq_len"])
+    cq1 = M.init_cache(cqf, 1, QCFG["seq_len"])
+    hq0, _ = M.forward(pq, qcfg, qt, cq0, jnp.int32(0))
+    hq1, _ = M.forward(pqf, cqf, qt, cq1, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(hq1), np.asarray(hq0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_deferred_kv_decode_matches_standard():
+    """forward(defer_kv=True) on a flat-stacked cache: attention against
+    the stale cache + explicit current k/v, one batched DUS per plane.
+    Logits and cache contents must match the per-layer-write path (up to
+    f32 summation order)."""
+    w = make_weights(23)
+    params = to_params(w)
+    cfg = LlamaConfig(**CFG)
+    pu = M.unstack_layers(dict(params, layers=dict(params["layers"])))
+
+    tokens = jnp.asarray([[3, 17, 42], [9, 9, 1]], jnp.int32)
+    c_ref = M.init_cache(cfg, 2, CFG["seq_len"], stacked=False)
+    c_fs = M.init_cache(cfg, 2, CFG["seq_len"], flat_stacked=True)
+    h_ref, c_ref = M.forward(pu, cfg, tokens, c_ref, jnp.int32(0))
+    h_fs, c_fs = M.forward(pu, cfg, tokens, c_fs, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(h_fs), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert c_fs["k"].shape == (CFG["n_layers"], 2, CFG["seq_len"],
+                               CFG["dim"] // CFG["n_heads"] * CFG["n_kv_heads"])
+
+    tok = jnp.asarray([7, 12], jnp.int32)
+    for step in range(3):
+        pos = jnp.int32(3 + step)
+        lg_ref, c_ref = M.decode_step(pu, cfg, tok, c_ref, pos)
+        lg_fs, c_fs = M.decode_step(pu, cfg, tok, c_fs, pos, defer_kv=True)
+        np.testing.assert_allclose(np.asarray(lg_fs), np.asarray(lg_ref),
+                                   rtol=1e-5, atol=1e-5)
+        tok = jnp.argmax(lg_ref, -1).astype(jnp.int32)
+    for i in range(CFG["n_layers"]):
+        np.testing.assert_allclose(np.asarray(c_fs["k"][i]),
+                                   np.asarray(c_ref["k"][i]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_fs["v"][i]),
+                                   np.asarray(c_ref["v"][i]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8"])
 def test_flat_unstacked_cache_matches_stacked(cache_dtype):
     """Unstacked caches store flat (B, S, Hkv*D) planes (in-place updates
     — experiments/dus_alias.py); numerics must match the stacked 4D path

@@ -44,7 +44,7 @@ Cache = Dict[str, jax.Array]
 
 def init_cache(
     cfg: LlamaConfig, batch: int = 1, max_seq: Optional[int] = None, dtype=jnp.float32,
-    stacked: bool = True,
+    stacked: bool = True, flat_stacked: bool = False,
 ) -> Cache:
     """Preallocated static-shape KV cache.
 
@@ -60,6 +60,13 @@ def init_cache(
     values + per-(token, head) f32 scales, tpu_llm.ops.kv_cache)."""
     s = max_seq or cfg.seq_len
     quant = dtype == "int8"
+    if flat_stacked:
+        # (L, B, S, Hkv*D) dense planes: per-layer reads are leading-index
+        # views; ALL layers' writes batch into one dynamic_update_slice per
+        # step (forward(defer_kv=True))
+        assert not quant, "flat_stacked cache is dense-only"
+        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads * cfg.head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if stacked:
         shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
         if quant:
@@ -197,8 +204,26 @@ def _norm(cfg: LlamaConfig, x, lp, prefix: str):
     return rmsnorm(x, lp[f"{prefix}_norm"], cfg.norm_eps)
 
 
+def _kv_window(cache, w: int):
+    """Static window view of the first ``w`` cache slots (token axis).
+    Attention over the window equals full-cache attention whenever every
+    attended position < w: masked slots past the window carry exactly
+    zero softmax weight, so dropping them changes nothing — but the
+    attention einsums stop streaming the (padded) tail of the plane,
+    which at early positions is most of its bytes (~85us/step of
+    einsum time at S=1024, experiments/r2_trace.py)."""
+    from tpu_llm.ops.kv_cache import QuantKV
+
+    if isinstance(cache, QuantKV):
+        if cache.q.ndim == 3:  # flat (B, S, Hkv*D), scales (B, Hkv, S)
+            return QuantKV(q=cache.q[:, :w], s=cache.s[..., :w])
+        return QuantKV(q=cache.q[:, :w], s=cache.s[:, :w])
+    return cache[:, :w]
+
+
 def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
-           attn_fn=None, kv_offset=None, update_fn=None, rope_cs=None):
+           attn_fn=None, kv_offset=None, update_fn=None, rope_cs=None,
+           defer_kv=False, kv_window=None):
     # named scopes reproduce the reference's five timing buckets
     # (llama2.f90:538,561,599,622,638) as XProf trace annotations
     B, T, E = x.shape
@@ -238,10 +263,26 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         k = _rotate(k, cos, sin, cfg.rope_variant, cfg.rope_dims)
 
     with jax.named_scope("attention"):
-        kc, vc = (update_fn or update_kv_cache)(
-            kc, vc, k, v, offset if kv_offset is None else kv_offset
-        )
-        attn = (attn_fn or _attend)(q, kc, vc, positions, offset)
+        if defer_kv:
+            # attend against the STALE cache + explicit current k/v; the
+            # caller batches all layers' cache writes into one DUS
+            # (gqa_attention_deferred — saves the 44 tiny per-layer
+            # dynamic_update_slice ops, ~45us/step at batch 1)
+            from tpu_llm.ops.attention import gqa_attention_deferred
+
+            k_flat = k.reshape(B, T, cfg.kv_dim)
+            v_flat = v.reshape(B, T, cfg.kv_dim)
+            ka, va = ((kc, vc) if kv_window is None else
+                      (_kv_window(kc, kv_window), _kv_window(vc, kv_window)))
+            attn = gqa_attention_deferred(q, ka, va, k_flat, v_flat, positions)
+            kc, vc = k_flat, v_flat
+        else:
+            kc, vc = (update_fn or update_kv_cache)(
+                kc, vc, k, v, offset if kv_offset is None else kv_offset
+            )
+            ka, va = ((kc, vc) if kv_window is None else
+                      (_kv_window(kc, kv_window), _kv_window(vc, kv_window)))
+            attn = (attn_fn or _attend)(q, ka, va, positions, offset)
         attn = attn.reshape(B, T, E)
         attn_out = matmul(attn, lp["wo"])
         if "bo" in lp:
@@ -298,6 +339,7 @@ def run_layers(
     act_constraint=None,
     update_fn=None,
     rope_cs=None,
+    kv_window=None,
 ):
     """Run a stacked layer range under lax.scan. Factored out of ``forward``
     so pipeline stages (tpu_llm.parallel.pipeline) can run their local layer
@@ -308,7 +350,8 @@ def run_layers(
         lp, kc, vc = xs
         x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
                            attn_fn=attn_fn, kv_offset=kv_offset,
-                           update_fn=update_fn, rope_cs=rope_cs)
+                           update_fn=update_fn, rope_cs=rope_cs,
+                           kv_window=kv_window)
         if act_constraint is not None:
             x = act_constraint(x)
         return x, (kc, vc)
@@ -330,6 +373,10 @@ def forward(
     act_constraint=None,     # residual-stream sharding constraint (SP prefill)
     update_fn=None,          # override the cache write (CP decode's
                              # ownership-masked write)
+    defer_kv=False,          # batch all layers' cache writes into one DUS
+                             # (decode T==1, flat-stacked dense cache only)
+    kv_window=None,          # static int: attend only to cache slots [0, w)
+                             # — exact when all positions < w (_kv_window)
 ) -> Tuple[jax.Array, Cache]:
     """Run the transformer trunk. Returns (hidden (B, T, E), new cache).
 
@@ -348,23 +395,55 @@ def forward(
     rope_cs = rope_angles(positions, cfg.head_dim, cfg.rope_theta,
                           cfg.rope_variant, cfg.rope_dims)
     layers = params["layers"]
+    if defer_kv:
+        assert T == 1 and offset.ndim == 0 and isinstance(layers, (list, tuple))
     if isinstance(layers, (list, tuple)):
         # unstacked fast path: direct per-layer buffers, no slice copies
+        flat_stacked = (not isinstance(cache["k"], (list, tuple))
+                        and getattr(cache["k"], "ndim", 0) == 4)
         k_new, v_new = [], []
         for i, lp in enumerate(layers):
             x, kc, vc = _block(cfg, x, lp, cache["k"][i], cache["v"][i],
                                positions, offset,
                                attn_fn=attn_fn, kv_offset=kv_offset,
-                               update_fn=update_fn, rope_cs=rope_cs)
+                               update_fn=update_fn, rope_cs=rope_cs,
+                               defer_kv=defer_kv, kv_window=kv_window)
             if act_constraint is not None:
                 x = act_constraint(x)
+            if defer_kv and not flat_stacked:
+                # deferred write, per-layer planes: the DUS happens here,
+                # OFF the attention dependency chain (attention reads the
+                # stale plane; the write only gates the NEXT step)
+                off32 = offset.astype(jnp.int32)
+                zero = jnp.zeros((), jnp.int32)
+                idx = (zero, off32, zero)
+                kc = jax.lax.dynamic_update_slice(
+                    cache["k"][i], kc.astype(cache["k"][i].dtype), idx)
+                vc = jax.lax.dynamic_update_slice(
+                    cache["v"][i], vc.astype(cache["v"][i].dtype), idx)
             k_new.append(kc)
             v_new.append(vc)
+        if defer_kv and flat_stacked:
+            # ONE batched write per plane for all layers' current k/v
+            zero = jnp.zeros((), jnp.int32)
+            idx = (zero, zero, offset.astype(jnp.int32), zero)
+            x = apply_final_norm(params, cfg, x)
+            return x, {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], jnp.stack(k_new).astype(cache["k"].dtype), idx),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], jnp.stack(v_new).astype(cache["v"].dtype), idx),
+            }
+        if flat_stacked:
+            # flat-stacked cache through the non-deferred path (prefill
+            # before a defer_kv decode loop): keep the stacked structure
+            k_new = jnp.stack(k_new)
+            v_new = jnp.stack(v_new)
     else:
         x, k_new, v_new = run_layers(
             layers, cfg, x, cache["k"], cache["v"], positions, offset,
             attn_fn=attn_fn, kv_offset=kv_offset, act_constraint=act_constraint,
-            update_fn=update_fn, rope_cs=rope_cs,
+            update_fn=update_fn, rope_cs=rope_cs, kv_window=kv_window,
         )
 
     x = apply_final_norm(params, cfg, x)
@@ -409,9 +488,12 @@ def decode_step(
     token: jax.Array,        # (B,) int32
     cache: Cache,
     pos: jax.Array,          # scalar int32
+    defer_kv: bool = False,
+    kv_window=None,
 ) -> Tuple[jax.Array, Cache]:
     """One decode step: (B,) token ids at position ``pos`` -> (B, V) logits."""
-    x, cache = forward(params, cfg, token[:, None], cache, pos)
+    x, cache = forward(params, cfg, token[:, None], cache, pos,
+                       defer_kv=defer_kv, kv_window=kv_window)
     logits = lm_head(params, cfg, x)[:, 0, :]
     return logits, cache
 

@@ -274,6 +274,71 @@ def _gqa_attention_flat(q, k_cache, v_cache, q_positions, kv_lengths):
     return _pick_own_block(full, Hkv, G).astype(q.dtype)
 
 
+def gqa_attention_deferred(
+    q: jax.Array,            # (B, T, H, D), decode T == 1
+    k_cache: jax.Array,      # flat (B, S, Hkv*D) dense plane, STALE at pos
+    v_cache: jax.Array,
+    k_cur: jax.Array,        # (B, T, Hkv*D) — this step's k/v, NOT yet written
+    v_cur: jax.Array,
+    q_positions: jax.Array,  # (T,) or (B, T)
+) -> jax.Array:
+    """Decode attention with the cache write DEFERRED.
+
+    The 44 per-layer dynamic_update_slice ops cost ~1.4us each of pure
+    per-op overhead at batch 1 (~45us/step, experiments/r2_trace.py).
+    Here attention reads the STALE cache (positions < pos) and handles the
+    current token's k/v explicitly: its score replaces the (masked) slot
+    at ``pos`` and its value enters via a rank-1 add after the AV
+    contraction. The caller batches all layers' writes into ONE
+    dynamic_update_slice on a stacked (L, B, S, Hkv*D) cache at the end
+    of the step. Same math as write-then-attend (the inserted score and
+    value ARE what the cache would have held)."""
+    B, T, H, D = q.shape
+    S, HkvD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HkvD // D
+    G = H // Hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    bf16_inputs = (
+        q.dtype == jnp.bfloat16
+        and k_cache.dtype == jnp.bfloat16
+        and v_cache.dtype == jnp.bfloat16
+    )
+    cdt = jnp.bfloat16 if bf16_inputs else jnp.float32
+    if not bf16_inputs:
+        k_cache = k_cache.astype(jnp.float32)
+        v_cache = v_cache.astype(jnp.float32)
+    qbd = _block_diag_q(q, Hkv, cdt)                       # (B, T, H, Hkv*D)
+
+    scores = jnp.einsum(
+        "bthc,bsc->bths", qbd, k_cache, preferred_element_type=jnp.float32
+    ) * scale                                              # (B, T, H, S)
+    score_cur = jnp.einsum(
+        "bthc,btc->bth", qbd, k_cur.astype(cdt),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # (B, T, H)
+
+    qp = q_positions[None, :] if q_positions.ndim == 1 else q_positions
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    is_cur = s_idx[None, None, :] == qp[:, :, None]        # (B, T, S)
+    visible = s_idx[None, None, :] <= qp[:, :, None]
+    scores = jnp.where(is_cur[:, :, None, :], score_cur[..., None], scores)
+    scores = jnp.where(visible[:, :, None, :], scores, _NEG_INF)
+
+    att = jax.nn.softmax(scores, axis=-1)
+    att_cur = jnp.sum(
+        att * is_cur[:, :, None, :].astype(att.dtype), axis=-1
+    )                                                      # (B, T, H)
+    att_cache = att * (~is_cur)[:, :, None, :].astype(att.dtype)
+    full = jnp.einsum(
+        "bths,bsc->bthc", att_cache.astype(cdt), v_cache,
+        preferred_element_type=jnp.float32,
+    ) + att_cur[..., None].astype(jnp.float32) * v_cur[:, :, None, :].astype(
+        jnp.float32
+    )                                                      # (B, T, H, Hkv*D)
+    return _pick_own_block(full, Hkv, G).astype(q.dtype)
+
+
 def _gqa_attention_int8_flat(q, k_cache, v_cache, q_positions, kv_lengths):
     """int8 attention against flat QuantKV planes (q (B,S,Hkv*D) int8,
     kv-head-major scales s (B,Hkv,S) f32 — see QuantKV.zeros(flat=True)):

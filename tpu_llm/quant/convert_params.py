@@ -91,6 +91,70 @@ def unpack_params_int4(params, pack_scales=False):
     )
 
 
+def fold_rope_interleave(params: Dict, cfg):
+    """Fold the interleaved-RoPE pairing into the wq/wk weight layout.
+
+    Interleaved RoPE rotates dim pairs (2j, 2j+1), which on TPU costs a
+    (B, T, H, D/2, 2) reshape relayout per q/k per layer (~28us/step at
+    batch 1, experiments/r2_overhead.py). Permuting each head's wq/wk
+    output columns to [evens, odds] makes the SAME rotation the neox
+    half-split form — two contiguous lane-axis slices, no relayout:
+    interleaved-rope(W x) == neox-rope(P W x) with identical angle tables
+    (exponent 2j/D on pair j either way). The attention dot q.k is
+    permutation-invariant, v/wo are untouched, so logits are unchanged
+    (up to f32 summation order). Cache contents become head-dim-permuted.
+
+    Returns (params', cfg') with cfg'.rope_variant == "neox". No-op for
+    non-interleaved variants and partial-rope (rope_dims) models."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    if cfg.rope_variant != "interleaved" or cfg.rope_dims is not None:
+        return params, cfg
+    D = cfg.head_dim
+    base = np.concatenate([np.arange(0, D, 2), np.arange(1, D, 2)])
+
+    def head_perm(n_heads):
+        return (np.arange(n_heads)[:, None] * D + base[None, :]).reshape(-1)
+
+    qperm = head_perm(cfg.n_heads)                    # (E,)
+    kperm = head_perm(cfg.n_kv_heads)                 # (KV,)
+    KV = cfg.kv_dim
+
+    def permute(w, perm):
+        perm = jnp.asarray(perm, jnp.int32)
+        if isinstance(w, QTensor):
+            return QTensor(q=jnp.take(w.q, perm, axis=-1),
+                           scales=jnp.take(w.scales, perm, axis=-1),
+                           kind=w.kind)
+        return jnp.take(w, perm, axis=-1)
+
+    def fold_layer(lp):
+        lp = dict(lp)
+        if "wqkv" in lp:
+            E = cfg.dim
+            full = np.concatenate(
+                [qperm, E + kperm, E + KV + np.arange(KV)])
+            lp["wqkv"] = permute(lp["wqkv"], full)
+        else:
+            lp["wq"] = permute(lp["wq"], qperm)
+            lp["wk"] = permute(lp["wk"], kperm)
+            if "bq" in lp:
+                lp["bq"] = jnp.take(lp["bq"], jnp.asarray(qperm), axis=-1)
+                lp["bk"] = jnp.take(lp["bk"], jnp.asarray(kperm), axis=-1)
+        return lp
+
+    out = dict(params)
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        out["layers"] = [fold_layer(lp) for lp in layers]
+    else:
+        out["layers"] = fold_layer(layers)
+    return out, dataclasses.replace(cfg, rope_variant="neox")
+
+
 def _concat_n(ws):
     """Concat weights along the output (N) axis; QTensor planes concat
     directly — packing is per-column independent in the (K/2, N) layout."""
