@@ -25,17 +25,25 @@ import jax.numpy as jnp
 REFERENCE_TOK_S = 7.3  # llm.f90 optimize16 branch, 1 CPU core (README.md:13)
 
 
-def build_params(quant: str):
+def build_params(quant: str, cfg=None):
     import __graft_entry__ as ge
     from tpu_llm.models.llama import unstack_layers
-    from tpu_llm.quant.convert_params import fuse_llama_layers, quantize_llama_params
+    from tpu_llm.quant.convert_params import (
+        fold_rope_interleave, fuse_llama_layers, quantize_llama_params,
+    )
 
     _, (params, _, _, _) = ge.entry()
     if quant != "none":
         params = quantize_llama_params(params, quant, fuse=True)
     else:
         params = dict(params, layers=fuse_llama_layers(params["layers"]))
-    return unstack_layers(params)
+    params = unstack_layers(params)
+    if cfg is not None:
+        # fold interleaved RoPE into the wq/wk column order: the rotation
+        # becomes the relayout-free neox form (-30us/step; exact up to f32
+        # summation order — tests/test_llama.py::test_fold_rope_interleave)
+        params, cfg = fold_rope_interleave(params, cfg)
+    return params, cfg
 
 
 def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
@@ -102,7 +110,7 @@ def main():
     from tpu_llm.config import tinyllama_1_1b
 
     cfg = tinyllama_1_1b()
-    params = build_params(args.quant)
+    params, cfg = build_params(args.quant, cfg)
     cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                    "int8": "int8"}[args.cache_dtype]
     tok_s = measure(params, cfg, args.steps, args.batch, args.max_seq,

@@ -27,7 +27,7 @@ BATCH = 32
 
 def main():
     cfg = tinyllama_1_1b()
-    params = B.build_params("q4_0")
+    params, _ = B.build_params("q4_0")
     cache = M.init_cache(cfg, BATCH, 1024, dtype="int8", stacked=False)
     token = jnp.ones((BATCH,), jnp.int32)
 

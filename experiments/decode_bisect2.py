@@ -49,7 +49,7 @@ def report(label, us):
 
 
 def main():
-    params = B.build_params("q4_0")
+    params, _ = B.build_params("q4_0")
     cdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, "int8": "int8"}[CACHE_DTYPE]
     cache = M.init_cache(cfg, BATCH, 1024, dtype=cdt, stacked=False)
     token = jnp.ones((BATCH,), jnp.int32)

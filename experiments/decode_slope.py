@@ -149,7 +149,7 @@ def main():
     import tpu_llm.quant.pallas_matmul as PM
 
     cfg = tinyllama_1_1b()
-    params = B.build_params(args.quant)
+    params, _ = B.build_params(args.quant)
     register_policies(PM._pick_tiles)
 
     for name in args.policies.split(","):

@@ -75,3 +75,78 @@ def test_flash_decode_per_row_positions():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("pos", [0, 5, 7, 8, 63, 190])
+@pytest.mark.parametrize("batch", [1, 2])
+def test_flash_decode_fused_matches_einsum(pos, batch):
+    """Fused attention + in-kernel cache append (aliased planes): output
+    equals write-then-attend einsum attention; the returned planes hold
+    the appended row at pos; rows past pos inside the tile-aligned row
+    group are don't-care (rewritten from the stale cache); rows beyond
+    the group are untouched."""
+    from tpu_llm.ops.attention import update_kv_cache
+    from tpu_llm.ops.flash_attention import _group_rows, flash_decode_fused
+
+    B, S, H, Hkv, D = batch, 256, 8, 2, 64
+    rng = np.random.default_rng(1000 + pos)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((B, S, Hkv * D)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((B, S, Hkv * D)).astype(np.float32))
+    k_cur = jnp.asarray(rng.standard_normal((B, 1, Hkv * D)).astype(np.float32))
+    v_cur = jnp.asarray(rng.standard_normal((B, 1, Hkv * D)).astype(np.float32))
+    positions = jnp.asarray([pos], jnp.int32)
+
+    kc_ref, vc_ref = update_kv_cache(
+        kc, vc, k_cur.reshape(B, 1, Hkv, D), v_cur.reshape(B, 1, Hkv, D),
+        jnp.int32(pos))
+    expected = gqa_attention(q, kc_ref, vc_ref, positions)
+
+    got, kc_new, vc_new = flash_decode_fused(
+        q, kc, vc, k_cur, v_cur, positions, chunk=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+    # visible rows (<= pos) must match the write-then-attend reference
+    np.testing.assert_allclose(np.asarray(kc_new)[:, : pos + 1],
+                               np.asarray(kc_ref)[:, : pos + 1],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(vc_new)[:, : pos + 1],
+                               np.asarray(vc_ref)[:, : pos + 1],
+                               rtol=0, atol=0)
+    # rows beyond pos's row group are untouched
+    gr = _group_rows(kc.dtype)
+    g_end = (pos // gr) * gr + gr
+    np.testing.assert_allclose(np.asarray(kc_new)[:, g_end:],
+                               np.asarray(kc)[:, g_end:], rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(vc_new)[:, g_end:],
+                               np.asarray(vc)[:, g_end:], rtol=0, atol=0)
+
+
+def test_flash_decode_fused_multistep_parity():
+    """Chained fused-append decode steps equal write-then-attend decode
+    over a whole token sequence (the in-model usage pattern)."""
+    from tpu_llm.ops.attention import update_kv_cache
+    from tpu_llm.ops.flash_attention import flash_decode_fused
+
+    B, S, H, Hkv, D = 1, 128, 4, 2, 64
+    rng = np.random.default_rng(7)
+    kc = jnp.zeros((B, S, Hkv * D), jnp.float32)
+    vc = jnp.zeros((B, S, Hkv * D), jnp.float32)
+    kc_ref, vc_ref = kc, vc
+    for pos in range(10):
+        q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+        k_cur = jnp.asarray(
+            rng.standard_normal((B, 1, Hkv * D)).astype(np.float32))
+        v_cur = jnp.asarray(
+            rng.standard_normal((B, 1, Hkv * D)).astype(np.float32))
+        positions = jnp.asarray([pos], jnp.int32)
+
+        kc_ref, vc_ref = update_kv_cache(
+            kc_ref, vc_ref, k_cur.reshape(B, 1, Hkv, D),
+            v_cur.reshape(B, 1, Hkv, D), jnp.int32(pos))
+        expected = gqa_attention(q, kc_ref, vc_ref, positions)
+
+        got, kc, vc = flash_decode_fused(
+            q, kc, vc, k_cur, v_cur, positions, chunk=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-5, atol=2e-5)

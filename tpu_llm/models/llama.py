@@ -61,9 +61,10 @@ def init_cache(
     s = max_seq or cfg.seq_len
     quant = dtype == "int8"
     if flat_stacked:
-        # (L, B, S, Hkv*D) dense planes: per-layer reads are leading-index
-        # views; ALL layers' writes batch into one dynamic_update_slice per
-        # step (forward(defer_kv=True))
+        # (L, B, S, Hkv*D) dense planes with one batched write per step:
+        # measured a LOSS vs per-layer planes (the big loop-carried buffer
+        # degrades kernel overlap, experiments/r2_defer.py) — kept only
+        # for layout experiments
         assert not quant, "flat_stacked cache is dense-only"
         shape = (cfg.n_layers, batch, s, cfg.n_kv_heads * cfg.head_dim)
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
@@ -133,12 +134,34 @@ def _attend(q, kc, vc, positions, offset):
     T, S, H = q.shape[1], kc.shape[1], q.shape[2]
     scores_bytes = q.shape[0] * T * S * H * 4
 
-    # Decode (T=1) stays on the einsum path deliberately: a fused
-    # online-softmax decode kernel (ops/flash_attention.flash_decode_
-    # attention, with O(pos) cache DMA via pinned block indices) measured
-    # SLOWER in-model at every probed point — 958 vs 980 tok/s at S=1024,
-    # 880 vs 936 at S=2048/pos~1600 — XLA's einsum chain overlaps with
-    # the projection kernels better than a separate pallas call does.
+    # Batch-1 decode routes to the fused online-softmax kernel: ONE
+    # pallas call replaces the score/AV einsums + mask + softmax fusions,
+    # with O(pos) cache DMA via pinned block indices. Round 1 measured it
+    # slower than the einsum chain; with the RoPE fold and unstacked fast
+    # path it now wins at every probed point (1088 vs 1043 tok/s on the
+    # bench harness, experiments/r2_bench_like.py). Batch>1 decode and
+    # CPU stay on the einsum path (unmeasured / no Mosaic).
+    B, D = q.shape[0], q.shape[3]
+    use_decode_flash = (
+        T == 1
+        and B == 1
+        and not isinstance(kc, QuantKV)
+        and kc.ndim == 3
+        and kc.dtype in (jnp.bfloat16, jnp.float32)
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not os.environ.get("TPU_LLM_DISABLE_FLASH")
+        and not os.environ.get("TPU_LLM_DISABLE_PALLAS")
+        and D in (64, 128)
+        and kc.shape[2] % 128 == 0
+        and S % min(256, S) == 0
+    )
+    if use_decode_flash:
+        from tpu_llm.ops.flash_attention import flash_decode_attention
+
+        Hkv = kc.shape[2] // D
+        return flash_decode_attention(
+            q, kc.reshape(B, S, Hkv, D), vc.reshape(B, S, Hkv, D), positions
+        )
 
     use_flash = (
         T > 1
@@ -204,6 +227,34 @@ def _norm(cfg: LlamaConfig, x, lp, prefix: str):
     return rmsnorm(x, lp[f"{prefix}_norm"], cfg.norm_eps)
 
 
+def _use_flash_fused(q, kc) -> bool:
+    """Gate for the fused decode attention + in-kernel cache-append
+    kernel: TPU, dense flat planes, lane-aligned head slices, chunkable
+    cache, and a cache length divisible by the dtype's tile-aligned row
+    group (the kernel appends by read-modify-writing that group —
+    Mosaic rejects single-row HBM slices)."""
+    import os
+
+    from tpu_llm.ops.kv_cache import QuantKV
+
+    if os.environ.get("TPU_LLM_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    if isinstance(kc, QuantKV) or kc.ndim != 3:
+        return False
+    if kc.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    from tpu_llm.ops.flash_attention import _group_rows
+
+    B, T, H, D = q.shape
+    S, HkvD = kc.shape[1], kc.shape[2]
+    chunk = min(256, S)
+    gr = _group_rows(kc.dtype)
+    return (T == 1 and D in (64, 128) and HkvD % 128 == 0
+            and S % chunk == 0 and S % gr == 0 and chunk % gr == 0)
+
+
 def _kv_window(cache, w: int):
     """Static window view of the first ``w`` cache slots (token axis).
     Attention over the window equals full-cache attention whenever every
@@ -264,18 +315,27 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
 
     with jax.named_scope("attention"):
         if defer_kv:
-            # attend against the STALE cache + explicit current k/v; the
-            # caller batches all layers' cache writes into one DUS
-            # (gqa_attention_deferred — saves the 44 tiny per-layer
-            # dynamic_update_slice ops, ~45us/step at batch 1)
-            from tpu_llm.ops.attention import gqa_attention_deferred
-
+            # attend against the STALE cache + explicit current k/v. On
+            # TPU with tiling shapes, ONE fused kernel does attention AND
+            # the cache append via aliased planes (flash_decode_fused);
+            # elsewhere gqa_attention_deferred + the caller's per-layer
+            # write. Either way the 44 tiny per-layer DUS+einsum op chain
+            # collapses (~4us/layer of per-op overhead).
             k_flat = k.reshape(B, T, cfg.kv_dim)
             v_flat = v.reshape(B, T, cfg.kv_dim)
-            ka, va = ((kc, vc) if kv_window is None else
-                      (_kv_window(kc, kv_window), _kv_window(vc, kv_window)))
-            attn = gqa_attention_deferred(q, ka, va, k_flat, v_flat, positions)
-            kc, vc = k_flat, v_flat
+            if _use_flash_fused(q, kc):
+                from tpu_llm.ops.flash_attention import flash_decode_fused
+
+                attn, kc, vc = flash_decode_fused(
+                    q, kc, vc, k_flat, v_flat, positions)
+            else:
+                from tpu_llm.ops.attention import gqa_attention_deferred
+
+                ka, va = ((kc, vc) if kv_window is None else
+                          (_kv_window(kc, kv_window), _kv_window(vc, kv_window)))
+                attn = gqa_attention_deferred(q, ka, va, k_flat, v_flat,
+                                              positions)
+                kc, vc = k_flat, v_flat
         else:
             kc, vc = (update_fn or update_kv_cache)(
                 kc, vc, k, v, offset if kv_offset is None else kv_offset
@@ -410,10 +470,13 @@ def forward(
                                defer_kv=defer_kv, kv_window=kv_window)
             if act_constraint is not None:
                 x = act_constraint(x)
-            if defer_kv and not flat_stacked:
-                # deferred write, per-layer planes: the DUS happens here,
-                # OFF the attention dependency chain (attention reads the
-                # stale plane; the write only gates the NEXT step)
+            if defer_kv and not flat_stacked and \
+                    kc.shape != cache["k"][i].shape:
+                # deferred write, per-layer planes (_block returned this
+                # step's k/v, not updated planes — the flash append kernel
+                # updates in-kernel): the DUS happens here, OFF the
+                # attention dependency chain (attention reads the stale
+                # plane; the write only gates the NEXT step)
                 off32 = offset.astype(jnp.int32)
                 zero = jnp.zeros((), jnp.int32)
                 idx = (zero, off32, zero)

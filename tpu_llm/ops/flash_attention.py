@@ -26,6 +26,28 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
+def _gqa_diag(hkv: int, group: int, d: int):
+    """(H, Hkv*D) mask: row h is True on its own kv head's D columns.
+    Expanding q block-diagonally with this mask lets ONE MXU pass contract
+    all heads against the flat (S, Hkv*D) cache plane (the 8-small-dots
+    version cost ~2x: MXU fill overhead per dot)."""
+    heads = hkv * group
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (heads, hkv * d), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (heads, hkv * d), 0) // group
+    return col_head == row_head
+
+
+def _pick_own_head(full, diag, hkv: int, d: int):
+    """(H, Hkv*D) block-diag AV result -> (H, D): keep each row's own
+    kv-head D-column block. Static lane slices — a 3D reshape here is an
+    unsupported Mosaic shape cast."""
+    picked = jnp.where(diag, full, jnp.zeros_like(full))
+    av = picked[:, :d]
+    for i in range(1, hkv):
+        av = av + picked[:, i * d : (i + 1) * d]
+    return av
+
+
 def _flash_kernel(
     off_ref,            # SMEM (1,)   — query position offset
     q_ref,              # (1, 1, block_q, D)
@@ -130,15 +152,7 @@ def _decode_kernel(
     def _run():
         q = q_ref[0]                                     # (H, D) bf16/f32
         kc = k_ref[0]                                    # (CS, Hkv*D)
-        # ONE MXU pass for all heads: expand q block-diagonally to
-        # (H, Hkv*D) — row h is zero outside its kv head's D columns —
-        # so q_bd @ kc^T contracts each row against only its own head.
-        # (The 8-small-dots version cost ~2x: MXU fill overhead per dot.)
-        col_head = jax.lax.broadcasted_iota(
-            jnp.int32, (heads := hkv * group, hkv * d), 1) // d
-        row_head = jax.lax.broadcasted_iota(
-            jnp.int32, (heads, hkv * d), 0) // group
-        diag = col_head == row_head                      # (H, Hkv*D)
+        diag = _gqa_diag(hkv, group, d)                  # (H, Hkv*D)
         q_tiled = jnp.concatenate([q] * hkv, axis=1)     # (H, Hkv*D)
         q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
         s = jax.lax.dot_general(
@@ -164,13 +178,7 @@ def _decode_kernel(
             p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                # (H, Hkv*D)
-        picked = jnp.where(diag, full, jnp.zeros_like(full))
-        # sum the hkv D-column groups (static lane slices — a 3D reshape
-        # here is an unsupported Mosaic shape cast)
-        av = picked[:, :d]
-        for i in range(1, hkv):
-            av = av + picked[:, i * d : (i + 1) * d]     # (H, D)
-        acc_scr[:] = acc_scr[:] * alpha + av
+        acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
 
     @pl.when(ik == n_chunks - 1)
     def _store():
@@ -195,13 +203,14 @@ def flash_decode_attention(
     position are compute-predicated AND never DMA'd (the index map pins
     their block index, Mosaic skips the re-fetch).
 
-    NOT wired into the decode path: measured slower in-model than the
-    XLA einsum chain at every probed operating point (958 vs 980 tok/s
-    at S=1024/pos<200; 880 vs 936 at S=2048/pos~1600, TinyLlama q4
-    batch-1) — a separate pallas call per layer overlaps worse with the
-    projection kernels than XLA's scheduled einsums do. Kept (with
-    parity tests) as the starting point for ring/sequence-sharded decode
-    variants, where per-shard softmax state is required anyway.
+    This is the default batch-1 decode attention (models/llama._attend).
+    Round 1 measured it slower than the XLA einsum chain (958 vs 980
+    tok/s); after the RoPE fold and the unstacked fast path it wins at
+    every probed point (1088 vs 1043 tok/s on the bench harness at
+    S=1024, and wider at deep positions — experiments/r2_bench_like.py,
+    r2_append.py). Also the per-shard building block for ring/
+    sequence-sharded decode (parallel/ring.py), where per-shard softmax
+    state is required anyway.
     """
     B, T, H, D = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
@@ -250,6 +259,233 @@ def flash_decode_attention(
         interpret=interpret,
     )(pos, q2, kc, vc)
     return out.reshape(B, 1, H, D)
+
+
+def _decode_fused_kernel(
+    pos_ref,            # SMEM (B,) — absolute position of the query per row
+    q_ref,              # (1, H, D)
+    k_ref,              # (1, CS, Hkv*D) — STALE cache chunk (rows >= g0 unused)
+    v_ref,
+    kcur_ref,           # (1, 1, Hkv*D) — this step's k/v
+    vcur_ref,
+    o_ref,              # (1, H, D)
+    kplane_ref,         # ANY/HBM (B, S, Hkv*D) — aliased cache plane
+    vplane_ref,
+    kgrp, vgrp,         # VMEM (1, GR, Hkv*D) — the row group holding ``pos``
+    m_scr, l_scr, acc_scr, dma_sem,
+    *,
+    chunk: int,
+    n_chunks: int,
+    hkv: int,
+    group: int,
+    d: int,
+    gr: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    ik = pl.program_id(1)
+    pos = pos_ref[b]
+    g0 = (pos // gr) * gr          # tile-aligned start of pos's row group
+
+    diag = _gqa_diag(hkv, group, d)                      # (H, Hkv*D)
+    q = q_ref[0]                                         # (H, D)
+    q_tiled = jnp.concatenate([q] * hkv, axis=1)         # (H, Hkv*D)
+    q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
+
+    # start the group read early (waited at the final step, so its
+    # latency hides behind the chunk passes). Reading from the ALIASED
+    # output ref = reading the cache: a GR-row tile-aligned slice is a
+    # legal Mosaic HBM access for this dtype (a single-row slice is not
+    # — Mosaic rejects sub-(sublane-tile) slice shapes).
+    @pl.when(ik == 0)
+    def _start_group_read():
+        pltpu.make_async_copy(
+            kplane_ref.at[pl.ds(b, 1), pl.ds(g0, gr), :], kgrp, dma_sem.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            vplane_ref.at[pl.ds(b, 1), pl.ds(g0, gr), :], vgrp, dma_sem.at[1]
+        ).start()
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # cache chunks cover rows [0, g0): STRICT mask s < g0 — rows in
+    # [g0, pos] enter through the group merge below. When g0 == 0 no
+    # chunk runs; the merge starts from (m, l) = (NEG_INF, 0) and
+    # alpha = 0 annihilates the empty state exactly.
+    @pl.when(ik * chunk < g0)
+    def _run():
+        kc = k_ref[0]                                    # (CS, Hkv*D)
+        s = jax.lax.dot_general(
+            q_bd, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                     # (H, CS)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * chunk
+        s = jnp.where(s_idx < g0, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        full = jax.lax.dot_general(
+            p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
+
+    @pl.when(ik == n_chunks - 1)
+    def _merge_group_and_store():
+        # the read-modify-write append: insert this step's k/v at row
+        # r = pos - g0 of the group and write the whole tile-aligned
+        # group back to the aliased plane. Rows (pos, g0+GR) re-write
+        # whatever the cache held — past the sequence head, don't-care.
+        pltpu.make_async_copy(
+            kplane_ref.at[pl.ds(b, 1), pl.ds(g0, gr), :], kgrp, dma_sem.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            vplane_ref.at[pl.ds(b, 1), pl.ds(g0, gr), :], vgrp, dma_sem.at[1]
+        ).wait()
+        r = pos - g0
+        row_sel = jax.lax.broadcasted_iota(jnp.int32, (gr, hkv * d), 0) == r
+        new_k = jnp.where(row_sel, kcur_ref[0], kgrp[0])    # (GR, Hkv*D)
+        new_v = jnp.where(row_sel, vcur_ref[0], vgrp[0])
+        kgrp[0] = new_k
+        vgrp[0] = new_v
+        kw = pltpu.make_async_copy(
+            kgrp, kplane_ref.at[pl.ds(b, 1), pl.ds(g0, gr), :], dma_sem.at[0]
+        )
+        vw = pltpu.make_async_copy(
+            vgrp, vplane_ref.at[pl.ds(b, 1), pl.ds(g0, gr), :], dma_sem.at[1]
+        )
+        kw.start()
+        vw.start()
+
+        # online-softmax merge of the group columns j with g0 + j <= pos
+        # (includes the current token at j = r)
+        s_g = jax.lax.dot_general(
+            q_bd.astype(jnp.float32), new_k.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                     # (H, GR)
+        col = jax.lax.broadcasted_iota(jnp.int32, s_g.shape, 1)
+        s_g = jnp.where(g0 + col <= pos, s_g, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_next = jnp.maximum(m_prev, jnp.max(s_g, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s_g - m_next)                        # (H, GR)
+        l = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        full = jax.lax.dot_general(
+            p, new_v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (H, Hkv*D)
+        acc = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
+
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+        kw.wait()
+        vw.wait()
+
+
+def _group_rows(dtype) -> int:
+    """Smallest tile-aligned row count for HBM slices of this dtype:
+    Mosaic packs 32 bits per sublane row (f32: 8 rows/tile, bf16: 16,
+    int8: 32)."""
+    return 8 * 4 // jnp.dtype(dtype).itemsize
+
+
+def flash_decode_fused(
+    q: jax.Array,         # (B, 1, H, D)
+    k_cache: jax.Array,   # flat (B, S, Hkv*D) dense plane — STALE at pos
+    v_cache: jax.Array,
+    k_cur: jax.Array,     # (B, 1, Hkv*D)
+    v_cur: jax.Array,
+    positions: jax.Array,  # (1,) or (B, 1) — query position(s)
+    *,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """Fused decode attention + in-kernel cache append: ONE kernel per
+    layer replaces score-einsum + mask + softmax + AV-einsum + two
+    dynamic_update_slice cache writes (~4us/layer of per-op overhead,
+    experiments/r2_trace.py). The kernel reads the tile-aligned row
+    group containing ``pos`` from the aliased plane (async, hidden
+    behind the chunk passes), inserts the current k/v row, writes the
+    group back, and merges the group's visible columns into the online
+    softmax. No staging state leaks into the cache pytree — the planes
+    are the only carry.
+
+    Returns (attn (B, 1, H, D), k_cache', v_cache')."""
+    B, T, H, D = q.shape
+    S, HkvD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HkvD // D
+    G = H // Hkv
+    gr = _group_rows(k_cache.dtype)
+    chunk = min(chunk, S)
+    assert T == 1 and S % chunk == 0 and HkvD % LANES == 0 and S % gr == 0
+    assert chunk % gr == 0
+    n_chunks = S // chunk
+    sm_scale = 1.0 / (D ** 0.5)
+
+    q2 = q.reshape(B, H, D)
+    pos = jnp.broadcast_to(positions.astype(jnp.int32).reshape(-1)[:1], (B,)) \
+        if positions.size == 1 else positions.astype(jnp.int32).reshape(B)
+
+    def kv_index(b, ik, pos_ref):
+        g0 = (pos_ref[b] // gr) * gr
+        return (b, jnp.minimum(ik, jnp.maximum(g0 - 1, 0) // chunk), 0)
+
+    out, k_new, v_new = pl.pallas_call(
+        functools.partial(
+            _decode_fused_kernel,
+            chunk=chunk, n_chunks=n_chunks, hkv=Hkv, group=G, d=D, gr=gr,
+            sm_scale=sm_scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, H, D), lambda b, ik, pos: (b, 0, 0)),
+                pl.BlockSpec((1, chunk, HkvD), kv_index),
+                pl.BlockSpec((1, chunk, HkvD), kv_index),
+                pl.BlockSpec((1, 1, HkvD), lambda b, ik, pos: (b, 0, 0)),
+                pl.BlockSpec((1, 1, HkvD), lambda b, ik, pos: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, H, D), lambda b, ik, pos: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, gr, HkvD), k_cache.dtype),
+                pltpu.VMEM((1, gr, HkvD), v_cache.dtype),
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={2: 1, 3: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos, q2, k_cache, v_cache,
+      k_cur.astype(k_cache.dtype), v_cur.astype(v_cache.dtype))
+    return out.reshape(B, 1, H, D), k_new, v_new
 
 
 def flash_decode_ok(q, k_cache, S: int, chunk: int = 256) -> bool:
