@@ -1,0 +1,162 @@
+"""PagedEngine: paged-KV continuous batching + prefix caching.
+
+Ground truth is the dense single-stream Engine — identical greedy/sampled
+tokens regardless of block size, slot reuse, on-demand growth, or shared
+prefix blocks."""
+
+import numpy as np
+import pytest
+
+from tests.test_batching import single_stream_tokens
+from tests.test_llama import CFG, make_weights, to_params
+from tpu_llm.config import LlamaConfig
+from tpu_llm.runtime.batching import Request
+from tpu_llm.runtime.engine import Engine, ModelAdapter
+from tpu_llm.runtime.paged_engine import PagedEngine
+
+
+def setup(seed=0, batch=3, n_blocks=32, block_size=4, prefix=True):
+    params = to_params(make_weights(seed))
+    cfg = LlamaConfig(**CFG)
+    pe = PagedEngine(params, cfg, batch=batch, n_blocks=n_blocks,
+                     block_size=block_size, max_seq=CFG["seq_len"],
+                     prefix_caching=prefix)
+    se = Engine(params, ModelAdapter.llama(cfg, bos_id=1),
+                max_seq=CFG["seq_len"])
+    return pe, se
+
+
+def test_paged_matches_single_stream_greedy():
+    pe, se = setup()
+    prompts = [[5, 11], [3], [9, 2, 40]]
+    n_new = [5, 6, 4]
+    reqs = [pe.submit(Request(prompt=p, max_new=n))
+            for p, n in zip(prompts, n_new)]
+    pe.run()
+    for req, p, n in zip(reqs, prompts, n_new):
+        assert req.done and len(req.tokens) == n
+        assert req.tokens == single_stream_tokens(se, p, n), p
+
+
+def test_paged_growth_across_blocks():
+    """block_size=2: every other decode step crosses a block boundary and
+    must allocate + map a fresh block on the fly."""
+    pe, se = setup(block_size=2, batch=2)
+    r = pe.submit(Request(prompt=[5, 11, 8], max_new=9))
+    pe.run()
+    assert r.tokens == single_stream_tokens(se, [5, 11, 8], 9)
+
+
+def test_paged_slot_reuse_no_leak():
+    """A reused slot's stale block mapping must not leak KV into the next
+    occupant (the paged analog of dense slot-reset)."""
+    pe, se = setup(batch=1, prefix=False)
+    r1 = pe.submit(Request(prompt=[5, 11], max_new=3))
+    pe.run()
+    r2 = pe.submit(Request(prompt=[9, 4, 7], max_new=5))
+    pe.run()
+    assert r1.tokens == single_stream_tokens(se, [5, 11], 3)
+    assert r2.tokens == single_stream_tokens(se, [9, 4, 7], 5)
+
+
+def test_paged_sampled_matches_single_stream():
+    pe, se = setup(seed=3)
+    r = pe.submit(Request(prompt=[4, 9], max_new=6, temperature=0.8,
+                          seed=123))
+    pe.run()
+    assert r.tokens == single_stream_tokens(se, [4, 9], 6,
+                                            temperature=0.8, seed=123)
+
+
+def test_prefix_cache_reuses_blocks():
+    """Second request with the same prompt: its full prefix blocks come
+    from the cache (no new allocations for them) and generation is
+    unchanged."""
+    pe, se = setup(batch=1, block_size=2)
+    prompt = [5, 11, 8, 3, 9, 2, 7]          # +BOS = 8 ids = 4 full blocks
+    r1 = pe.submit(Request(prompt=prompt, max_new=4))
+    pe.run()
+    used_after_first = len(pe.allocator.refs)
+
+    r2 = pe.submit(Request(prompt=prompt, max_new=4))
+    pe.run()
+    assert r2.tokens == r1.tokens == single_stream_tokens(se, prompt, 4)
+    # the prefix blocks stayed cached between requests (refs held by the
+    # cache), and the second admission allocated only tail/decode blocks
+    assert pe.prefix is not None and len(pe.prefix._map) >= 3
+    assert len(pe.allocator.refs) <= used_after_first + 2
+
+
+def test_prefix_cache_diverging_tail():
+    """Shared prefix, different tails: the cache serves the common
+    blocks; generations match the dense engine for both."""
+    pe, se = setup(batch=2, block_size=2)
+    p1 = [5, 11, 8, 3, 9, 2]
+    p2 = [5, 11, 8, 3, 40, 6]                # diverges in the 3rd block
+    r1 = pe.submit(Request(prompt=p1, max_new=4))
+    pe.run()
+    r2 = pe.submit(Request(prompt=p2, max_new=4))
+    pe.run()
+    assert r1.tokens == single_stream_tokens(se, p1, 4)
+    assert r2.tokens == single_stream_tokens(se, p2, 4)
+
+
+def test_pool_pressure_defers_admission():
+    """With a pool too small for two concurrent requests, the second
+    waits for the first to free blocks — and still decodes correctly."""
+    # 8 usable blocks (block 0 is null), block_size=2: one request with
+    # prompt 5 (+BOS=6 ids -> 3 blocks) + 6 new tokens (3 more) uses ~6
+    pe, se = setup(batch=2, n_blocks=9, block_size=2, prefix=False)
+    p1, p2 = [5, 11, 8, 3, 9], [7, 4, 2, 6, 1]
+    r1 = pe.submit(Request(prompt=p1, max_new=6))
+    r2 = pe.submit(Request(prompt=p2, max_new=6))
+    pe.run()
+    assert r1.done and r2.done
+    assert r1.tokens == single_stream_tokens(se, p1, 6)
+    assert r2.tokens == single_stream_tokens(se, p2, 6)
+
+
+def test_pool_eviction_under_pressure():
+    """Cached prefix blocks are evicted LRU when the pool runs dry, so a
+    stream of distinct prompts never exhausts the pool."""
+    pe, se = setup(batch=1, n_blocks=12, block_size=2)
+    prompts = [[5 + i, 11, 8, 3] for i in range(6)]
+    for p in prompts:
+        r = pe.submit(Request(prompt=p, max_new=3))
+        pe.run()
+        assert r.tokens == single_stream_tokens(se, p, 3), p
+
+
+def test_impossible_request_raises():
+    pe, _ = setup(batch=1, n_blocks=4, block_size=2, prefix=False)
+    with pytest.raises(MemoryError):
+        pe.submit(Request(prompt=list(range(3, 11)), max_new=4))
+        pe.run()
+
+
+def test_paged_update_tokens_matches_dense():
+    """Unit parity: multi-token paged write + gather == dense cache."""
+    import jax.numpy as jnp
+
+    from tpu_llm.ops.paged_kv import PagedKV, paged_gather, paged_update_tokens
+
+    B, T, Hkv, D, bs = 2, 5, 2, 4, 4
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)).astype(np.float32))
+    kv = PagedKV.zeros(n_blocks=8, block_size=bs, batch=B, max_blocks=4,
+                       kv_dim=Hkv * D, dtype=jnp.float32)
+    # row 0 writes at pos 2 (blocks 1,2), row 1 at pos 0 (blocks 3,4)
+    table = np.zeros((B, 4), np.int32)
+    table[0, :2] = [1, 2]
+    table[1, :2] = [3, 4]
+    kv = PagedKV(kv.k_pool, kv.v_pool, jnp.asarray(table), kv.lengths)
+    pos0 = jnp.asarray([2, 0], jnp.int32)
+    kv = paged_update_tokens(kv, k, v, pos0)
+
+    kg, vg = paged_gather(kv)
+    kf = np.asarray(k.reshape(B, T, Hkv * D))
+    for b, start in enumerate([2, 0]):
+        np.testing.assert_allclose(
+            np.asarray(kg)[b, start : start + T], kf[b], rtol=0, atol=0)
+    assert list(np.asarray(kv.lengths)) == [7, 5]

@@ -30,7 +30,9 @@ optimization path once gather shows up in profiles.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+import hashlib
+from collections import OrderedDict
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +103,38 @@ def paged_update(
     return PagedKV(k_pool, v_pool, kv.block_table, lengths)
 
 
+def paged_update_tokens(
+    kv: PagedKV,
+    k_new: jax.Array,      # (B, T, Hkv, D)
+    v_new: jax.Array,
+    pos0: jax.Array,       # scalar or (B,) — absolute position of token 0
+) -> PagedKV:
+    """Write T consecutive tokens per sequence starting at ``pos0``
+    (prefill / chunked prefill). Generalizes ``paged_update``: the write
+    indices are (B, T) advanced-index pairs into the pool — one scatter,
+    no per-token loop. Positions whose block-table entry is the null
+    block (0) land in the trash block: padded prefill tails write
+    garbage there by design, and causal masking keeps every position
+    > q_pos invisible until a real block is mapped and rewritten."""
+    B, T = k_new.shape[0], k_new.shape[1]
+    bs = kv.block_size
+    kvd = kv.k_pool.shape[-1]
+    pos0 = jnp.asarray(pos0, jnp.int32)
+    if pos0.ndim == 0:
+        pos0 = jnp.full((B,), pos0, jnp.int32)
+    positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
+    block_idx = jnp.clip(positions // bs, 0, kv.block_table.shape[1] - 1)
+    block_ids = jnp.take_along_axis(kv.block_table, block_idx, axis=1)  # (B, T)
+    offs = positions % bs
+
+    kf = k_new.reshape(B, T, kvd).astype(kv.k_pool.dtype)
+    vf = v_new.reshape(B, T, kvd).astype(kv.v_pool.dtype)
+    k_pool = kv.k_pool.at[block_ids, offs].set(kf)
+    v_pool = kv.v_pool.at[block_ids, offs].set(vf)
+    lengths = jnp.maximum(kv.lengths, positions[:, -1] + 1)
+    return PagedKV(k_pool, v_pool, kv.block_table, lengths)
+
+
 def paged_gather(kv: PagedKV) -> Tuple[jax.Array, jax.Array]:
     """Materialize each sequence's logical KV view:
     (B, max_blocks*block_size, Hkv*D). Entries past ``lengths`` are
@@ -130,23 +164,146 @@ def paged_gqa_attention(
 
 
 class BlockAllocator:
-    """Host-side free-list allocator over the shared pool (serving-side
-    scheduling, like slot admission in the batching engine). Block 0 is
-    reserved as the null block every table entry starts pointing at."""
+    """Host-side refcounted free-list allocator over the shared pool
+    (serving-side scheduling, like slot admission in the batching
+    engine). Block 0 is reserved as the null block every table entry
+    starts pointing at. Blocks are shared by reference count (prefix
+    caching maps one physical block into many sequences' tables);
+    ``release``/``decref`` frees a block only when its last reference
+    drops."""
 
     def __init__(self, n_blocks: int):
         self.free: List[int] = list(range(n_blocks - 1, 0, -1))
+        self.refs: Dict[int, int] = {}
+        # blocks promised to admitted requests' future decode growth
+        # (admission reserves worst-case prompt+max_new so growth can
+        # never fail mid-decode — a paged request is all-or-nothing)
+        self.n_reserved = 0
+        # called with the shortfall when alloc() runs dry; returns how
+        # many blocks it could liberate (PrefixCache.evict hooks here)
+        self.reclaim: Optional[Callable[[int], int]] = None
 
     @property
     def n_free(self) -> int:
         return len(self.free)
 
-    def alloc(self, n: int = 1) -> List[int]:
-        if n > len(self.free):
-            raise MemoryError(f"paged KV pool exhausted ({n} > {len(self.free)})")
-        return [self.free.pop() for _ in range(n)]
+    def _ensure(self, n: int) -> None:
+        """Make n UNRESERVED free blocks available (reclaiming cached
+        blocks if needed) or raise."""
+        short = n - (len(self.free) - self.n_reserved)
+        if short > 0 and self.reclaim is not None:
+            self.reclaim(short)
+        if n > len(self.free) - self.n_reserved:
+            raise MemoryError(
+                f"paged KV pool exhausted ({n} needed, "
+                f"{len(self.free)} free - {self.n_reserved} reserved)")
+
+    def alloc(self, n: int = 1, *, reserved: bool = False) -> List[int]:
+        """Allocate n blocks. ``reserved=True`` draws down an existing
+        reservation (decode growth); otherwise only unreserved free
+        blocks are eligible."""
+        if reserved:
+            assert n <= self.n_reserved <= len(self.free), "reservation bug"
+            self.n_reserved -= n
+        else:
+            self._ensure(n)
+        out = [self.free.pop() for _ in range(n)]
+        for b in out:
+            self.refs[b] = 1
+        return out
+
+    def reserve(self, n: int) -> None:
+        self._ensure(n)
+        self.n_reserved += n
+
+    def unreserve(self, n: int) -> None:
+        assert n <= self.n_reserved
+        self.n_reserved -= n
+
+    def incref(self, block: int) -> None:
+        self.refs[block] += 1
+
+    def decref(self, block: int) -> None:
+        if block == 0:
+            return
+        self.refs[block] -= 1
+        if self.refs[block] == 0:
+            del self.refs[block]
+            self.free.append(block)
 
     def release(self, blocks) -> None:
         for b in blocks:
-            if b != 0:
-                self.free.append(int(b))
+            self.decref(int(b))
+
+
+class PrefixCache:
+    """Prompt prefix cache over full KV blocks (vLLM-style automatic
+    prefix caching, generalizing the reference's single-stream prompt
+    processing — llama2.f90:382-385 recomputes every prompt token every
+    run; here a repeated prefix costs zero prefill compute or HBM).
+
+    A block's identity is the hash CHAIN of all token ids from sequence
+    start through that block (RoPE bakes absolute positions into K, so
+    content-only hashing would alias). Registered blocks hold one cache
+    reference so they survive their owner's completion; when the pool
+    runs dry the allocator reclaims least-recently-matched entries whose
+    only remaining reference is the cache's."""
+
+    def __init__(self, allocator: BlockAllocator):
+        self.alloc = allocator
+        self._map: "OrderedDict[bytes, int]" = OrderedDict()   # digest -> block
+        self._rev: Dict[int, bytes] = {}
+        allocator.reclaim = self.evict
+
+    @staticmethod
+    def digests(tokens: List[int], block_size: int) -> List[bytes]:
+        """Chained digest per FULL block of ``tokens``."""
+        out, h = [], hashlib.sha1()
+        for start in range(0, (len(tokens) // block_size) * block_size,
+                           block_size):
+            h.update(b"".join(
+                int(t).to_bytes(4, "little", signed=True)
+                for t in tokens[start : start + block_size]))
+            out.append(h.digest())
+        return out
+
+    def match(self, tokens: List[int], block_size: int) -> List[int]:
+        """Longest cached prefix: block ids for leading full blocks whose
+        chained digests hit. Increfs every returned block (caller owns
+        the references). Capped at len(tokens)-1 tokens so admission
+        always has >= 1 tail token to forward (the first sampled token
+        needs the last prompt token's logits)."""
+        hits: List[int] = []
+        max_blocks = (len(tokens) - 1) // block_size
+        for d in self.digests(tokens, block_size)[:max_blocks]:
+            bid = self._map.get(d)
+            if bid is None:
+                break
+            self.alloc.incref(bid)
+            self._map.move_to_end(d)          # LRU touch
+            hits.append(bid)
+        return hits
+
+    def insert(self, tokens: List[int], block_size: int,
+               blocks: List[int]) -> None:
+        """Register ``blocks`` (the sequence's mapped blocks, in order)
+        under the prompt's chained digests. Already-registered digests
+        are skipped; newly registered blocks gain one cache reference."""
+        for d, bid in zip(self.digests(tokens, block_size), blocks):
+            if d in self._map or bid in self._rev or bid == 0:
+                continue
+            self.alloc.incref(bid)
+            self._map[d] = bid
+            self._rev[bid] = d
+
+    def evict(self, n: int) -> int:
+        """Drop up to ``n`` least-recently-matched entries whose only
+        live reference is the cache's own (refcount 1 — no sequence is
+        mapped to them). Returns the number actually freed."""
+        victims = [d for d, bid in self._map.items()
+                   if self.alloc.refs.get(bid) == 1][:n]
+        for d in victims:
+            bid = self._map.pop(d)
+            del self._rev[bid]
+            self.alloc.decref(bid)
+        return len(victims)

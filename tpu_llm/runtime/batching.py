@@ -204,12 +204,17 @@ class BatchEngine:
                 continue            # slot was retired/reused after dispatch
             self._record(slot, int(fetched[idx]))
 
+    def _pre_dispatch(self, live) -> None:
+        """Hook between admission and dispatch (PagedEngine grows block
+        tables here). Base engine: nothing to do."""
+
     def step(self) -> int:
         """One engine iteration: admit (prefill), dispatch one batched
         decode, then fetch the PREVIOUS step's tokens. Returns the number
         of live slots the dispatch covered."""
         self._admit()
         live = [(i, s.req) for i, s in enumerate(self.slots) if not s.free]
+        self._pre_dispatch(live)
         if not live:
             self._collect()
             return 0

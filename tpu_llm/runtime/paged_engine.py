@@ -1,0 +1,300 @@
+"""Paged-KV continuous-batching engine (vLLM-style serving memory).
+
+`BatchEngine` preallocates a dense (B, max_seq) cache per layer — every
+slot pays HBM for the longest context it might ever reach, the
+reference's hard cap (llama2.f90:311-313) generalized to a batch. This
+engine maps each slot's sequence onto fixed-size blocks from a shared
+pool through an int32 block table (ops/paged_kv.py), so:
+
+- HBM scales with tokens actually resident, not slots x max_seq;
+- a slot can grow past any per-slot preallocation (blocks are allocated
+  on demand as decode crosses block boundaries);
+- full prompt-prefix blocks are SHARED between requests (automatic
+  prefix caching): a repeated prefix costs zero prefill compute and zero
+  new HBM — admission increfs the cached blocks and forwards only the
+  tail. Cached blocks survive their owner's completion and are evicted
+  LRU when the pool runs dry.
+
+Scheduling (slot admission, block allocation/release, prefix matching)
+is host-side between steps, exactly like the dense engine's slot logic;
+everything device-side stays fixed-shape jitted programs: one decode
+step per batch and one prefill per bucketed tail length.
+
+Llama-family only: Mamba state is O(1) per slot (nothing to page), and
+the dense engine already serves it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llm.config import LlamaConfig
+from tpu_llm.ops.paged_kv import (
+    BlockAllocator,
+    PagedKV,
+    PrefixCache,
+    paged_gqa_attention,
+    paged_update_tokens,
+)
+from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
+from tpu_llm.runtime.engine import _next_bucket, _select_token
+
+__all__ = ["PagedEngine", "Request"]
+
+
+def _paged_update_fn(kc: PagedKV, vc, k, v, offset):
+    """forward() cache-write hook: kc carries BOTH pools (vc is None)."""
+    return paged_update_tokens(kc, k, v, offset), None
+
+
+def _paged_attn_fn(q, ka: PagedKV, va, positions, offset):
+    return paged_gqa_attention(q, ka, positions)
+
+
+class PagedEngine(BatchEngine):
+    """Continuous batching over a paged KV cache with prefix caching.
+
+    Same public surface as BatchEngine (submit/step/run/Request)."""
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: LlamaConfig,
+        batch: int = 8,
+        n_blocks: int = 256,
+        block_size: int = 16,
+        max_seq: Optional[int] = None,
+        eos_id: int = 2,
+        bos_id: int = 1,
+        cache_dtype=jnp.float32,
+        prefix_caching: bool = True,
+    ):
+        from tpu_llm.models import llama as M
+
+        if not isinstance(params.get("layers"), (list, tuple)):
+            params = M.unstack_layers(params)
+        self.params = params
+        self.cfg = cfg
+        self.batch = batch
+        self.block_size = block_size
+        self.n_layers = len(params["layers"])
+        mb = ((max_seq or cfg.seq_len) + block_size - 1) // block_size
+        self.max_blocks = mb
+        self.max_seq = mb * block_size
+        self.eos_id = eos_id
+        self.bos_id = bos_id
+
+        self.allocator = BlockAllocator(n_blocks)
+        self.prefix = PrefixCache(self.allocator) if prefix_caching else None
+        self._slot_blocks: List[List[int]] = [[] for _ in range(batch)]
+        self._slot_reserved: List[int] = [0] * batch
+
+        kvd = cfg.kv_dim
+        self.state: Dict[str, Any] = {
+            "k": [jnp.zeros((n_blocks, block_size, kvd), cache_dtype)
+                  for _ in range(self.n_layers)],
+            "v": [jnp.zeros((n_blocks, block_size, kvd), cache_dtype)
+                  for _ in range(self.n_layers)],
+            "table": jnp.zeros((batch, mb), jnp.int32),
+            "lengths": jnp.zeros((batch,), jnp.int32),
+        }
+
+        self.slots = [_Slot() for _ in range(batch)]
+        self._queue = []
+        self._next_rid = 0
+        self._step = jax.jit(self._step_impl, donate_argnums=(2,))
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._set_lane = jax.jit(lambda t, i, v: t.at[i].set(v))
+        self._set_cells = jax.jit(lambda t, r, c, v: t.at[r, c].set(v))
+        self._set_slot_meta = jax.jit(self._set_slot_meta_impl,
+                                      donate_argnums=(0,))
+        self._token_dev = jnp.zeros((batch,), jnp.int32)
+        self._inflight = None
+
+    # -- jitted bodies ----------------------------------------------------
+
+    def _layer_caches(self, state, table, lengths):
+        return {
+            "k": [PagedKV(state["k"][i], state["v"][i], table, lengths)
+                  for i in range(self.n_layers)],
+            "v": [None] * self.n_layers,
+        }
+
+    @staticmethod
+    def _repack(state, new_cache, table, lengths):
+        return {
+            "k": [kv.k_pool for kv in new_cache["k"]],
+            "v": [kv.v_pool for kv in new_cache["k"]],
+            "table": table,
+            "lengths": lengths,
+        }
+
+    def _step_impl(self, params, tokens, state, offsets, keys, temps):
+        from tpu_llm.models import llama as M
+
+        cache = self._layer_caches(state, state["table"], state["lengths"])
+        hidden, nc = M.forward(params, self.cfg, tokens[:, None], cache,
+                               offsets, update_fn=_paged_update_fn,
+                               attn_fn=_paged_attn_fn)
+        logits = M.lm_head(params, self.cfg, hidden)[:, 0, :]
+        sampled = jax.vmap(_select_token)(logits, keys, temps)
+        return sampled, self._repack(state, nc, state["table"],
+                                     nc["k"][0].lengths)
+
+    def _prefill_impl(self, params, tokens, state, slot, pos0, last_idx,
+                      key, temp):
+        """Forward the prompt TAIL (tokens past the shared prefix) at
+        positions [pos0, pos0+Tpad) through the slot's block-table row.
+        Shared prefix blocks are already mapped, so attention sees the
+        cached prefix KV without recomputing it."""
+        from tpu_llm.models import llama as M
+
+        table_row = jax.lax.dynamic_slice_in_dim(state["table"], slot, 1, 0)
+        len_row = jax.lax.dynamic_slice_in_dim(state["lengths"], slot, 1, 0)
+        cache = self._layer_caches(state, table_row, len_row)
+        hidden, nc = M.forward(params, self.cfg, tokens, cache, pos0,
+                               update_fn=_paged_update_fn,
+                               attn_fn=_paged_attn_fn)
+        last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
+        logits = M.lm_head(params, self.cfg, last)[:, 0, :]
+        sampled = _select_token(logits, key, temp)[0]
+        lengths = jax.lax.dynamic_update_slice(
+            state["lengths"], nc["k"][0].lengths, (slot,))
+        return sampled, self._repack(state, nc, state["table"], lengths)
+
+    def _set_slot_meta_impl(self, state, slot, row, length):
+        """Reset one slot's table row + valid length (admission). A full
+        row write — stale entries from the previous occupant would
+        otherwise map garbage blocks into the gather once causal masking
+        lets positions past the old mapping become visible."""
+        return dict(
+            state,
+            table=jax.lax.dynamic_update_slice(
+                state["table"], row[None, :], (slot, jnp.int32(0))),
+            lengths=state["lengths"].at[slot].set(length),
+        )
+
+    # -- scheduling -------------------------------------------------------
+
+    def _admit(self):
+        for idx, slot in enumerate(self.slots):
+            if not (slot.free and self._queue):
+                continue
+            req = self._queue[0]
+            bos = [self.bos_id] if self.bos_id >= 0 else []
+            input_ids = bos + req.prompt
+            n_in = len(input_ids)
+            bs = self.block_size
+
+            shared = (self.prefix.match(input_ids, bs)
+                      if self.prefix is not None else [])
+            n_shared = len(shared) * bs
+            n_tail_blocks = math.ceil((n_in - n_shared) / bs)
+            # all-or-nothing admission: tail blocks now + a RESERVATION
+            # covering worst-case decode growth (last written position is
+            # n_in + max_new - 1), so growth can never fail mid-decode
+            total_blocks = (n_in + req.max_new - 1) // bs + 1
+            growth = total_blocks - len(shared) - n_tail_blocks
+            try:
+                owned = self.allocator.alloc(n_tail_blocks)
+                try:
+                    self.allocator.reserve(growth)
+                except MemoryError:
+                    self.allocator.release(owned)
+                    raise
+            except MemoryError:
+                # pool pressure: put the refs back and wait for running
+                # requests to finish (their blocks free on completion)
+                for b in shared:
+                    self.allocator.decref(b)
+                if self.n_active == 0:
+                    raise MemoryError(
+                        f"request needs {n_tail_blocks}+{growth} blocks "
+                        f"(+{len(shared)} shared) but the pool can never "
+                        f"serve it (free={self.allocator.n_free})")
+                return
+            self._slot_reserved[idx] = growth
+            self._queue.pop(0)
+            slot.req = req
+            slot.key = jax.random.PRNGKey(req.seed)
+            blocks = shared + owned
+            self._slot_blocks[idx] = blocks
+
+            row = np.zeros((self.max_blocks,), np.int32)
+            row[: len(blocks)] = blocks
+            self.state = self._set_slot_meta(
+                self.state, jnp.int32(idx), jnp.asarray(row),
+                jnp.int32(n_shared))
+
+            tail = input_ids[n_shared:]
+            pad_to = min(_next_bucket(len(tail)), self.max_seq)
+            toks = np.zeros((1, pad_to), np.int32)
+            toks[0, : len(tail)] = np.asarray(tail, np.int32)
+
+            slot.key, sub = jax.random.split(slot.key)
+            sampled, self.state = self._prefill(
+                self.params, jnp.asarray(toks), self.state, jnp.int32(idx),
+                jnp.int32(n_shared), jnp.int32(len(tail) - 1), sub,
+                jnp.float32(req.temperature),
+            )
+            if self.prefix is not None:
+                self.prefix.insert(input_ids, bs, blocks)
+            tok = int(jax.device_get(sampled))
+            slot.pos = n_in
+            self._token_dev = self._set_lane(
+                self._token_dev, jnp.int32(idx), jnp.int32(tok))
+            self._record(slot, tok)
+
+    def _pre_dispatch(self, live) -> None:
+        """Map a fresh block for any slot whose next write position
+        crosses into unmapped territory (on-demand growth)."""
+        rows, cols, vals = [], [], []
+        for idx, _req in live:
+            slot = self.slots[idx]
+            blocks = self._slot_blocks[idx]
+            while slot.pos // self.block_size >= len(blocks):
+                (bid,) = self.allocator.alloc(1, reserved=True)
+                self._slot_reserved[idx] -= 1
+                rows.append(idx)
+                cols.append(len(blocks))
+                vals.append(bid)
+                blocks.append(bid)
+        if rows:
+            self.state = dict(
+                self.state,
+                table=self._set_cells(
+                    self.state["table"], jnp.asarray(rows, jnp.int32),
+                    jnp.asarray(cols, jnp.int32),
+                    jnp.asarray(vals, jnp.int32)),
+            )
+
+    def _record(self, slot: _Slot, tok: int):
+        req = slot.req
+        super()._record(slot, tok)
+        if req is not None and req.done and slot.req is None:
+            # identity search: _Slot is a dataclass whose == would compare
+            # jax-array fields elementwise
+            idx = next(i for i, s in enumerate(self.slots) if s is slot)
+            self.allocator.release(self._slot_blocks[idx])
+            self._slot_blocks[idx] = []
+            self.allocator.unreserve(self._slot_reserved[idx])
+            self._slot_reserved[idx] = 0
+            # Point the dead slot's whole row at the null block: dead
+            # rows keep decoding garbage at offset 0 every step (fixed-
+            # shape dispatch), and with the stale mapping those writes
+            # would land in released — possibly prefix-cached or
+            # reallocated — blocks. In the trash block they're inert.
+            self.state = self._set_slot_meta(
+                self.state, jnp.int32(idx),
+                jnp.zeros((self.max_blocks,), jnp.int32), jnp.int32(0))
+
+    # -- introspection ----------------------------------------------------
+
+    @property
+    def hbm_blocks_in_use(self) -> int:
+        return len(self.allocator.refs)
