@@ -117,3 +117,60 @@ def test_allocator_free_list():
     assert a.n_free == 7
     with pytest.raises(MemoryError):
         a.alloc(8)
+
+
+@pytest.mark.parametrize("positions", [[0, 5], [7, 31], [16, 3], [63, 48]])
+def test_paged_flash_decode_matches_gather(positions):
+    """Paged flash kernel (interpret mode) == gather + masked einsum
+    attention, per-row positions, partially-filled blocks."""
+    import jax
+    from tpu_llm.ops.attention import gqa_attention
+    from tpu_llm.ops.flash_attention import paged_flash_decode_attention
+    from tpu_llm.ops.paged_kv import PagedKV, paged_gather
+
+    B, H, Hkv, D, bs, MB = 2, 8, 2, 64, 16, 4
+    N = 1 + B * MB
+    rng = np.random.default_rng(sum(positions))
+    k_pool = jnp.asarray(rng.standard_normal((N, bs, Hkv * D)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((N, bs, Hkv * D)), jnp.float32)
+    # each row gets its own distinct (shuffled) blocks
+    ids = rng.permutation(np.arange(1, N)).reshape(B, MB).astype(np.int32)
+    table = jnp.asarray(ids)
+    pos = jnp.asarray(positions, jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+
+    kv = PagedKV(k_pool, v_pool, table, pos + 1)
+    kg, vg = paged_gather(kv)
+    S = kg.shape[1]
+    expected = gqa_attention(
+        q, kg.reshape(B, S, Hkv, D), vg.reshape(B, S, Hkv, D),
+        pos[:, None], kv_lengths=pos + 1)
+
+    got = paged_flash_decode_attention(
+        q, k_pool, v_pool, table, pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_flash_decode_skips_unmapped_blocks():
+    """Blocks past pos are never read: poison them (including table
+    entries pointing at the null block) — output unchanged."""
+    from tpu_llm.ops.flash_attention import paged_flash_decode_attention
+
+    B, H, Hkv, D, bs, MB = 1, 4, 2, 64, 8, 4
+    rng = np.random.default_rng(0)
+    k_pool = jnp.asarray(rng.standard_normal((6, bs, Hkv * D)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((6, bs, Hkv * D)), jnp.float32)
+    table = jnp.asarray([[1, 2, 0, 0]], jnp.int32)   # only 2 mapped blocks
+    pos = jnp.asarray([11], jnp.int32)               # inside block 1
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+
+    base = paged_flash_decode_attention(q, k_pool, v_pool, table, pos,
+                                        interpret=True)
+    # poison the null block and every unmapped pool block
+    k_poison = k_pool.at[jnp.asarray([0, 3, 4, 5])].add(1e3)
+    v_poison = v_pool.at[jnp.asarray([0, 3, 4, 5])].add(1e3)
+    got = paged_flash_decode_attention(q, k_poison, v_poison, table, pos,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=0, atol=0)

@@ -261,6 +261,149 @@ def flash_decode_attention(
     return out.reshape(B, 1, H, D)
 
 
+def _paged_decode_kernel(
+    pos_ref,            # SMEM (B,) — absolute position of the query per row
+    table_ref,          # SMEM (B, MB) — block table (pool indices)
+    q_ref,              # (1, H, D)
+    k_ref,              # (1, BS, Hkv*D) — one pool BLOCK (table-indirected)
+    v_ref,
+    o_ref,              # (1, H, D)
+    m_scr, l_scr, acc_scr,
+    *,
+    bs: int,
+    n_blocks: int,
+    hkv: int,
+    group: int,
+    d: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    ik = pl.program_id(1)
+    pos = pos_ref[b]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # logical blocks past the query position are fully masked: compute is
+    # predicated off AND their pool DMAs never happen (the index map pins
+    # them at the block holding ``pos``, Mosaic skips the re-fetch)
+    @pl.when(ik * bs <= pos)
+    def _run():
+        q = q_ref[0]                                     # (H, D)
+        kc = k_ref[0]                                    # (BS, Hkv*D)
+        diag = _gqa_diag(hkv, group, d)                  # (H, Hkv*D)
+        q_tiled = jnp.concatenate([q] * hkv, axis=1)
+        q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
+        s = jax.lax.dot_general(
+            q_bd, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                     # (H, BS)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * bs
+        s = jnp.where(s_idx <= pos, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        full = jax.lax.dot_general(
+            p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
+
+    @pl.when(ik == n_blocks - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+
+
+def paged_flash_decode_ok(q, k_pool, block_size: int) -> bool:
+    """Shape gate for the paged decode kernel: lane-aligned head slices
+    and sublane-tile-aligned pool blocks (a non-multiple block size would
+    dot Pallas-padded garbage rows)."""
+    B, T, H, D = q.shape
+    kvd = k_pool.shape[-1]
+    return (T == 1 and D in (64, 128) and kvd % LANES == 0
+            and block_size % _group_rows(k_pool.dtype) == 0)
+
+
+def paged_flash_decode_attention(
+    q: jax.Array,            # (B, 1, H, D)
+    k_pool: jax.Array,       # (N, BS, Hkv*D) — shared block pool
+    v_pool: jax.Array,
+    block_table: jax.Array,  # (B, MB) int32 pool indices
+    positions: jax.Array,    # (B,) int32 — absolute position of each query
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-query flash GQA attention over a PAGED cache.
+
+    The kernel walks each sequence's logical blocks through the
+    scalar-prefetched block table: grid step (b, ik) DMAs pool block
+    ``table[b, ik]`` directly — no gather materializing the logical
+    (B, MB*BS, Hkv*D) view in HBM (ops/paged_kv.paged_gather writes it
+    out and reads it back; this reads each resident block once). Blocks
+    past the query position are pinned to the block holding ``pos``, so
+    HBM traffic is O(pos), not O(max_blocks).
+
+    Caller contract (PagedEngine upholds both): every table entry for
+    logical blocks <= pos//BS is mapped, and the row at ``pos`` was
+    written before attending (write-then-attend). Causal masking makes
+    rows past ``pos`` invisible, so trailing garbage in partially-filled
+    blocks is harmless."""
+    B, T, H, D = q.shape
+    N, bs, kvd = k_pool.shape
+    Hkv = kvd // D
+    G = H // Hkv
+    MB = block_table.shape[1]
+    assert paged_flash_decode_ok(q, k_pool, bs)
+    sm_scale = 1.0 / (D ** 0.5)
+
+    q2 = q.reshape(B, H, D)
+    pos = positions.astype(jnp.int32).reshape(B)
+
+    def kv_index(b, ik, pos_ref, table_ref):
+        return (table_ref[b, jnp.minimum(ik, pos_ref[b] // bs)], 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_decode_kernel,
+            bs=bs, n_blocks=MB, hkv=Hkv, group=G, d=D, sm_scale=sm_scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, MB),
+            in_specs=[
+                pl.BlockSpec((1, H, D), lambda b, ik, pos, tbl: (b, 0, 0)),
+                pl.BlockSpec((1, bs, kvd), kv_index),
+                pl.BlockSpec((1, bs, kvd), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, H, D),
+                                   lambda b, ik, pos, tbl: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos, block_table.astype(jnp.int32), q2, k_pool, v_pool)
+    return out.reshape(B, 1, H, D)
+
+
 def _decode_fused_kernel(
     pos_ref,            # SMEM (B,) — absolute position of the query per row
     q_ref,              # (1, H, D)

@@ -147,15 +147,38 @@ def paged_gather(kv: PagedKV) -> Tuple[jax.Array, jax.Array]:
 
 
 def paged_gqa_attention(
-    q: jax.Array,          # (B, 1, H, D)
+    q: jax.Array,          # (B, T, H, D)
     kv: PagedKV,
-    q_positions: jax.Array,  # (B, 1) absolute positions of the queries
+    q_positions: jax.Array,  # (T,) or (B, T) absolute positions of the queries
 ) -> jax.Array:
-    """Decode attention over the paged cache: gather blocks to the flat
-    logical view, then masked GQA attention. ``kv_lengths`` carries the
-    per-sequence valid extent — the mask that keeps garbage blocks
-    invisible."""
-    D = q.shape[-1]
+    """Attention over the paged cache.
+
+    Decode (T=1) on TPU routes to the paged flash kernel: the block
+    table is scalar-prefetched and each resident pool block is DMA'd
+    exactly once — no materialized gather, O(pos) HBM traffic
+    (ops/flash_attention.paged_flash_decode_attention). Prefill and
+    non-TPU backends gather blocks to the flat logical view and run the
+    standard masked GQA attention; ``kv_lengths`` keeps garbage blocks
+    invisible there."""
+    import os
+
+    B, T, H, D = q.shape
+    use_kernel = (
+        T == 1
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not os.environ.get("TPU_LLM_DISABLE_PALLAS")
+    )
+    if use_kernel:
+        from tpu_llm.ops.flash_attention import (
+            paged_flash_decode_attention, paged_flash_decode_ok)
+
+        if paged_flash_decode_ok(q, kv.k_pool, kv.block_size):
+            pos = q_positions.astype(jnp.int32).reshape(-1)
+            if pos.size == 1:
+                pos = jnp.broadcast_to(pos, (B,))
+            return paged_flash_decode_attention(
+                q, kv.k_pool, kv.v_pool, kv.block_table, pos)
+
     k, v = paged_gather(kv)
     B, S, kvd = k.shape
     k = k.reshape(B, S, kvd // D, D)
