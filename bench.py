@@ -16,11 +16,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _stage(msg: str) -> None:
+    """Progress on stderr (stdout stays the one JSON line): localizes
+    hangs — under axon every compile is REMOTE, so a stuck compile looks
+    like an idle process from the host."""
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.monotonic()
 
 REFERENCE_TOK_S = 7.3  # llm.f90 optimize16 branch, 1 CPU core (README.md:13)
 
@@ -75,8 +88,11 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
             return toks, cache
 
         def run():
+            _stage(f"dispatch decode_n(length={length})")
             toks, _ = decode_n(params, token, cache, jnp.int32(prompt_len))
+            _stage("dispatched; fetching")
             _ = np.asarray(toks[-1])  # sync by fetch
+            _stage("fetched")
 
         return run
 
@@ -110,7 +126,9 @@ def main():
     from tpu_llm.config import tinyllama_1_1b
 
     cfg = tinyllama_1_1b()
+    _stage("building params")
     params, cfg = build_params(args.quant, cfg)
+    _stage("params built")
     cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                    "int8": "int8"}[args.cache_dtype]
     tok_s = measure(params, cfg, args.steps, args.batch, args.max_seq,

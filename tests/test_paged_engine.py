@@ -101,6 +101,22 @@ def test_prefix_cache_diverging_tail():
     assert r2.tokens == single_stream_tokens(se, p2, 4)
 
 
+def test_chunked_prefill_matches_dense():
+    """prefill_chunk smaller than the prompt: the tail is processed in
+    fixed chunks (activation memory bound, fewer compiled buckets) with
+    unchanged generation."""
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    pe = PagedEngine(params, cfg, batch=2, n_blocks=32, block_size=2,
+                     max_seq=CFG["seq_len"], prefill_chunk=4)
+    se = Engine(params, ModelAdapter.llama(cfg, bos_id=1),
+                max_seq=CFG["seq_len"])
+    prompt = [5, 11, 8, 3, 9, 2, 7, 4, 6]     # +BOS = 10 ids -> 2 chunks + tail
+    r = pe.submit(Request(prompt=prompt, max_new=4))
+    pe.run()
+    assert r.tokens == single_stream_tokens(se, prompt, 4)
+
+
 def test_pool_pressure_defers_admission():
     """With a pool too small for two concurrent requests, the second
     waits for the first to free blocks — and still decodes correctly."""

@@ -73,6 +73,7 @@ class PagedEngine(BatchEngine):
         bos_id: int = 1,
         cache_dtype=jnp.float32,
         prefix_caching: bool = True,
+        prefill_chunk: Optional[int] = 512,
     ):
         from tpu_llm.models import llama as M
 
@@ -107,8 +108,11 @@ class PagedEngine(BatchEngine):
         self.slots = [_Slot() for _ in range(batch)]
         self._queue = []
         self._next_rid = 0
+        self.prefill_chunk = prefill_chunk
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._prefill_part = jax.jit(self._prefill_part_impl,
+                                     donate_argnums=(2,))
         self._set_lane = jax.jit(lambda t, i, v: t.at[i].set(v))
         self._set_cells = jax.jit(lambda t, r, c, v: t.at[r, c].set(v))
         self._set_slot_meta = jax.jit(self._set_slot_meta_impl,
@@ -166,6 +170,23 @@ class PagedEngine(BatchEngine):
         lengths = jax.lax.dynamic_update_slice(
             state["lengths"], nc["k"][0].lengths, (slot,))
         return sampled, self._repack(state, nc, state["table"], lengths)
+
+    def _prefill_part_impl(self, params, tokens, state, slot, pos0):
+        """One non-final CHUNK of a chunked prefill: forward + paged
+        cache writes only — no logits, no sampling (chunked prefill
+        bounds activation memory to chunk x dim and caps the number of
+        compiled prefill programs at full-chunk + one bucketed tail)."""
+        from tpu_llm.models import llama as M
+
+        table_row = jax.lax.dynamic_slice_in_dim(state["table"], slot, 1, 0)
+        len_row = jax.lax.dynamic_slice_in_dim(state["lengths"], slot, 1, 0)
+        cache = self._layer_caches(state, table_row, len_row)
+        _, nc = M.forward(params, self.cfg, tokens, cache, pos0,
+                          update_fn=_paged_update_fn,
+                          attn_fn=_paged_attn_fn)
+        lengths = jax.lax.dynamic_update_slice(
+            state["lengths"], nc["k"][0].lengths, (slot,))
+        return self._repack(state, nc, state["table"], lengths)
 
     def _set_slot_meta_impl(self, state, slot, row, length):
         """Reset one slot's table row + valid length (admission). A full
@@ -232,6 +253,15 @@ class PagedEngine(BatchEngine):
                 jnp.int32(n_shared))
 
             tail = input_ids[n_shared:]
+            off = n_shared
+            ck = self.prefill_chunk
+            while ck is not None and len(tail) > ck:
+                self.state = self._prefill_part(
+                    self.params,
+                    jnp.asarray(np.asarray(tail[:ck], np.int32)[None, :]),
+                    self.state, jnp.int32(idx), jnp.int32(off))
+                tail, off = tail[ck:], off + ck
+            n_shared = off
             pad_to = min(_next_bucket(len(tail)), self.max_seq)
             toks = np.zeros((1, pad_to), np.int32)
             toks[0, : len(tail)] = np.asarray(tail, np.int32)
