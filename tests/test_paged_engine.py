@@ -150,6 +150,84 @@ def test_impossible_request_raises():
         pe.run()
 
 
+def test_paged_scan_decode_matches_dense():
+    """The bench harness pattern: paged decode step inside lax.scan with
+    pre-mapped tables == dense scan decode (greedy tokens equal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.models import llama as M
+    from tpu_llm.ops.paged_kv import PagedKV
+    from tpu_llm.runtime.paged_engine import _paged_attn_fn, _paged_update_fn
+
+    params = M.unstack_layers(to_params(make_weights(0)))
+    cfg = LlamaConfig(**CFG)
+    B, bs, steps, pos0 = 2, 4, 6, 3
+    span = pos0 + steps + 1
+    bpr = -(-span // bs)
+    L, kvd = cfg.n_layers, cfg.kv_dim
+    n_blocks = 1 + B * bpr
+    table = 1 + np.arange(B * bpr, dtype=np.int32).reshape(B, bpr)
+    state = {
+        "k": [jnp.zeros((n_blocks, bs, kvd), jnp.float32) for _ in range(L)],
+        "v": [jnp.zeros((n_blocks, bs, kvd), jnp.float32) for _ in range(L)],
+        "table": jnp.asarray(table),
+        "lengths": jnp.zeros((B,), jnp.int32),
+    }
+    # seed both caches with the same prefix (teacher-forced tokens 1..pos0)
+    dense = M.init_cache(cfg, B, 16, jnp.float32, stacked=False)
+    prefix = jnp.arange(1, pos0 + 1, dtype=jnp.int32)[None, :].repeat(B, 0)
+    _, dense = M.forward(params, cfg, prefix, dense, jnp.int32(0))
+    cache_p = {"k": [PagedKV(state["k"][i], state["v"][i], state["table"],
+                             state["lengths"]) for i in range(L)],
+               "v": [None] * L}
+    _, nc = M.forward(params, cfg, prefix, cache_p,
+                      jnp.full((B,), 0, jnp.int32),
+                      update_fn=_paged_update_fn, attn_fn=_paged_attn_fn)
+    state = {"k": [kv.k_pool for kv in nc["k"]],
+             "v": [kv.v_pool for kv in nc["k"]],
+             "table": state["table"], "lengths": nc["k"][0].lengths}
+
+    token0 = jnp.full((B,), 5, jnp.int32)
+
+    @jax.jit
+    def paged_scan(params, token, state):
+        def body(carry, _):
+            token, state, pos = carry
+            cache = {"k": [PagedKV(state["k"][i], state["v"][i],
+                                   state["table"], state["lengths"])
+                           for i in range(L)],
+                     "v": [None] * L}
+            hidden, nc = M.forward(params, cfg, token[:, None], cache,
+                                   jnp.full((B,), pos, jnp.int32),
+                                   update_fn=_paged_update_fn,
+                                   attn_fn=_paged_attn_fn)
+            logits = M.lm_head(params, cfg, hidden)[:, 0, :]
+            token = jnp.argmax(logits, -1).astype(jnp.int32)
+            state = {"k": [kv.k_pool for kv in nc["k"]],
+                     "v": [kv.v_pool for kv in nc["k"]],
+                     "table": state["table"], "lengths": nc["k"][0].lengths}
+            return (token, state, pos + 1), token
+        (_, _, _), toks = jax.lax.scan(body, (token, state, jnp.int32(pos0)),
+                                       None, length=steps)
+        return toks
+
+    @jax.jit
+    def dense_scan(params, token, cache):
+        def body(carry, _):
+            token, cache, pos = carry
+            logits, cache = M.decode_step(params, cfg, token, cache, pos)
+            token = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (token, cache, pos + 1), token
+        (_, _, _), toks = jax.lax.scan(body, (token, cache, jnp.int32(pos0)),
+                                       None, length=steps)
+        return toks
+
+    got = np.asarray(paged_scan(params, token0, state))
+    want = np.asarray(dense_scan(params, token0, dense))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_paged_update_tokens_matches_dense():
     """Unit parity: multi-token paged write + gather == dense cache."""
     import jax.numpy as jnp

@@ -361,6 +361,107 @@ def _tp_rows(args):
     return 0
 
 
+def _paged_rows(args) -> int:
+    """Device-side paged-decode throughput (the PagedEngine's jitted step
+    in a lax.scan, tables pre-mapped for the measured window) vs the
+    dense preallocated cache at the same batch. Measures the cost of the
+    paged indirection itself — host scheduling (admission, growth) is
+    between-step work that the dense engine shares."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.config import tinyllama_1_1b
+    from tpu_llm.models import llama as M
+    from tpu_llm.ops.paged_kv import PagedKV
+    from tpu_llm.quant.convert_params import unpack_params_int4
+    from tpu_llm.runtime.paged_engine import _paged_attn_fn, _paged_update_fn
+    from tpu_llm.runtime.timing import slope_time_s
+
+    cfg = tinyllama_1_1b()
+    params = _build("q4_0")
+    B, bs = args.batch, args.block_size
+    steps = args.steps
+    span = args.prompt_len + 5 * steps + 1
+    blocks_per_row = -(-span // bs)
+    n_layers = len(params["layers"])
+    kvd = cfg.kv_dim
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+
+    n_blocks = 1 + B * blocks_per_row
+    table = np.zeros((B, blocks_per_row), np.int32)
+    table[:] = 1 + np.arange(B * blocks_per_row).reshape(B, blocks_per_row)
+    state = {
+        "k": [jnp.zeros((n_blocks, bs, kvd), jnp.bfloat16)
+              for _ in range(n_layers)],
+        "v": [jnp.zeros((n_blocks, bs, kvd), jnp.bfloat16)
+              for _ in range(n_layers)],
+        "table": jnp.asarray(table),
+        "lengths": jnp.full((B,), args.prompt_len, jnp.int32),
+    }
+    token = jnp.ones((B,), jnp.int32)
+
+    def make_run(length):
+        @jax.jit
+        def decode_n(params, token, state, pos0):
+            if on_tpu:
+                params = unpack_params_int4(params)
+
+            def body(carry, _):
+                token, state, pos = carry
+                cache = {
+                    "k": [PagedKV(state["k"][i], state["v"][i],
+                                  state["table"], state["lengths"])
+                          for i in range(n_layers)],
+                    "v": [None] * n_layers,
+                }
+                offsets = jnp.full((B,), pos, jnp.int32)
+                hidden, nc = M.forward(params, cfg, token[:, None], cache,
+                                       offsets, update_fn=_paged_update_fn,
+                                       attn_fn=_paged_attn_fn)
+                logits = M.lm_head(params, cfg, hidden)[:, 0, :]
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                state = {
+                    "k": [kv.k_pool for kv in nc["k"]],
+                    "v": [kv.v_pool for kv in nc["k"]],
+                    "table": state["table"],
+                    "lengths": nc["k"][0].lengths,
+                }
+                return (token, state, pos + 1), token
+
+            (token_, state_, _), toks = jax.lax.scan(
+                body, (token, state, pos0), None, length=length)
+            return toks, state_
+
+        def run():
+            toks, _ = decode_n(params, token, state, jnp.int32(args.prompt_len))
+            _ = np.asarray(toks[-1])
+
+        return run
+
+    tok_s = B / slope_time_s(make_run, steps, steps * 5)
+    print(json.dumps({
+        "metric": f"tinyllama_1.1b_q4_0_PAGED_decode_tokens_per_s_b{B}_bs{bs}",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / REFERENCE_TOK_S, 2),
+    }), flush=True)
+
+    dense = _decode_tok_s(params, cfg, args.steps, B,
+                          max(_round_up(span, 128), 256), args.prompt_len,
+                          cache_dtype=jnp.bfloat16)
+    print(json.dumps({
+        "metric": f"tinyllama_1.1b_q4_0_dense_decode_tokens_per_s_b{B}",
+        "value": round(dense, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(dense / REFERENCE_TOK_S, 2),
+    }), flush=True)
+    return 0
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def main(argv=None) -> int:
     from tpu_llm.runtime.compile_cache import enable_compile_cache
 
@@ -381,12 +482,18 @@ def main(argv=None) -> int:
     ap.add_argument("--sharded", action="store_true",
                     help="emit shard_map TP decode rows (tp=1,2,... up to "
                          "min(devices, kv heads))")
+    ap.add_argument("--paged", action="store_true",
+                    help="emit paged-KV decode rows (block-table kernel vs "
+                         "dense cache at the same batch)")
+    ap.add_argument("--block-size", type=int, default=64)
     args = ap.parse_args(argv)
 
     if args.scaling:
         return _scaling_rows(args)
     if args.sharded:
         return _tp_rows(args)
+    if args.paged:
+        return _paged_rows(args)
 
     from tpu_llm.config import tinyllama_1_1b
 
