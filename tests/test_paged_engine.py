@@ -228,6 +228,29 @@ def test_paged_scan_decode_matches_dense():
     np.testing.assert_array_equal(got, want)
 
 
+def test_paged_int8_matches_dense_int8():
+    """int8 paged pools: same per-(token, head) quantization and the same
+    score-matrix scale factorization as the dense flat QuantKV cache —
+    greedy tokens identical to the dense int8 BatchEngine."""
+    from tpu_llm.runtime.batching import BatchEngine
+
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    pe = PagedEngine(params, cfg, batch=2, n_blocks=32, block_size=4,
+                     max_seq=CFG["seq_len"], cache_dtype="int8")
+    import jax.numpy as jnp
+
+    be = BatchEngine(params, ModelAdapter.llama(cfg, cache_dtype="int8"),
+                     batch=2, max_seq=CFG["seq_len"])
+    prompts = [[5, 11, 8], [9, 2]]
+    rp = [pe.submit(Request(prompt=p, max_new=5)) for p in prompts]
+    rb = [be.submit(Request(prompt=p, max_new=5)) for p in prompts]
+    pe.run()
+    be.run()
+    for a, b, p in zip(rp, rb, prompts):
+        assert a.tokens == b.tokens, p
+
+
 def test_paged_update_tokens_matches_dense():
     """Unit parity: multi-token paged write + gather == dense cache."""
     import jax.numpy as jnp

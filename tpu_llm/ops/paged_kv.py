@@ -43,19 +43,31 @@ from tpu_llm.ops.attention import gqa_attention
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKV:
-    """One layer's paged KV state (a pytree; flows through jit/scan)."""
+    """One layer's paged KV state (a pytree; flows through jit/scan).
+
+    int8 pools (``k_scale``/``v_scale`` not None) store one f32 scale
+    per (token, kv-head) vector in kv-head-major (n_blocks, Hkv, bs)
+    pools — the same factorization as the flat dense QuantKV (attention
+    applies scales to the score matrix, never dequantizing the plane)."""
 
     k_pool: jax.Array       # (n_blocks, block_size, Hkv*D)
     v_pool: jax.Array
     block_table: jax.Array  # (B, max_blocks) int32 pool indices
     lengths: jax.Array      # (B,) int32 valid token count per sequence
+    k_scale: Optional[jax.Array] = None   # (n_blocks, Hkv, block_size) f32
+    v_scale: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        return (self.k_pool, self.v_pool, self.block_table, self.lengths), None
+        return (self.k_pool, self.v_pool, self.block_table, self.lengths,
+                self.k_scale, self.v_scale), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def block_size(self) -> int:
@@ -67,12 +79,20 @@ class PagedKV:
 
     @classmethod
     def zeros(cls, n_blocks: int, block_size: int, batch: int,
-              max_blocks: int, kv_dim: int, dtype=jnp.bfloat16) -> "PagedKV":
+              max_blocks: int, kv_dim: int, dtype=jnp.bfloat16,
+              n_kv_heads: Optional[int] = None) -> "PagedKV":
+        quant = dtype == "int8" or dtype == jnp.int8
+        if quant:
+            assert n_kv_heads, "int8 pools need n_kv_heads for scale planes"
+        mk = lambda: jnp.zeros((n_blocks, block_size, kv_dim),
+                               jnp.int8 if quant else dtype)
+        sc = (lambda: jnp.zeros((n_blocks, n_kv_heads, block_size),
+                                jnp.float32)) if quant else (lambda: None)
         return cls(
-            k_pool=jnp.zeros((n_blocks, block_size, kv_dim), dtype),
-            v_pool=jnp.zeros((n_blocks, block_size, kv_dim), dtype),
+            k_pool=mk(), v_pool=mk(),
             block_table=jnp.zeros((batch, max_blocks), jnp.int32),
             lengths=jnp.zeros((batch,), jnp.int32),
+            k_scale=sc(), v_scale=sc(),
         )
 
 
@@ -86,21 +106,9 @@ def paged_update(
     differ per row (continuous batching). Updates ``lengths`` to
     max(lengths, position+1)."""
     B = k_new.shape[0]
-    bs = kv.block_size
-    kvd = kv.k_pool.shape[-1]
-    kf = k_new.reshape(B, kvd)
-    vf = v_new.reshape(B, kvd)
-
-    block_idx = positions // bs                                  # (B,)
-    block_ids = jnp.take_along_axis(
-        kv.block_table, block_idx[:, None], axis=1)[:, 0]        # (B,)
-    offs = positions % bs                                        # (B,)
-
-    # scatter one lane row per sequence: pool[block, off] = new
-    k_pool = kv.k_pool.at[block_ids, offs].set(kf.astype(kv.k_pool.dtype))
-    v_pool = kv.v_pool.at[block_ids, offs].set(vf.astype(kv.v_pool.dtype))
-    lengths = jnp.maximum(kv.lengths, positions + 1)
-    return PagedKV(k_pool, v_pool, kv.block_table, lengths)
+    return paged_update_tokens(kv, k_new.reshape(B, 1, -1, k_new.shape[-1]),
+                               v_new.reshape(B, 1, -1, v_new.shape[-1]),
+                               positions)
 
 
 def paged_update_tokens(
@@ -126,24 +134,50 @@ def paged_update_tokens(
     block_idx = jnp.clip(positions // bs, 0, kv.block_table.shape[1] - 1)
     block_ids = jnp.take_along_axis(kv.block_table, block_idx, axis=1)  # (B, T)
     offs = positions % bs
+    lengths = jnp.maximum(kv.lengths, positions[:, -1] + 1)
+
+    if kv.quantized:
+        from tpu_llm.ops.kv_cache import quantize_kv
+
+        kq, ks = quantize_kv(k_new)          # (B,T,Hkv,D) int8, (B,T,Hkv)
+        vq, vs = quantize_kv(v_new)
+        # advanced indices (B,T) separated by the head slice -> the
+        # indexed dims lead: result/operand shape (B, T, Hkv)
+        return PagedKV(
+            kv.k_pool.at[block_ids, offs].set(kq.reshape(B, T, kvd)),
+            kv.v_pool.at[block_ids, offs].set(vq.reshape(B, T, kvd)),
+            kv.block_table, lengths,
+            kv.k_scale.at[block_ids, :, offs].set(ks),
+            kv.v_scale.at[block_ids, :, offs].set(vs),
+        )
 
     kf = k_new.reshape(B, T, kvd).astype(kv.k_pool.dtype)
     vf = v_new.reshape(B, T, kvd).astype(kv.v_pool.dtype)
     k_pool = kv.k_pool.at[block_ids, offs].set(kf)
     v_pool = kv.v_pool.at[block_ids, offs].set(vf)
-    lengths = jnp.maximum(kv.lengths, positions[:, -1] + 1)
     return PagedKV(k_pool, v_pool, kv.block_table, lengths)
 
 
-def paged_gather(kv: PagedKV) -> Tuple[jax.Array, jax.Array]:
+def paged_gather(kv: PagedKV):
     """Materialize each sequence's logical KV view:
-    (B, max_blocks*block_size, Hkv*D). Entries past ``lengths`` are
-    whatever the mapped (possibly garbage) blocks hold — callers MUST
-    mask with ``lengths``."""
+    (B, max_blocks*block_size, Hkv*D) — for int8 pools, a flat-layout
+    QuantKV pair (scales gathered to kv-head-major (B, Hkv, MB*bs)).
+    Entries past ``lengths`` are whatever the mapped (possibly garbage)
+    blocks hold — callers MUST mask with ``lengths``."""
     k = jnp.take(kv.k_pool, kv.block_table, axis=0)   # (B, MB, bs, kvd)
     v = jnp.take(kv.v_pool, kv.block_table, axis=0)
     B, MB, bs, kvd = k.shape
-    return k.reshape(B, MB * bs, kvd), v.reshape(B, MB * bs, kvd)
+    k, v = k.reshape(B, MB * bs, kvd), v.reshape(B, MB * bs, kvd)
+    if not kv.quantized:
+        return k, v
+    from tpu_llm.ops.kv_cache import QuantKV
+
+    def scales(pool):                                  # (N, Hkv, bs)
+        s = jnp.take(pool, kv.block_table, axis=0)     # (B, MB, Hkv, bs)
+        return s.transpose(0, 2, 1, 3).reshape(B, -1, MB * bs)
+
+    return (QuantKV(q=k, s=scales(kv.k_scale)),
+            QuantKV(q=v, s=scales(kv.v_scale)))
 
 
 def paged_gqa_attention(
@@ -165,6 +199,7 @@ def paged_gqa_attention(
     B, T, H, D = q.shape
     use_kernel = (
         T == 1
+        and not kv.quantized
         and jax.default_backend() not in ("cpu", "gpu")
         and not os.environ.get("TPU_LLM_DISABLE_PALLAS")
     )
@@ -180,6 +215,10 @@ def paged_gqa_attention(
                 q, kv.k_pool, kv.v_pool, kv.block_table, pos)
 
     k, v = paged_gather(kv)
+    if kv.quantized:
+        # flat QuantKV pair — gqa_attention's int8 paths contract the
+        # int8 plane directly with scales on the score matrix
+        return gqa_attention(q, k, v, q_positions, kv_lengths=kv.lengths)
     B, S, kvd = k.shape
     k = k.reshape(B, S, kvd // D, D)
     v = v.reshape(B, S, kvd // D, D)

@@ -96,11 +96,19 @@ class PagedEngine(BatchEngine):
         self._slot_reserved: List[int] = [0] * batch
 
         kvd = cfg.kv_dim
+        self.quantized = cache_dtype == "int8" or cache_dtype == jnp.int8
+        pool_dtype = jnp.int8 if self.quantized else cache_dtype
         self.state: Dict[str, Any] = {
-            "k": [jnp.zeros((n_blocks, block_size, kvd), cache_dtype)
+            "k": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
                   for _ in range(self.n_layers)],
-            "v": [jnp.zeros((n_blocks, block_size, kvd), cache_dtype)
+            "v": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
                   for _ in range(self.n_layers)],
+            "ks": [jnp.zeros((n_blocks, cfg.n_kv_heads, block_size),
+                             jnp.float32) for _ in range(self.n_layers)]
+            if self.quantized else None,
+            "vs": [jnp.zeros((n_blocks, cfg.n_kv_heads, block_size),
+                             jnp.float32) for _ in range(self.n_layers)]
+            if self.quantized else None,
             "table": jnp.zeros((batch, mb), jnp.int32),
             "lengths": jnp.zeros((batch,), jnp.int32),
         }
@@ -123,17 +131,23 @@ class PagedEngine(BatchEngine):
     # -- jitted bodies ----------------------------------------------------
 
     def _layer_caches(self, state, table, lengths):
+        q = state.get("ks") is not None
         return {
-            "k": [PagedKV(state["k"][i], state["v"][i], table, lengths)
+            "k": [PagedKV(state["k"][i], state["v"][i], table, lengths,
+                          state["ks"][i] if q else None,
+                          state["vs"][i] if q else None)
                   for i in range(self.n_layers)],
             "v": [None] * self.n_layers,
         }
 
     @staticmethod
     def _repack(state, new_cache, table, lengths):
+        q = state.get("ks") is not None
         return {
             "k": [kv.k_pool for kv in new_cache["k"]],
             "v": [kv.v_pool for kv in new_cache["k"]],
+            "ks": [kv.k_scale for kv in new_cache["k"]] if q else None,
+            "vs": [kv.v_scale for kv in new_cache["k"]] if q else None,
             "table": table,
             "lengths": lengths,
         }
