@@ -154,3 +154,53 @@ def test_sampled_stream_matches_single_stream():
     be.run()
     assert r.tokens == single_stream_tokens(
         se, [4, 9], 6, temperature=0.8, seed=123)
+
+
+def test_lookup_draft():
+    from tpu_llm.runtime.engine import _lookup_draft
+
+    #                 0  1  2  3  4  5  6
+    ctx = [7, 8, 9, 3, 7, 8, 5, 7, 8]
+    # trailing 2-gram (7,8) last PRIOR occurrence at 4 -> next tokens [5,7,8...]
+    assert _lookup_draft(ctx, 2) == [5, 7]
+    assert _lookup_draft(ctx, 5) == [5, 7, 8]   # runs off the end
+    assert _lookup_draft([1, 2, 3], 2) == []     # no prior occurrence
+    assert _lookup_draft([1], 3) == []           # too short
+
+
+def test_speculative_matches_plain_greedy():
+    """Prompt-lookup speculative decode emits EXACTLY the plain greedy
+    stream (acceptance only reorders batching, never content), including
+    through the cache-boundary tail fallback."""
+    _, _, _, _, se = setup()
+    se2 = setup()[4]
+    # repetitive prompt so some drafts actually get accepted
+    prompt = [5, 11, 5, 11, 5]
+    for k in (1, 3, 6):
+        plain = se.generate(prompt, n_new=9)
+        spec = se2.generate(prompt, n_new=9, speculative_k=k)
+        assert spec.tokens == plain.tokens, k
+
+
+def test_speculative_ignored_for_sampling_and_mamba():
+    """Sampling falls back to the plain pipelined loop; Mamba adapters
+    (recurrent state, no rollback) never enter the spec path."""
+    _, _, _, _, se = setup(seed=1)
+    a = se.generate([4], n_new=6, temperature=0.8, seed=42)
+    b = setup(seed=1)[4].generate([4], n_new=6, temperature=0.8, seed=42,
+                                  speculative_k=4)
+    assert a.tokens == b.tokens
+
+    from tests.test_mamba import make_torch_arrays, CFG as MCFG
+    from tpu_llm.io.mamba_ckpt import write_packed, read_packed
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.bin")
+        write_packed(path, make_torch_arrays(5), MCFG)
+        mparams, mcfg = read_packed(path)
+    adapter = ModelAdapter.mamba(mcfg)
+    e1 = Engine(mparams, adapter, max_seq=24)
+    e2 = Engine(mparams, adapter, max_seq=24)
+    r1 = e1.generate([3, 7], n_new=5, add_bos=False)
+    r2 = e2.generate([3, 7], n_new=5, add_bos=False, speculative_k=4)
+    assert r1.tokens == r2.tokens

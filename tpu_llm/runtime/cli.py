@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PRNG seed (default: time-based, like Fortran random_number)")
     p.add_argument("--scan", action="store_true",
                    help="all-on-device decode loop (no streaming)")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="prompt-lookup speculative decoding: verify K "
+                        "drafted tokens per forward (greedy only; output "
+                        "is exactly the plain greedy stream)")
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--rope", default="interleaved",
                    choices=["interleaved", "neox", "llmf90"],
@@ -215,6 +219,7 @@ def main(argv=None) -> int:
             seed=seed,
             stream=None if args.scan else stream,
             use_scan=args.scan,
+            speculative_k=args.spec,
         )
     if args.scan:
         out.write(tokenizer.decode(res.tokens))

@@ -53,6 +53,11 @@ class ModelAdapter:
     # batch axis of every state leaf: 1 for stacked layouts ((L, B, ...)
     # planes), 0 for unstacked per-layer buffer lists ((B, ...) leaves)
     state_batch_axis: int = 1
+    # True when state rows are keyed by POSITION (KV cache): stale rows
+    # past the current position are causally invisible, so speculative
+    # verify can over-write ahead and partially accept. False for
+    # recurrent state (Mamba) — a rejected draft would need rollback.
+    positional_state: bool = True
 
     @classmethod
     def llama(cls, cfg, cache_dtype=jnp.float32, bos_id: int = 1,
@@ -90,6 +95,7 @@ class ModelAdapter:
             ),
             bos_id=bos_id if bos_id is not None else -1,  # Mamba: no BOS (mamba.f90:406)
             state_batch_axis=1 if stacked else 0,
+            positional_state=False,
         )
 
 
@@ -98,6 +104,22 @@ def _next_bucket(n: int, minimum: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _lookup_draft(ctx: List[int], k: int, ngram: int = 2) -> List[int]:
+    """Prompt-lookup drafting (self-speculation without a draft model):
+    find the most recent PRIOR occurrence of the context's trailing
+    ``ngram`` and propose the k tokens that followed it. Natural text
+    repeats n-grams constantly (names, phrases, code identifiers), so
+    accepted spans are common; a miss costs nothing — the verify forward
+    still emits one correct token."""
+    if k <= 0 or len(ctx) < ngram + 1:
+        return []
+    tail = ctx[-ngram:]
+    for j in range(len(ctx) - ngram - 1, -1, -1):
+        if ctx[j : j + ngram] == tail:
+            return ctx[j + ngram : j + ngram + k]
+    return []
 
 
 def _select_token(logits, key, temperature):
@@ -137,6 +159,7 @@ class Engine:
         self._decode_scan = jax.jit(
             self._decode_scan_impl, donate_argnums=(2,), static_argnums=(6,)
         )
+        self._verify = jax.jit(self._verify_impl, donate_argnums=(2,))
 
     # -- jitted bodies ----------------------------------------------------
 
@@ -161,6 +184,20 @@ class Engine:
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
         next_tok = _select_token(logits, key, temperature)
         return next_tok, logits, state
+
+    def _verify_impl(self, params, tokens, state, pos):
+        """Speculative verify: teacher-force ``tokens`` (B, K+1) at
+        positions [pos, pos+K] and return the greedy next token AFTER
+        each — one forward over a K+1-token window (MXU-batched) instead
+        of K+1 sequential decode steps. Cache rows written past the
+        accepted prefix are stale but causally invisible, and the next
+        verify overwrites them before they can be attended (the same
+        write-then-attend argument the deferred cache write relies on)."""
+        hidden, state = self.adapter.apply(
+            params, tokens=tokens, state=state, offset=pos
+        )
+        logits = self.adapter.lm_head(params, hidden=hidden)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), state
 
     def _decode_scan_impl(self, params, token, state, pos, key, temperature, n_steps):
         # int4-plane weights for the scan: one hoisted conversion pass,
@@ -199,10 +236,16 @@ class Engine:
         stream: Optional[Callable[[int], None]] = None,
         add_bos: bool = True,
         use_scan: bool = False,
+        speculative_k: int = 0,
     ) -> GenerationResult:
         """Single-stream generation with the reference's -n semantics:
         ``n_total`` counts prompt echo + generated tokens (llama2.f90:379);
-        alternatively pass ``n_new``."""
+        alternatively pass ``n_new``.
+
+        ``speculative_k`` > 0 enables prompt-lookup speculative decoding
+        (greedy only, positional-state models only): each iteration
+        verifies k drafted tokens in ONE forward and emits
+        accepted+1 tokens — output is EXACTLY the plain greedy stream."""
         prompt_ids = list(prompt_ids)
         if n_total is None:
             n_total = len(prompt_ids) + (n_new if n_new is not None else 128)
@@ -248,8 +291,48 @@ class Engine:
 
         t_decode = time.perf_counter()
         pos = n_in  # next write position
+        use_spec = (speculative_k > 0 and temperature == 0 and not use_scan
+                    and getattr(self.adapter, "positional_state", True))
         if n_gen > 1:
-            if use_scan:
+            if use_spec:
+                k = speculative_k
+                ctx = list(input_ids) + [emitted[-1]]
+                remaining = n_gen - 1
+
+                def emit(t: int):
+                    emitted.append(t)
+                    ctx.append(t)
+                    if stream:
+                        stream(t)
+
+                while remaining > 0 and pos + k + 1 <= self.max_seq:
+                    drafts = _lookup_draft(ctx, k)
+                    inp = np.zeros((self.batch, k + 1), np.int32)
+                    inp[:, 0] = ctx[-1]
+                    inp[:, 1 : 1 + len(drafts)] = np.asarray(drafts, np.int32)
+                    outs_dev, state = self._verify(
+                        self.params, jnp.asarray(inp), state, jnp.int32(pos)
+                    )
+                    outs = np.asarray(jax.device_get(outs_dev))[0]
+                    acc = 0
+                    while (acc < len(drafts) and acc < remaining - 1
+                           and drafts[acc] == int(outs[acc])):
+                        acc += 1
+                    for t in drafts[:acc] + [int(outs[acc])]:
+                        emit(t)
+                    pos += acc + 1
+                    remaining -= acc + 1
+                # context-window tail (pos + k + 1 would write past the
+                # cache): finish with plain single-token steps
+                token = jnp.full((self.batch,), emitted[-1], jnp.int32)
+                for _ in range(remaining):
+                    key, sub = jax.random.split(key)
+                    token, _, state = self._decode(
+                        self.params, token, state, jnp.int32(pos), sub, temp
+                    )
+                    pos += 1
+                    emit(int(jax.device_get(token)[0]))
+            elif use_scan:
                 key, sub = jax.random.split(key)
                 # bucket the scan length so distinct -n values share a
                 # compile (n_steps is a static argnum); extra steps decode
