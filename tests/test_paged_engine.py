@@ -251,6 +251,71 @@ def test_paged_int8_matches_dense_int8():
         assert a.tokens == b.tokens, p
 
 
+def test_paged_decode_under_tp_sharding():
+    """Paged decode composes with tensor parallelism: pools sharded on
+    the Hkv*D axis (the KV-head TP axis), tables/lengths replicated —
+    logits equal the single-device paged step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_llm.models import llama as M
+    from tpu_llm.ops.paged_kv import PagedKV
+    from tpu_llm.parallel.mesh import make_mesh
+    from tpu_llm.runtime.paged_engine import _paged_attn_fn, _paged_update_fn
+
+    cfg = LlamaConfig(**CFG)
+    params = M.unstack_layers(to_params(make_weights(0)))
+    B, bs, bpr = 2, 4, 4
+    L, kvd = cfg.n_layers, cfg.kv_dim
+    n_blocks = 1 + B * bpr
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(
+        1 + np.arange(B * bpr, dtype=np.int32).reshape(B, bpr))
+    pools = [
+        [jnp.asarray(rng.standard_normal((n_blocks, bs, kvd)), jnp.float32)
+         for _ in range(L)] for _ in range(2)
+    ]
+    lengths = jnp.asarray([6, 3], jnp.int32)
+    token = jnp.asarray([4, 9], jnp.int32)
+    offsets = jnp.asarray([6, 3], jnp.int32)
+
+    def step(params, kps, vps, table, lengths, token, offsets):
+        cache = {"k": [PagedKV(kps[i], vps[i], table, lengths)
+                       for i in range(L)],
+                 "v": [None] * L}
+        hidden, _ = M.forward(params, cfg, token[:, None], cache, offsets,
+                              update_fn=_paged_update_fn,
+                              attn_fn=_paged_attn_fn)
+        return M.lm_head(params, cfg, hidden)[:, 0, :]
+
+    want = step(params, pools[0], pools[1], table, lengths, token, offsets)
+
+    mesh = make_mesh(1, 2)          # 2-way model parallelism (Hkv = 2)
+    sh = lambda spec: jax.NamedSharding(mesh, spec)
+    col, row, rep = P(None, "model"), P("model", None), P(None)
+    lspec = {"attn_norm": rep, "ffn_norm": rep,
+             "wq": col, "wk": col, "wv": col, "wo": row,
+             "w1": col, "w3": col, "w2": row}
+    p_sh = {
+        "tok_emb": jax.device_put(params["tok_emb"], sh(P(None, None))),
+        "final_norm": jax.device_put(params["final_norm"], sh(rep)),
+        "wcls": jax.device_put(params["wcls"], sh(P(None, "model"))),
+        "layers": [
+            {k: jax.device_put(v, sh(lspec[k])) for k, v in lp.items()}
+            for lp in params["layers"]
+        ],
+    }
+    kps = [jax.device_put(p, sh(P(None, None, "model"))) for p in pools[0]]
+    vps = [jax.device_put(p, sh(P(None, None, "model"))) for p in pools[1]]
+    got = jax.jit(step)(p_sh, kps, vps,
+                        jax.device_put(table, sh(P(None, None))),
+                        jax.device_put(lengths, sh(P(None))),
+                        token, offsets)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_paged_update_tokens_matches_dense():
     """Unit parity: multi-token paged write + gather == dense cache."""
     import jax.numpy as jnp
