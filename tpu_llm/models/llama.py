@@ -607,13 +607,17 @@ def _load_weight(gguf, name: str, dtype_policy: str, transpose: bool = True):
         return qtensor_from_ggml(t.ggml_type, gguf.raw(name), rows, row_len)
     if dtype_policy == "native" and t.ggml_type == gg.GGML_F16:
         w = gguf.array(name)
-    elif dtype_policy == "bf16":
-        w = gguf.dequantized(name, np.float32)
     else:
         w = gguf.dequantized(name, np.float32)
     arr = np.ascontiguousarray(w.T) if transpose else w
     out = jnp.asarray(arr)
-    if dtype_policy == "bf16":
+    if dtype_policy == "bf16" or (
+        dtype_policy == "native"
+        and t.ggml_type not in (gg.GGML_F32, gg.GGML_F16)
+    ):
+        # 'native' for packed kinds without a device QTensor path
+        # (q4_1/q5_0/q5_1): dequantize to bf16, not f32 — half the HBM,
+        # and bf16 is what the MXU ingests anyway
         out = out.astype(jnp.bfloat16)
     return out
 
