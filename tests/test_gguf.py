@@ -102,3 +102,19 @@ def test_q5_tensor_roundtrip(tmp_path):
     for name in ("w50", "w51"):
         deq = f.dequantized(name)
         assert np.abs(deq - w).max() <= np.abs(w).max() / 14.0
+
+
+def test_q4_1_tensor_roundtrip(tmp_path):
+    path = str(tmp_path / "q41.gguf")
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((8, 64)).astype(np.float32) + 2.0  # offset: q4_1's case
+    gg.write_gguf(path, {}, {"w": (w, gg.GGML_Q4_1)})
+    f = gg.GGUFFile(path)
+    t = f.tensors["w"]
+    assert t.ggml_type == gg.GGML_Q4_1
+    assert t.nbytes == 8 * 2 * blocks.Q4_1_BLOCK_BYTES
+    deq = f.dequantized("w")
+    # affine error bound: half the per-block step
+    step = (w.reshape(-1, 32).max(1) - w.reshape(-1, 32).min(1)) / 15.0
+    err = np.abs((deq - w).reshape(-1, 32))
+    assert (err <= step[:, None] * 0.51 + 1e-3).all()

@@ -37,7 +37,7 @@ def test_q4_0_exact_representable():
     np.testing.assert_allclose(x, y, atol=1e-6)
 
 
-@pytest.mark.parametrize("kind", ["q4_0", "q8_0"])
+@pytest.mark.parametrize("kind", ["q4_0", "q8_0", "q4_1"])
 def test_qtensor_dequant_matches_block_dequant(kind):
     rng = np.random.default_rng(2)
     K, N = 64, 128
@@ -46,8 +46,8 @@ def test_qtensor_dequant_matches_block_dequant(kind):
     assert qt.shape == (K, N)
     wd = np.asarray(dequantize(qt, jnp.float32))
     # oracle: ggml-order quantize of W^T rows then transpose back
-    deq = blocks.dequantize_q4_0 if kind == "q4_0" else blocks.dequantize_q8_0
-    quant = blocks.quantize_q4_0 if kind == "q4_0" else blocks.quantize_q8_0
+    deq = getattr(blocks, f"dequantize_{kind}")
+    quant = getattr(blocks, f"quantize_{kind}")
     expected = deq(quant(np.ascontiguousarray(w.T).reshape(-1)), K * N)
     expected = expected.reshape(N, K).T
     np.testing.assert_allclose(wd, expected, rtol=1e-5, atol=1e-6)
@@ -231,3 +231,56 @@ def test_q5_0_uses_high_bit():
     x = np.linspace(-1.0, 1.0, 32, dtype=np.float32)
     y = blocks.dequantize_q5_0(blocks.quantize_q5_0(x), 32)
     assert len(np.unique(y)) > 16  # 4-bit could represent at most 16 levels
+
+
+def test_q4_1_roundtrip_error_bounded():
+    """Affine q4_1: reconstruction error <= d/2 per element (d spans the
+    block range / 15), and constant blocks are exact (m carries them)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(32 * 64).astype(np.float32) * 3 + 1.5
+    back = blocks.dequantize_q4_1(blocks.quantize_q4_1(x), x.size)
+    step = (x.reshape(-1, 32).max(1) - x.reshape(-1, 32).min(1)) / 15.0
+    err = np.abs((back - x).reshape(-1, 32))
+    assert (err <= step[:, None] * 0.51 + 1e-3).all()
+    const = np.full(64, 2.5, np.float32)
+    np.testing.assert_allclose(
+        blocks.dequantize_q4_1(blocks.quantize_q4_1(const), 64), const,
+        rtol=1e-3)
+
+
+def test_q4_1_matmul_via_linear_matches_dequant():
+    """linear.matmul routes q4_1 to the XLA dequant path (no fused kernel
+    for the affine form) and matches an explicit dequant matmul."""
+    from tpu_llm.quant.linear import matmul
+
+    rng = np.random.default_rng(8)
+    K, N, B = 64, 96, 4
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+    qt = quantize_tensor(w, "q4_1")
+    got = np.asarray(matmul(x, qt))
+    want = np.asarray(x @ dequantize(qt, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_q4_1_fuse_unstack_preserve_mins():
+    """Structural param transforms (stack/fuse/unstack) carry the affine
+    mins plane."""
+    from tpu_llm.models.llama import unstack_layers
+    from tpu_llm.quant.convert_params import _quantize_stacked, fuse_llama_layers
+
+    rng = np.random.default_rng(9)
+    L, K, N = 2, 64, 32
+    layers = {
+        "wq": _quantize_stacked(rng.standard_normal((L, K, N)), "q4_1"),
+        "wk": _quantize_stacked(rng.standard_normal((L, K, N)), "q4_1"),
+        "wv": _quantize_stacked(rng.standard_normal((L, K, N)), "q4_1"),
+    }
+    fused = fuse_llama_layers(dict(layers, w1=layers["wq"], w3=layers["wk"]))
+    assert fused["wqkv"].mins is not None
+    assert fused["wqkv"].mins.shape == (L, K // 32, 3 * N)
+    un = unstack_layers({"layers": fused, "tok_emb": jnp.zeros((4, 4))})
+    per = un["layers"][0]["wqkv"]
+    assert per.mins is not None and per.mins.shape == (K // 32, 3 * N)
+    np.testing.assert_allclose(np.asarray(per.mins),
+                               np.asarray(fused["wqkv"].mins[0]))

@@ -317,6 +317,8 @@ def _encode_tensor(data: np.ndarray, ggml_type: int) -> bytes:
         return rounded.tobytes()
     if ggml_type == GGML_Q4_0:
         return qblocks.quantize_q4_0(flat.reshape(-1))
+    if ggml_type == GGML_Q4_1:
+        return qblocks.quantize_q4_1(flat.reshape(-1))
     if ggml_type == GGML_Q5_0:
         return qblocks.quantize_q5_0(flat.reshape(-1))
     if ggml_type == GGML_Q5_1:

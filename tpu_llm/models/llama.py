@@ -110,7 +110,9 @@ def unstack_layers(params: Params) -> Params:
 
     def take(leaf, i):
         if isinstance(leaf, QTensor):
-            return QTensor(q=leaf.q[i], scales=leaf.scales[i], kind=leaf.kind)
+            from tpu_llm.quant.qtensor import qmap
+
+            return qmap(lambda p: p[i], leaf)
         return leaf[i]
 
     out = dict(params)
@@ -602,7 +604,9 @@ def _load_weight(gguf, name: str, dtype_policy: str, transpose: bool = True):
     from tpu_llm.quant.qtensor import qtensor_from_ggml
 
     t = gguf.tensors[name]
-    if dtype_policy == "native" and t.ggml_type in (gg.GGML_Q4_0, gg.GGML_Q8_0):
+    if dtype_policy == "native" and t.ggml_type in (
+        gg.GGML_Q4_0, gg.GGML_Q4_1, gg.GGML_Q8_0
+    ):
         rows, row_len = t.shape[0], t.dims[0]
         return qtensor_from_ggml(t.ggml_type, gguf.raw(name), rows, row_len)
     if dtype_policy == "native" and t.ggml_type == gg.GGML_F16:
@@ -626,11 +630,9 @@ def _stack(ws):
     from tpu_llm.quant.qtensor import QTensor
 
     if isinstance(ws[0], QTensor):
-        return QTensor(
-            q=jnp.stack([w.q for w in ws]),
-            scales=jnp.stack([w.scales for w in ws]),
-            kind=ws[0].kind,
-        )
+        from tpu_llm.quant.qtensor import qmap
+
+        return qmap(lambda *ps: jnp.stack(ps), *ws)
     return jnp.stack(ws)
 
 

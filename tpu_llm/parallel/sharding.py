@@ -99,11 +99,10 @@ def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
         if leaf is None:
             return None
         if isinstance(leaf, QTensor):
-            return QTensor(
-                q=jax.device_put(leaf.q, NamedSharding(mesh, spec)),
-                scales=jax.device_put(leaf.scales, NamedSharding(mesh, spec)),
-                kind=leaf.kind,
-            )
+            from tpu_llm.quant.qtensor import qmap
+
+            return qmap(
+                lambda p: jax.device_put(p, NamedSharding(mesh, spec)), leaf)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(

@@ -62,6 +62,24 @@ def dequantize_q4_0(buf: bytes | np.ndarray, n: int) -> np.ndarray:
     return (q * d).reshape(-1)
 
 
+def quantize_q4_1(x: np.ndarray) -> bytes:
+    """Quantize a flat f32 array (len % 32 == 0) to GGML Q4_1 bytes
+    (affine: value = d*q + m, q in [0, 15], d = (max-min)/15, m = min)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK4_1)
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.round((x - mn[:, None]) * inv_d[:, None]), 0.0, 15.0)
+    q = q.astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    out = np.empty((x.shape[0], Q4_1_BLOCK_BYTES), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = mn.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 4:] = (lo | (hi << 4)).astype(np.uint8)
+    return out.tobytes()
+
+
 def dequantize_q4_1(buf: bytes | np.ndarray, n: int) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8).reshape(-1, Q4_1_BLOCK_BYTES)
     assert raw.shape[0] * QK4_1 == n

@@ -12,7 +12,7 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_llm.quant.qtensor import QTensor, quantize_tensor
+from tpu_llm.quant.qtensor import QTensor, qmap, quantize_tensor
 
 LLAMA_PROJ_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 
@@ -21,11 +21,7 @@ def _quantize_stacked(w, kind: str) -> QTensor:
     """(L, K, N) dense -> stacked QTensor."""
     w = np.asarray(w, np.float32)
     qts = [quantize_tensor(w[l], kind) for l in range(w.shape[0])]
-    return QTensor(
-        q=jnp.stack([q.q for q in qts]),
-        scales=jnp.stack([q.scales for q in qts]),
-        kind=kind,
-    )
+    return qmap(lambda *xs: jnp.stack(xs), *qts)
 
 
 def quantize_llama_params(
@@ -126,9 +122,7 @@ def fold_rope_interleave(params: Dict, cfg):
     def permute(w, perm):
         perm = jnp.asarray(perm, jnp.int32)
         if isinstance(w, QTensor):
-            return QTensor(q=jnp.take(w.q, perm, axis=-1),
-                           scales=jnp.take(w.scales, perm, axis=-1),
-                           kind=w.kind)
+            return qmap(lambda p: jnp.take(p, perm, axis=-1), w)
         return jnp.take(w, perm, axis=-1)
 
     def fold_layer(lp):
@@ -159,11 +153,7 @@ def _concat_n(ws):
     """Concat weights along the output (N) axis; QTensor planes concat
     directly — packing is per-column independent in the (K/2, N) layout."""
     if isinstance(ws[0], QTensor):
-        return QTensor(
-            q=jnp.concatenate([w.q for w in ws], axis=-1),
-            scales=jnp.concatenate([w.scales for w in ws], axis=-1),
-            kind=ws[0].kind,
-        )
+        return qmap(lambda *ps: jnp.concatenate(ps, axis=-1), *ws)
     return jnp.concatenate(ws, axis=-1)
 
 

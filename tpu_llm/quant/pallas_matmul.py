@@ -146,6 +146,8 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):  # noqa: ARG001 — unus
 
 
 def pallas_tiles_ok(qt: QTensor) -> bool:
+    if qt.kind not in ("q4_0", "q8_0", "q4_0i4"):
+        return False  # q4_1 (affine) has no fused kernel yet -> XLA path
     if qt.q.ndim != 2:
         return False
     K, N = qt.shape[-2], qt.shape[-1]

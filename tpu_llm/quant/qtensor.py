@@ -26,7 +26,7 @@ Repacking from the ggml on-disk byte order is a pure transpose host-side
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,12 +40,15 @@ from tpu_llm.quant import blocks as qblocks
 class QTensor:
     q: jax.Array          # packed quants, see module docstring
     scales: jax.Array     # (..., K//32, N)
-    kind: str             # "q4_0" | "q8_0"
+    kind: str             # "q4_0" | "q8_0" | "q4_0i4" | "q4_1"
+    # q4_1 only: per-block affine offset m (value = q*scale + m), same
+    # (..., K//32, N) plane layout as scales
+    mins: Optional[jax.Array] = None
 
     @property
     def shape(self) -> Tuple[int, ...]:
         *lead, kq, n = self.q.shape
-        k = kq * 2 if self.kind == "q4_0" else kq
+        k = kq * 2 if self.kind in ("q4_0", "q4_1") else kq
         return (*lead, k, n)
 
     @property
@@ -53,12 +56,25 @@ class QTensor:
         return jnp.float32
 
     def tree_flatten(self):
-        return (self.q, self.scales), (self.kind,)
+        return (self.q, self.scales, self.mins), (self.kind,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        q, scales = children
-        return cls(q=q, scales=scales, kind=aux[0])
+        q, scales, mins = children
+        return cls(q=q, scales=scales, kind=aux[0], mins=mins)
+
+
+def qmap(fn, *qts: QTensor) -> QTensor:
+    """Apply ``fn`` to each plane of same-kind QTensors (q, scales, and —
+    for affine kinds — mins all share N-axis layout, so structural
+    transforms like stack/concat/index/permute/device_put apply the same
+    function to every plane)."""
+    kind = qts[0].kind
+    mins = None
+    if qts[0].mins is not None:
+        mins = fn(*[t.mins for t in qts])
+    return QTensor(q=fn(*[t.q for t in qts]),
+                   scales=fn(*[t.scales for t in qts]), kind=kind, mins=mins)
 
 
 # -- host-side repacking -----------------------------------------------------
@@ -78,6 +94,18 @@ def _split_ggml_q4_0(raw: np.ndarray, rows: int, row_len: int):
     # order per column is exactly our device layout — repack is a transpose.
     qs = raw[:, :, 2:].reshape(rows, row_len // 2)
     return np.ascontiguousarray(qs.T), np.ascontiguousarray(d.T)
+
+
+def _split_ggml_q4_1(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q4_1 bytes -> (packed (row_len//2, rows) uint8,
+    scales (row_len//32, rows) f32, mins (row_len//32, rows) f32)."""
+    nb = row_len // qblocks.QK4_1
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q4_1_BLOCK_BYTES)
+    d = raw[:, :, 0:2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
+    m = raw[:, :, 2:4].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
+    qs = raw[:, :, 4:].reshape(rows, row_len // 2)
+    return (np.ascontiguousarray(qs.T), np.ascontiguousarray(d.T),
+            np.ascontiguousarray(m.T))
 
 
 def _split_ggml_q8_0(raw: np.ndarray, rows: int, row_len: int):
@@ -103,6 +131,10 @@ def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) 
     if ggml_type == gg.GGML_Q8_0:
         q, scales = _split_ggml_q8_0(raw, rows, row_len)
         return QTensor(jnp.asarray(q), jnp.asarray(scales), "q8_0")
+    if ggml_type == gg.GGML_Q4_1:
+        packed, scales, mins = _split_ggml_q4_1(raw, rows, row_len)
+        return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_1",
+                       mins=jnp.asarray(mins))
     raise ValueError(f"unsupported ggml type for QTensor: {ggml_type}")
 
 
@@ -118,6 +150,11 @@ def quantize_tensor(w: np.ndarray, kind: str = "q4_0") -> QTensor:
         raw = np.frombuffer(qblocks.quantize_q8_0(flat), np.uint8)
         q, scales = _split_ggml_q8_0(raw, rows=n, row_len=k)
         return QTensor(jnp.asarray(q), jnp.asarray(scales), "q8_0")
+    if kind == "q4_1":
+        raw = np.frombuffer(qblocks.quantize_q4_1(flat), np.uint8)
+        packed, scales, mins = _split_ggml_q4_1(raw, rows=n, row_len=k)
+        return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_1",
+                       mins=jnp.asarray(mins))
     raise ValueError(kind)
 
 
@@ -189,15 +226,31 @@ def unpack_scales_f16(scales: jax.Array, dtype=jnp.float32) -> jax.Array:
     return jax.lax.bitcast_convert_type(scales, jnp.float16).astype(dtype)
 
 
+def unpack_q4_unsigned(q: jax.Array) -> jax.Array:
+    """(..., K//2, N) packed uint8 -> (..., K, N) uint8 in [0, 15] (q4_1's
+    affine quants — no -8 recentering)."""
+    *lead, kh, n = q.shape
+    blocks = q.reshape(*lead, kh // 16, 16, n)
+    lo = blocks & 0x0F
+    hi = blocks >> 4
+    return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
+
+
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the logical (.., K, N) weight (XLA ops, any backend)."""
     if qt.kind == "q4_0":
         vals = unpack_q4(qt.q).astype(dtype)
+    elif qt.kind == "q4_1":
+        vals = unpack_q4_unsigned(qt.q).astype(dtype)
     elif qt.kind in ("q8_0", "q4_0i4"):
         vals = qt.q.astype(dtype)
     else:
         raise ValueError(qt.kind)
     k = vals.shape[-2]
     nblocks = qt.scales.shape[-2]
-    scale = jnp.repeat(unpack_scales_f16(qt.scales, dtype), k // nblocks, axis=-2)
-    return vals * scale
+    rep = lambda p: jnp.repeat(unpack_scales_f16(p, dtype), k // nblocks,
+                               axis=-2)
+    out = vals * rep(qt.scales)
+    if qt.kind == "q4_1":
+        out = out + rep(qt.mins)
+    return out
