@@ -174,3 +174,37 @@ def test_paged_flash_decode_skips_unmapped_blocks():
                                        interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("positions", [[0, 40], [70, 95]])
+def test_paged_flash_decode_q_matches_gather(positions):
+    """int8-pool paged flash kernel (interpret) == gather + int8 einsum
+    attention (same score-matrix scale factorization)."""
+    from tpu_llm.ops.paged_kv import (PagedKV, paged_gqa_attention,
+                                      paged_update_tokens)
+    from tpu_llm.ops.flash_attention import paged_flash_decode_q
+
+    B, H, Hkv, D, bs, MB = 2, 8, 2, 64, 32, 4
+    N = 1 + B * MB
+    rng = np.random.default_rng(positions[0])
+    kv = PagedKV.zeros(n_blocks=N, block_size=bs, batch=B, max_blocks=MB,
+                       kv_dim=Hkv * D, dtype="int8", n_kv_heads=Hkv)
+    ids = rng.permutation(np.arange(1, N)).reshape(B, MB).astype(np.int32)
+    kv = PagedKV(kv.k_pool, kv.v_pool, jnp.asarray(ids), kv.lengths,
+                 kv.k_scale, kv.v_scale)
+    # write real rows token-by-token up to max(positions)
+    for p in range(max(positions) + 1):
+        k = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.float32)
+        kv = paged_update_tokens(kv, k, v, jnp.full((B,), p, jnp.int32))
+    pos = jnp.asarray(positions, jnp.int32)
+    kv = PagedKV(kv.k_pool, kv.v_pool, kv.block_table, pos + 1,
+                 kv.k_scale, kv.v_scale)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+
+    expected = paged_gqa_attention(q, kv, pos[:, None])   # CPU gather path
+    got = paged_flash_decode_q(q, kv.k_pool, kv.v_pool, kv.k_scale,
+                               kv.v_scale, kv.block_table, pos,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)

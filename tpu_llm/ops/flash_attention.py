@@ -326,6 +326,140 @@ def _paged_decode_kernel(
         o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
 
 
+def _paged_decode_q_kernel(
+    pos_ref,            # SMEM (B,)
+    table_ref,          # SMEM (B, MB)
+    q_ref,              # (1, H, D)
+    k_ref,              # (1, BS, Hkv*D) int8 pool block
+    v_ref,
+    ks_ref,             # (1, Hkv, BS) f32 scale block
+    vs_ref,
+    o_ref,              # (1, H, D)
+    m_scr, l_scr, acc_scr,
+    *,
+    bs: int,
+    n_blocks: int,
+    hkv: int,
+    group: int,
+    d: int,
+    sm_scale: float,
+):
+    """int8-pool variant: the plane is contracted in its widened form and
+    the per-(token, kv-head) scales are applied to the (H, BS) score
+    matrix — BS multiplies per head instead of BS x D (the same
+    factorization as ops/attention._gqa_attention_int8_flat)."""
+    b = pl.program_id(0)
+    ik = pl.program_id(1)
+    pos = pos_ref[b]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    @pl.when(ik * bs <= pos)
+    def _run():
+        q = q_ref[0].astype(jnp.float32)                 # (H, D)
+        kc = k_ref[0].astype(jnp.float32)                # (BS, Hkv*D)
+        diag = _gqa_diag(hkv, group, d)
+        q_tiled = jnp.concatenate([q] * hkv, axis=1)
+        q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
+        s = jax.lax.dot_general(
+            q_bd, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                     # (H, BS)
+        # scale rows by the K scales of each row's own kv head:
+        # (Hkv, BS) -> (H, BS) by group repeat on the sublane axis
+        ks = jnp.repeat(ks_ref[0], group, axis=0)        # (H, BS)
+        s = s * ks
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * bs
+        s = jnp.where(s_idx <= pos, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        # fold V scales into the attention weights before AV
+        vs = jnp.repeat(vs_ref[0], group, axis=0)        # (H, BS)
+        pv = p * vs
+        full = jax.lax.dot_general(
+            pv, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
+
+    @pl.when(ik == n_blocks - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+
+
+def paged_flash_decode_q(
+    q: jax.Array,            # (B, 1, H, D)
+    k_pool: jax.Array,       # (N, BS, Hkv*D) int8
+    v_pool: jax.Array,
+    k_scale: jax.Array,      # (N, Hkv, BS) f32
+    v_scale: jax.Array,
+    block_table: jax.Array,  # (B, MB) int32
+    positions: jax.Array,    # (B,) int32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged flash decode over int8 pools (see _paged_decode_q_kernel)."""
+    B, T, H, D = q.shape
+    N, bs, kvd = k_pool.shape
+    Hkv = kvd // D
+    G = H // Hkv
+    MB = block_table.shape[1]
+    assert T == 1 and D in (64, 128) and kvd % LANES == 0
+    sm_scale = 1.0 / (D ** 0.5)
+
+    q2 = q.reshape(B, H, D)
+    pos = positions.astype(jnp.int32).reshape(B)
+
+    def kv_index(b, ik, pos_ref, table_ref):
+        return (table_ref[b, jnp.minimum(ik, pos_ref[b] // bs)], 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_decode_q_kernel,
+            bs=bs, n_blocks=MB, hkv=Hkv, group=G, d=D, sm_scale=sm_scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, MB),
+            in_specs=[
+                pl.BlockSpec((1, H, D), lambda b, ik, pos, tbl: (b, 0, 0)),
+                pl.BlockSpec((1, bs, kvd), kv_index),
+                pl.BlockSpec((1, bs, kvd), kv_index),
+                pl.BlockSpec((1, Hkv, bs), kv_index),
+                pl.BlockSpec((1, Hkv, bs), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, H, D),
+                                   lambda b, ik, pos, tbl: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, LANES), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(pos, block_table.astype(jnp.int32), q2, k_pool, v_pool,
+      k_scale, v_scale)
+    return out.reshape(B, 1, H, D)
+
+
 def paged_flash_decode_ok(q, k_pool, block_size: int) -> bool:
     """Shape gate for the paged decode kernel: lane-aligned head slices
     and sublane-tile-aligned pool blocks (a non-multiple block size would

@@ -199,18 +199,22 @@ def paged_gqa_attention(
     B, T, H, D = q.shape
     use_kernel = (
         T == 1
-        and not kv.quantized
         and jax.default_backend() not in ("cpu", "gpu")
         and not os.environ.get("TPU_LLM_DISABLE_PALLAS")
     )
     if use_kernel:
         from tpu_llm.ops.flash_attention import (
-            paged_flash_decode_attention, paged_flash_decode_ok)
+            paged_flash_decode_attention, paged_flash_decode_ok,
+            paged_flash_decode_q)
 
         if paged_flash_decode_ok(q, kv.k_pool, kv.block_size):
             pos = q_positions.astype(jnp.int32).reshape(-1)
             if pos.size == 1:
                 pos = jnp.broadcast_to(pos, (B,))
+            if kv.quantized:
+                return paged_flash_decode_q(
+                    q, kv.k_pool, kv.v_pool, kv.k_scale, kv.v_scale,
+                    kv.block_table, pos)
             return paged_flash_decode_attention(
                 q, kv.k_pool, kv.v_pool, kv.block_table, pos)
 
