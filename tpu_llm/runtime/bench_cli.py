@@ -68,6 +68,49 @@ def _build_mamba():
     return params, cfg
 
 
+def _build_phi2(quant: str = "bf16"):
+    """Random phi-2 2.7B-shaped weights (parallel attn+MLP block, biases,
+    tanh-GELU MLP, partial NeoX RoPE) — exercises the same llama-family
+    forward on the second architecture (SURVEY.md §7 step 8)."""
+    import jax.numpy as jnp
+
+    from tpu_llm.config import phi2_2_7b
+
+    cfg = phi2_2_7b()
+    rng = np.random.default_rng(0)
+    E, F, L, V = cfg.dim, cfg.hidden_dim, cfg.n_layers, cfg.vocab_size
+
+    def w(*sh):
+        return jnp.asarray(
+            (rng.standard_normal(sh) * 0.02).astype(np.float32), jnp.bfloat16)
+
+    def b(*sh):
+        return jnp.asarray(np.zeros(sh, np.float32))
+
+    params = {
+        "tok_emb": w(V, E),
+        "final_norm": b(E) + 1.0, "final_norm_b": b(E),
+        "wcls": w(E, V), "bcls": b(V),
+        "layers": {
+            "attn_norm": jnp.ones((L, E), jnp.float32) + 0.0,
+            "attn_norm_b": jnp.zeros((L, E), jnp.float32),
+            "wq": w(L, E, E), "wk": w(L, E, E), "wv": w(L, E, E),
+            "wo": w(L, E, E),
+            "bq": jnp.zeros((L, E)), "bk": jnp.zeros((L, E)),
+            "bv": jnp.zeros((L, E)), "bo": jnp.zeros((L, E)),
+            "w3": w(L, E, F), "b3": jnp.zeros((L, F)),
+            "w2": w(L, F, E), "b2": jnp.zeros((L, E)),
+        },
+    }
+    if quant in ("q4_0", "q8_0"):
+        from tpu_llm.quant.convert_params import quantize_llama_params
+
+        params = quantize_llama_params(params, quant, fuse=False)
+    from tpu_llm.models.llama import unstack_layers
+
+    return unstack_layers(params), cfg
+
+
 def _decode_tok_s_mamba(params, cfg, steps, batch):
     import jax
     import jax.numpy as jnp
@@ -500,6 +543,19 @@ def main(argv=None) -> int:
     cfg = tinyllama_1_1b()
     for name in args.configs.split(","):
         name = name.strip()
+        if name.startswith("phi2"):
+            quant = name[5:] or "bf16"    # phi2 | phi2_q4_0 | phi2_q8_0
+            pparams, pcfg = _build_phi2(quant)
+            tok_s = _decode_tok_s(pparams, pcfg, args.steps, args.batch,
+                                  min(args.max_seq, pcfg.seq_len),
+                                  args.prompt_len)
+            print(json.dumps({
+                "metric": f"phi2_2.7b_{quant}_decode_tokens_per_s_per_chip",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": None,   # reference never published phi-2 numbers
+            }), flush=True)
+            continue
         if name in ("mamba", "mamba_bf16"):
             mparams, mcfg = _build_mamba()
             if name == "mamba_bf16":
