@@ -204,3 +204,58 @@ def test_speculative_ignored_for_sampling_and_mamba():
     r1 = e1.generate([3, 7], n_new=5, add_bos=False)
     r2 = e2.generate([3, 7], n_new=5, add_bos=False, speculative_k=4)
     assert r1.tokens == r2.tokens
+
+
+def test_batched_speculative_matches_plain():
+    """Batched prompt-lookup speculation: identical token streams to the
+    plain batch engine across staggered admissions, repetitive prompts,
+    and the near-cache-boundary fallback (max_seq=16 forces it)."""
+    params = None
+    _, cfg, adapter, be_plain, se = setup()
+    from tests.test_llama import make_weights, to_params
+    params = to_params(make_weights(0))
+    be_spec = BatchEngine(params, adapter, batch=4, max_seq=CFG["seq_len"],
+                          speculative_k=3)
+    prompts = [[5, 11, 5, 11, 5], [3, 3, 3], [9, 2, 9, 2]]
+    n_new = [6, 7, 5]
+    rp = [be_plain.submit(Request(prompt=p, max_new=n))
+          for p, n in zip(prompts, n_new)]
+    rs = [be_spec.submit(Request(prompt=p, max_new=n))
+          for p, n in zip(prompts, n_new)]
+    be_plain.run()
+    be_spec.run()
+    for a, b, p in zip(rp, rs, prompts):
+        assert a.tokens == b.tokens, p
+
+
+def test_batched_speculative_mixed_temperature():
+    """A sampled slot in a speculative batch emits the same stream as in
+    the plain engine (one key split per step, accepts no drafts)."""
+    _, cfg, adapter, be_plain, _ = setup(seed=1)
+    from tests.test_llama import make_weights, to_params
+    params = to_params(make_weights(1))
+    be_spec = BatchEngine(params, adapter, batch=4, max_seq=CFG["seq_len"],
+                          speculative_k=3)
+    reqs = [Request(prompt=[4, 4, 4], max_new=6, temperature=0.8, seed=42),
+            Request(prompt=[5, 11, 5, 11], max_new=6)]
+    rp = [be_plain.submit(Request(**{f: getattr(r, f) for f in
+                                     ("prompt", "max_new", "temperature",
+                                      "seed")})) for r in reqs]
+    rs = [be_spec.submit(r) for r in reqs]
+    be_plain.run()
+    be_spec.run()
+    for a, b in zip(rp, rs):
+        assert a.tokens == b.tokens
+
+
+def test_batched_speculative_eos_stop():
+    _, cfg, adapter, _, se = setup(seed=2)
+    from tests.test_llama import make_weights, to_params
+    params = to_params(make_weights(2))
+    first = single_stream_tokens(se, [6], 1)[0]
+    be = BatchEngine(params, adapter, batch=2, max_seq=CFG["seq_len"],
+                     speculative_k=4)
+    be.eos_id = first
+    r = be.submit(Request(prompt=[6], max_new=10, stop_at_eos=True))
+    be.run()
+    assert r.tokens == [first]

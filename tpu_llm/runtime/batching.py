@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_llm.runtime.engine import ModelAdapter, _next_bucket, _select_token
+from tpu_llm.runtime.engine import (ModelAdapter, _lookup_draft, _next_bucket,
+                                    _select_token)
 
 
 @dataclasses.dataclass
@@ -72,12 +73,22 @@ class BatchEngine:
         batch: int = 8,
         max_seq: int = 1024,
         eos_id: int = 2,
+        speculative_k: int = 0,
     ):
         self.params = params
         self.adapter = adapter
         self.batch = batch
         self.max_seq = max_seq
         self.eos_id = eos_id
+        # batched prompt-lookup speculative decoding: each step verifies
+        # up to k drafted tokens PER SLOT in one (B, k+1) forward and
+        # emits accepted+1 tokens per greedy slot. Requires positional
+        # state (KV cache rollback-by-overwrite); recurrent adapters
+        # silently run the plain step. The spec step fetches tokens
+        # synchronously (drafting needs the host context), trading the
+        # pipelined step's hidden round-trip for multi-token emission.
+        self.spec_k = (speculative_k
+                       if getattr(adapter, "positional_state", True) else 0)
         self.slots = [_Slot() for _ in range(batch)]
         self.state = adapter.init_state(batch, max_seq)
         self._baxis = adapter.state_batch_axis
@@ -85,6 +96,7 @@ class BatchEngine:
         self._next_rid = 0
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._verify = jax.jit(self._verify_impl, donate_argnums=(2,))
         # NOT donated: the in-flight snapshot may alias the current
         # token_dev — donating would invalidate the pending host fetch
         self._set_lane = jax.jit(lambda t, i, v: t.at[i].set(v))
@@ -102,6 +114,19 @@ class BatchEngine:
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
         sampled = jax.vmap(_select_token)(logits, keys, temps)
         return sampled, state
+
+    def _verify_impl(self, params, tokens, state, offsets, keys, temps):
+        """Speculative verify (tokens (B, K+1) at per-slot offsets):
+        greedy next-token chain for every window position, plus a sampled
+        token from position 0 for temperature>0 slots (which accept no
+        drafts — their stream must match the plain sampled stream)."""
+        hidden, state = self.adapter.apply(
+            params, tokens=tokens, state=state, offset=offsets
+        )
+        logits = self.adapter.lm_head(params, hidden=hidden)  # (B, K+1, V)
+        chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled0 = jax.vmap(_select_token)(logits[:, 0], keys, temps)
+        return chain, sampled0, state
 
     def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp):
         """Prefill ``tokens`` (1, Tpad) into fresh batch-1 state rows, then
@@ -208,6 +233,64 @@ class BatchEngine:
         """Hook between admission and dispatch (PagedEngine grows block
         tables here). Base engine: nothing to do."""
 
+    def _step_spec(self, live) -> int:
+        """One speculative iteration: draft per slot (prompt lookup on the
+        host context), verify all drafts in ONE (B, k+1) forward, emit
+        accepted+1 tokens per greedy slot (sampled slots emit their one
+        sampled token — identical stream to the plain path)."""
+        k = self.spec_k
+        toks = np.zeros((self.batch, k + 1), np.int32)
+        offsets = np.zeros((self.batch,), np.int32)
+        temps = np.zeros((self.batch,), np.float32)
+        keys = []
+        drafts_by_slot = {}
+        bos = [self.adapter.bos_id] if self.adapter.bos_id >= 0 else []
+        for i, slot in enumerate(self.slots):
+            if slot.free:
+                keys.append(jax.random.PRNGKey(0))
+                continue
+            req = slot.req
+            ctx = bos + req.prompt + req.tokens
+            drafts = _lookup_draft(ctx, k) if req.temperature == 0 else []
+            drafts_by_slot[i] = drafts
+            toks[i, 0] = ctx[-1]
+            toks[i, 1 : 1 + len(drafts)] = np.asarray(drafts, np.int32)
+            offsets[i] = slot.pos
+            temps[i] = req.temperature
+            slot.key, sub = jax.random.split(slot.key)
+            keys.append(sub)
+
+        chain_d, sampled0_d, self.state = self._verify(
+            self.params, jnp.asarray(toks), self.state,
+            jnp.asarray(offsets), jnp.stack(keys), jnp.asarray(temps))
+        chain = np.asarray(jax.device_get(chain_d))
+        sampled0 = np.asarray(jax.device_get(sampled0_d))
+
+        lanes, vals = [], []
+        for i, req in live:
+            slot = self.slots[i]
+            drafts = drafts_by_slot[i]
+            if req.temperature > 0:
+                new = [int(sampled0[i])]
+            else:
+                acc = 0
+                while acc < len(drafts) and drafts[acc] == int(chain[i, acc]):
+                    acc += 1
+                new = drafts[:acc] + [int(chain[i, acc])]
+            slot.pos += len(new)
+            for t in new:
+                self._record(slot, t)
+                if slot.req is not req or req.done:
+                    break
+            lanes.append(i)
+            vals.append(new[-1])
+        # keep the device-side token vector coherent: a later plain
+        # (pipelined) step feeds from it
+        self._token_dev = self._set_lane(
+            self._token_dev, jnp.asarray(lanes, jnp.int32),
+            jnp.asarray(vals, jnp.int32))
+        return len(live)
+
     def step(self) -> int:
         """One engine iteration: admit (prefill), dispatch one batched
         decode, then fetch the PREVIOUS step's tokens. Returns the number
@@ -218,6 +301,15 @@ class BatchEngine:
         if not live:
             self._collect()
             return 0
+        if self.spec_k and all(
+            self.slots[i].pos + self.spec_k + 1 <= self.max_seq
+            for i, _ in live
+        ):
+            # drain any pending pipelined fetch, then run synchronously
+            # (near-cache-boundary batches fall through to the plain step
+            # — a padded verify window would write past the cache)
+            self._collect()
+            return self._step_spec(live)
 
         offsets = np.zeros((self.batch,), np.int32)
         temps = np.zeros((self.batch,), np.float32)
