@@ -342,3 +342,25 @@ def test_paged_update_tokens_matches_dense():
         np.testing.assert_allclose(
             np.asarray(kg)[b, start : start + T], kf[b], rtol=0, atol=0)
     assert list(np.asarray(kv.lengths)) == [7, 5]
+
+
+def test_paged_speculative_matches_plain():
+    """Speculative paged engine emits the plain paged/dense streams
+    exactly, across block growth and slot reuse."""
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    se = Engine(params, ModelAdapter.llama(cfg, bos_id=1),
+                max_seq=CFG["seq_len"])
+    pe = PagedEngine(params, cfg, batch=2, n_blocks=32, block_size=2,
+                     max_seq=CFG["seq_len"], speculative_k=3)
+    prompts = [[5, 11, 5, 11, 5], [9, 2, 9, 2]]
+    n_new = [6, 5]
+    rs = [pe.submit(Request(prompt=p, max_new=n))
+          for p, n in zip(prompts, n_new)]
+    pe.run()
+    for r, p, n in zip(rs, prompts, n_new):
+        assert r.tokens == single_stream_tokens(se, p, n), p
+    # slot reuse after speculative decode
+    r2 = pe.submit(Request(prompt=[3, 3, 3], max_new=4))
+    pe.run()
+    assert r2.tokens == single_stream_tokens(se, [3, 3, 3], 4)

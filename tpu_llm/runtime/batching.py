@@ -89,6 +89,7 @@ class BatchEngine:
         # pipelined step's hidden round-trip for multi-token emission.
         self.spec_k = (speculative_k
                        if getattr(adapter, "positional_state", True) else 0)
+        self.bos_id = adapter.bos_id
         self.slots = [_Slot() for _ in range(batch)]
         self.state = adapter.init_state(batch, max_seq)
         self._baxis = adapter.state_batch_axis
@@ -244,7 +245,7 @@ class BatchEngine:
         temps = np.zeros((self.batch,), np.float32)
         keys = []
         drafts_by_slot = {}
-        bos = [self.adapter.bos_id] if self.adapter.bos_id >= 0 else []
+        bos = [self.bos_id] if self.bos_id >= 0 else []
         for i, slot in enumerate(self.slots):
             if slot.free:
                 keys.append(jax.random.PRNGKey(0))

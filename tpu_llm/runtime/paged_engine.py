@@ -74,6 +74,7 @@ class PagedEngine(BatchEngine):
         cache_dtype=jnp.float32,
         prefix_caching: bool = True,
         prefill_chunk: Optional[int] = 512,
+        speculative_k: int = 0,
     ):
         from tpu_llm.models import llama as M
 
@@ -117,7 +118,9 @@ class PagedEngine(BatchEngine):
         self._queue = []
         self._next_rid = 0
         self.prefill_chunk = prefill_chunk
+        self.spec_k = speculative_k
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
+        self._verify = jax.jit(self._verify_impl, donate_argnums=(2,))
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
         self._prefill_part = jax.jit(self._prefill_part_impl,
                                      donate_argnums=(2,))
@@ -184,6 +187,25 @@ class PagedEngine(BatchEngine):
         lengths = jax.lax.dynamic_update_slice(
             state["lengths"], nc["k"][0].lengths, (slot,))
         return sampled, self._repack(state, nc, state["table"], lengths)
+
+    def _verify_impl(self, params, tokens, state, offsets, keys, temps):
+        """Speculative verify over the paged cache (see BatchEngine).
+        Growth in _pre_dispatch maps blocks for every position a draft
+        could be ACCEPTED at; rejected/padded window rows beyond the
+        mapped region write into the null block, and no used chain entry
+        ever attends them (entry j only attends rows <= pos+j, all
+        mapped for j within the acceptance bound)."""
+        from tpu_llm.models import llama as M
+
+        cache = self._layer_caches(state, state["table"], state["lengths"])
+        hidden, nc = M.forward(params, self.cfg, tokens, cache, offsets,
+                               update_fn=_paged_update_fn,
+                               attn_fn=_paged_attn_fn)
+        logits = M.lm_head(params, self.cfg, hidden)        # (B, K+1, V)
+        chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled0 = jax.vmap(_select_token)(logits[:, 0], keys, temps)
+        return chain, sampled0, self._repack(state, nc, state["table"],
+                                             nc["k"][0].lengths)
 
     def _prefill_part_impl(self, params, tokens, state, slot, pos0):
         """One non-final CHUNK of a chunked prefill: forward + paged
@@ -296,12 +318,20 @@ class PagedEngine(BatchEngine):
 
     def _pre_dispatch(self, live) -> None:
         """Map a fresh block for any slot whose next write position
-        crosses into unmapped territory (on-demand growth)."""
+        crosses into unmapped territory (on-demand growth). With
+        speculation, the mapped region must reach every position a draft
+        could be accepted at — pos + min(k, remaining-1) — which stays
+        within the admission reservation (last budgeted write is
+        n_in + max_new - 1)."""
         rows, cols, vals = [], [], []
-        for idx, _req in live:
+        for idx, req in live:
             slot = self.slots[idx]
             blocks = self._slot_blocks[idx]
-            while slot.pos // self.block_size >= len(blocks):
+            reach = slot.pos
+            if self.spec_k:
+                remaining = req.max_new - len(req.tokens)
+                reach += min(self.spec_k, max(remaining - 1, 0))
+            while reach // self.block_size >= len(blocks):
                 (bid,) = self.allocator.alloc(1, reserved=True)
                 self._slot_reserved[idx] -= 1
                 rows.append(idx)
