@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -38,6 +39,29 @@ _T0 = time.monotonic()
 REFERENCE_TOK_S = 7.3  # llm.f90 optimize16 branch, 1 CPU core (README.md:13)
 
 
+def _random_params(cfg):
+    """Random weights at cfg shapes (throughput is content-independent)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    L, E, F, V = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size
+    KV = cfg.kv_dim
+    mk = lambda *sh: jnp.asarray(
+        (rng.standard_normal(sh) * 0.02).astype(np.float32), jnp.bfloat16)
+    return {
+        "tok_emb": mk(V, E),
+        "final_norm": jnp.ones((E,), jnp.float32),
+        "wcls": mk(E, V),
+        "layers": {
+            "attn_norm": jnp.ones((L, E), jnp.float32),
+            "ffn_norm": jnp.ones((L, E), jnp.float32),
+            "wq": mk(L, E, E), "wk": mk(L, E, KV), "wv": mk(L, E, KV),
+            "wo": mk(L, E, E), "w1": mk(L, E, F), "w3": mk(L, E, F),
+            "w2": mk(L, F, E),
+        },
+    }
+
+
 def build_params(quant: str, cfg=None):
     import __graft_entry__ as ge
     from tpu_llm.models.llama import unstack_layers
@@ -45,7 +69,10 @@ def build_params(quant: str, cfg=None):
         fold_rope_interleave, fuse_llama_layers, quantize_llama_params,
     )
 
-    _, (params, _, _, _) = ge.entry()
+    if os.environ.get("TPU_LLM_BENCH_TINY") and cfg is not None:
+        params = _random_params(cfg)
+    else:
+        _, (params, _, _, _) = ge.entry()
     if quant != "none":
         params = quantize_llama_params(params, quant, fuse=True)
     else:
@@ -123,9 +150,16 @@ def main():
                     choices=["f32", "bf16", "int8"])
     args = ap.parse_args()
 
-    from tpu_llm.config import tinyllama_1_1b
+    from tpu_llm.config import LlamaConfig, tinyllama_1_1b
 
-    cfg = tinyllama_1_1b()
+    if os.environ.get("TPU_LLM_BENCH_TINY"):
+        # smoke mode: exercise the FULL bench path (quantize, fold,
+        # int4 repack, scan, slope timing) on toy shapes — catches
+        # harness breakage without a chip or a 20-minute compile
+        cfg = LlamaConfig(dim=64, hidden_dim=128, n_layers=2, n_heads=4,
+                          n_kv_heads=2, vocab_size=256, seq_len=256)
+    else:
+        cfg = tinyllama_1_1b()
     _stage("building params")
     params, cfg = build_params(args.quant, cfg)
     _stage("params built")
