@@ -68,6 +68,41 @@ def _build_mamba():
     return params, cfg
 
 
+def _build_llama2_7b(quant: str = "q4_0"):
+    """Random Llama-2 7B-shaped weights (SURVEY.md §2.3: the model the PP
+    axis exists for; q4_0 = ~3.5 GB packed, single-chip resident)."""
+    import jax.numpy as jnp
+
+    from tpu_llm.config import llama2_7b
+    from tpu_llm.models.llama import unstack_layers
+    from tpu_llm.quant.convert_params import (fuse_llama_layers,
+                                              quantize_llama_params)
+
+    cfg = llama2_7b()
+    rng = np.random.default_rng(0)
+    E, F, L, V, KV = (cfg.dim, cfg.hidden_dim, cfg.n_layers, cfg.vocab_size,
+                      cfg.kv_dim)
+    w = lambda *sh: jnp.asarray(
+        (rng.standard_normal(sh) * 0.02).astype(np.float32), jnp.bfloat16)
+    params = {
+        "tok_emb": w(V, E),
+        "final_norm": jnp.ones((E,), jnp.float32),
+        "wcls": w(E, V),
+        "layers": {
+            "attn_norm": jnp.ones((L, E), jnp.float32),
+            "ffn_norm": jnp.ones((L, E), jnp.float32),
+            "wq": w(L, E, E), "wk": w(L, E, KV), "wv": w(L, E, KV),
+            "wo": w(L, E, E), "w1": w(L, E, F), "w3": w(L, E, F),
+            "w2": w(L, F, E),
+        },
+    }
+    if quant in ("q4_0", "q8_0"):
+        params = quantize_llama_params(params, quant, fuse=True)
+    else:
+        params = dict(params, layers=fuse_llama_layers(params["layers"]))
+    return unstack_layers(params), cfg
+
+
 def _build_phi2(quant: str = "bf16"):
     """Random phi-2 2.7B-shaped weights (parallel attn+MLP block, biases,
     tanh-GELU MLP, partial NeoX RoPE) — exercises the same llama-family
@@ -543,6 +578,19 @@ def main(argv=None) -> int:
     cfg = tinyllama_1_1b()
     for name in args.configs.split(","):
         name = name.strip()
+        if name.startswith("7b"):
+            quant = name[3:] or "q4_0"    # 7b | 7b_q4_0 | 7b_q8_0 | 7b_bf16
+            lparams, lcfg = _build_llama2_7b(quant)
+            tok_s = _decode_tok_s(lparams, lcfg, args.steps, args.batch,
+                                  min(args.max_seq, lcfg.seq_len),
+                                  args.prompt_len)
+            print(json.dumps({
+                "metric": f"llama2_7b_{quant}_decode_tokens_per_s_per_chip",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": None,
+            }), flush=True)
+            continue
         if name.startswith("phi2"):
             quant = name[5:] or "bf16"    # phi2 | phi2_q4_0 | phi2_q8_0
             pparams, pcfg = _build_phi2(quant)
