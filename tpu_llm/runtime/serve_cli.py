@@ -1,0 +1,172 @@
+"""`llm-serve` — offline batched serving over the continuous-batching
+engines.
+
+The reference is one prompt per process (llama2.f90:379-402). This front
+end takes MANY prompts (a file with one per line, or repeated -p) and
+drives them through iteration-level scheduling: requests are admitted
+into slots as others finish, prompts prefill in one forward, and decode
+runs one batched step for every live slot. Engine selection:
+
+  --paged        paged-KV pool + block tables + automatic prefix caching
+                 (repeated prompt prefixes cost zero prefill compute)
+  --cache-dtype int8   halve KV HBM (dense planes or paged pools)
+  --spec K       batched prompt-lookup speculative decoding (greedy):
+                 up to K drafted tokens verified per slot per forward
+
+Prints each completed request as JSON and an aggregate throughput line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llm-serve", description=__doc__)
+    p.add_argument("-m", "--model", required=True,
+                   help="GGUF or .npz weight-cache path")
+    p.add_argument("-p", "--prompt", action="append", default=[],
+                   help="prompt text (repeatable)")
+    p.add_argument("-f", "--prompts-file",
+                   help="file with one prompt per line")
+    p.add_argument("-n", "--num-tokens", type=int, default=64,
+                   help="max new tokens per request")
+    p.add_argument("-t", "--temperature", type=float, default=0.0)
+    p.add_argument("-s", "--tokenizer", help="external tokenizer.bin")
+    p.add_argument("--dtype", default="native",
+                   choices=["f32", "bf16", "native"])
+    p.add_argument("--cache-dtype", default="bf16",
+                   choices=["f32", "bf16", "int8"])
+    p.add_argument("--batch", type=int, default=8, help="engine slots")
+    p.add_argument("--max-seq", type=int, default=None)
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV pool + prefix caching (llama only)")
+    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--n-blocks", type=int, default=None,
+                   help="paged pool size (default: batch x max_seq worth)")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative drafts per step (greedy slots)")
+    p.add_argument("--stop-at-eos", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _load(args):
+    import dataclasses  # noqa: F401
+
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    if args.model.endswith(".npz"):
+        from tpu_llm.io.weight_cache import load_weight_cache
+
+        params, cfg = load_weight_cache(args.model)
+        tokenizer = None
+    else:
+        from tpu_llm.io.gguf import GGUFFile
+
+        gguf = GGUFFile(args.model)
+        arch = gguf.hparam("general.architecture", default="llama")
+        if arch == "phi2":
+            from tpu_llm.models.phi2 import load_gguf
+        else:
+            from tpu_llm.models.llama import load_gguf
+        params, cfg = load_gguf(gguf, dtype_policy=args.dtype)
+        tokenizer = (BPETokenizer.from_gguf(gguf)
+                     if "tokenizer.ggml.tokens" in gguf.metadata else None)
+    if args.tokenizer:
+        tokenizer = BPETokenizer.from_tokenizer_bin(args.tokenizer)
+    if tokenizer is None:
+        raise SystemExit("no tokenizer available (use -s tokenizer.bin)")
+    return params, cfg, tokenizer
+
+
+def main(argv=None) -> int:
+    import os
+
+    if not os.environ.get("TPU_LLM_NO_COMPILE_CACHE"):
+        from tpu_llm.runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+    args = build_parser().parse_args(argv)
+
+    prompts = list(args.prompt)
+    if args.prompts_file:
+        with open(args.prompts_file) as f:
+            prompts += [ln.rstrip("\n") for ln in f if ln.strip()]
+    if not prompts:
+        print("no prompts (-p or -f)", file=sys.stderr)
+        return 1
+
+    import jax.numpy as jnp
+
+    from tpu_llm.runtime.batching import BatchEngine, Request
+    from tpu_llm.runtime.engine import ModelAdapter
+
+    params, cfg, tokenizer = _load(args)
+    max_seq = args.max_seq or min(
+        cfg.seq_len, max(args.num_tokens + 128, 256))
+    cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                   "int8": "int8"}[args.cache_dtype]
+
+    if args.paged:
+        from tpu_llm.runtime.paged_engine import PagedEngine
+
+        bs = args.block_size
+        n_blocks = args.n_blocks or (
+            1 + args.batch * ((max_seq + bs - 1) // bs))
+        engine = PagedEngine(
+            params, cfg, batch=args.batch, n_blocks=n_blocks,
+            block_size=bs, max_seq=max_seq, cache_dtype=cache_dtype,
+            speculative_k=args.spec,
+        )
+    else:
+        adapter = ModelAdapter.llama(cfg, cache_dtype=cache_dtype, bos_id=1)
+        engine = BatchEngine(params, adapter, batch=args.batch,
+                             max_seq=max_seq, speculative_k=args.spec)
+
+    reqs = []
+    for i, text in enumerate(prompts):
+        ids = tokenizer.encode(text)
+        reqs.append(engine.submit(Request(
+            prompt=ids, max_new=args.num_tokens,
+            temperature=args.temperature, seed=args.seed + i,
+            stop_at_eos=args.stop_at_eos,
+        )))
+
+    t0 = time.perf_counter()
+    steps = 0
+    while engine._queue or engine.n_active:
+        engine.step()
+        steps += 1
+    engine._collect()
+    wall = time.perf_counter() - t0
+
+    n_generated = 0
+    for req, text in zip(reqs, prompts):
+        n_generated += len(req.tokens)
+        out = tokenizer.decode(req.tokens)
+        if isinstance(out, bytes):  # byte-exact decode -> lossy str for JSON
+            out = out.decode("utf-8", errors="replace")
+        print(json.dumps({
+            "prompt": text,
+            "completion": out,
+            "n_tokens": len(req.tokens),
+        }), flush=True)
+    print(json.dumps({
+        "requests": len(reqs),
+        "generated_tokens": n_generated,
+        "wall_s": round(wall, 3),
+        "tokens_per_s": round(n_generated / max(wall, 1e-9), 2),
+        "engine_steps": steps,
+        "engine": "paged" if args.paged else "dense",
+        "speculative_k": args.spec,
+    }), file=sys.stderr, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
