@@ -1,0 +1,37 @@
+"""llm-serve: offline batched serving front end."""
+
+import json
+
+from tests.make_tiny_gguf import build
+
+
+def _run(argv, capsys):
+    from tpu_llm.runtime.serve_cli import main
+
+    capsys.readouterr()                      # drain builder/loader chatter
+    assert main(argv) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    return [json.loads(ln) for ln in out if ln.startswith("{")]
+
+
+def test_serve_dense_and_paged_agree(tmp_path, capsys):
+    path = str(tmp_path / "tiny.gguf")
+    build(path)
+    base = ["-m", path, "-p", "abc", "-p", "ab", "-n", "6", "--batch", "2"]
+    dense = _run(base, capsys)
+    paged = _run(base + ["--paged", "--block-size", "4"], capsys)
+    spec = _run(base + ["--spec", "3"], capsys)
+    assert [r["completion"] for r in dense] \
+        == [r["completion"] for r in paged] \
+        == [r["completion"] for r in spec]
+    assert all(r["n_tokens"] == 6 for r in dense)
+
+
+def test_serve_prompts_file(tmp_path, capsys):
+    path = str(tmp_path / "tiny.gguf")
+    build(path)
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("abc\nab\n\n")
+    rows = _run(["-m", path, "-f", str(pf), "-n", "4", "--batch", "2"],
+                capsys)
+    assert len(rows) == 2 and rows[0]["prompt"] == "abc"
