@@ -364,3 +364,23 @@ def test_paged_speculative_matches_plain():
     r2 = pe.submit(Request(prompt=[3, 3, 3], max_new=4))
     pe.run()
     assert r2.tokens == single_stream_tokens(se, [3, 3, 3], 4)
+
+
+def test_multi_turn_prefix_reuse():
+    """A follow-up request whose prompt extends a finished conversation
+    (prompt + completion + new text) reuses the finished turn's cached
+    blocks — generations still match the dense engine exactly."""
+    pe, se = setup(batch=1, block_size=2, n_blocks=64)
+    p1 = [5, 11, 8, 3]
+    r1 = pe.submit(Request(prompt=p1, max_new=4))
+    pe.run()
+    # turn 2: the conversation so far + new user tokens
+    p2 = p1 + r1.tokens + [9, 2]
+    cached_before = len(pe.prefix._map)
+    r2 = pe.submit(Request(prompt=p2, max_new=3))
+    pe.run()
+    assert r2.tokens == single_stream_tokens(se, p2, 3)
+    # completion blocks were registered, and the follow-up matched past
+    # the original prompt's extent
+    assert cached_before > len(p1) // 2        # prompt + completion blocks
+    assert r1.tokens == single_stream_tokens(se, p1, 4)

@@ -354,6 +354,17 @@ class PagedEngine(BatchEngine):
             # identity search: _Slot is a dataclass whose == would compare
             # jax-array fields elementwise
             idx = next(i for i, s in enumerate(self.slots) if s is slot)
+            if self.prefix is not None:
+                # register the COMPLETED sequence's full blocks (not just
+                # the prompt's): a follow-up whose prompt extends this
+                # conversation (prompt + completion + ...) reuses the
+                # whole turn's KV — the multi-turn/agent case. The final
+                # sampled token was never forwarded, so its KV is absent:
+                # register only blocks fully inside the written region.
+                bos = [self.bos_id] if self.bos_id >= 0 else []
+                seq = bos + req.prompt + req.tokens
+                self.prefix.insert(seq[:-1], self.block_size,
+                                   self._slot_blocks[idx])
             self.allocator.release(self._slot_blocks[idx])
             self._slot_blocks[idx] = []
             self.allocator.unreserve(self._slot_reserved[idx])
