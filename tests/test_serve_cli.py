@@ -35,3 +35,23 @@ def test_serve_prompts_file(tmp_path, capsys):
     rows = _run(["-m", path, "-f", str(pf), "-n", "4", "--batch", "2"],
                 capsys)
     assert len(rows) == 2 and rows[0]["prompt"] == "abc"
+
+
+def test_serve_mamba_packed(tmp_path, capsys):
+    """Mamba packed checkpoints serve through the dense engine (recurrent
+    state — paged/spec don't apply)."""
+    import os
+
+    from tests.test_mamba import CFG as MCFG, make_torch_arrays
+    from tpu_llm.io.mamba_ckpt import write_packed
+    from tpu_llm.tokenizers.tokenizer_bin import write_tokenizer_bin
+
+    mpath = str(tmp_path / "m.bin")
+    write_packed(mpath, make_torch_arrays(5), MCFG)
+    tok = str(tmp_path / "tok.bin")
+    V = MCFG.vocab_size
+    vocab = [bytes([97 + i]) for i in range(26)] +         [f"tok{i}".encode() for i in range(26, V)]
+    write_tokenizer_bin(tok, vocab, [0.0] * V)
+    rows = _run(["-m", mpath, "-s", tok, "-p", "abc", "-n", "4",
+                 "--batch", "2"], capsys)
+    assert rows and rows[0]["n_tokens"] == 4

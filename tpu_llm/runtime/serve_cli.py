@@ -60,7 +60,14 @@ def _load(args):
 
     from tpu_llm.tokenizers.bpe import BPETokenizer
 
-    if args.model.endswith(".npz"):
+    if args.model.endswith(".bin"):
+        # Mamba packed checkpoint (ssm/mamba.f90 format): recurrent
+        # state, dense engine only (no KV to page, no draft rollback)
+        from tpu_llm.io.mamba_ckpt import read_packed
+
+        params, cfg = read_packed(args.model)
+        tokenizer = None
+    elif args.model.endswith(".npz"):
         from tpu_llm.io.weight_cache import load_weight_cache
 
         params, cfg = load_weight_cache(args.model)
@@ -107,12 +114,17 @@ def main(argv=None) -> int:
     from tpu_llm.runtime.engine import ModelAdapter
 
     params, cfg, tokenizer = _load(args)
-    max_seq = args.max_seq or min(
-        cfg.seq_len, max(args.num_tokens + 128, 256))
+    ctx_cap = getattr(cfg, "seq_len", 4096)   # Mamba: O(1) state, no cap
+    max_seq = args.max_seq or min(ctx_cap, max(args.num_tokens + 128, 256))
     cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                    "int8": "int8"}[args.cache_dtype]
 
+    is_mamba = args.model.endswith(".bin")
     if args.paged:
+        if is_mamba:
+            print("--paged requires a KV-cache model (llama family)",
+                  file=sys.stderr)
+            return 1
         from tpu_llm.runtime.paged_engine import PagedEngine
 
         bs = args.block_size
@@ -124,7 +136,8 @@ def main(argv=None) -> int:
             speculative_k=args.spec,
         )
     else:
-        adapter = ModelAdapter.llama(cfg, cache_dtype=cache_dtype, bos_id=1)
+        adapter = (ModelAdapter.mamba(cfg) if is_mamba else
+                   ModelAdapter.llama(cfg, cache_dtype=cache_dtype, bos_id=1))
         engine = BatchEngine(params, adapter, batch=args.batch,
                              max_seq=max_seq, speculative_k=args.spec)
 
