@@ -73,6 +73,28 @@ void repack_q4_0(const uint8_t* raw, int64_t rows, int64_t row_len,
   }
 }
 
+// q4_1 on disk: per (row, block): [f16 d][f16 m][16 bytes nibble pair];
+// device layout adds a mins plane alongside scales (value = d*q + m).
+void repack_q4_1(const uint8_t* raw, int64_t rows, int64_t row_len,
+                 uint8_t* q_out, float* scales_out, float* mins_out) {
+  const int64_t nb = row_len / 32;
+  const int64_t bb = 20;
+  for (int64_t r = 0; r < rows; ++r) {
+    const uint8_t* rp = raw + r * nb * bb;
+    for (int64_t b = 0; b < nb; ++b) {
+      uint16_t d16, m16;
+      std::memcpy(&d16, rp + b * bb, 2);
+      std::memcpy(&m16, rp + b * bb + 2, 2);
+      scales_out[b * rows + r] = half_bits_to_float(d16);
+      mins_out[b * rows + r] = half_bits_to_float(m16);
+      const uint8_t* qs = rp + b * bb + 4;
+      for (int64_t j = 0; j < 16; ++j) {
+        q_out[(b * 16 + j) * rows + r] = qs[j];
+      }
+    }
+  }
+}
+
 void repack_q8_0(const uint8_t* raw, int64_t rows, int64_t row_len,
                  int8_t* q_out, float* scales_out) {
   const int64_t nb = row_len / 32;

@@ -44,6 +44,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     )
     lib.f16_to_f32.argtypes = [u16p, f32p, i64]
     lib.repack_q4_0.argtypes = [u8p, i64, i64, u8p, f32p]
+    lib.repack_q4_1.argtypes = [u8p, i64, i64, u8p, f32p, f32p]
     lib.repack_q8_0.argtypes = [u8p, i64, i64, i8p, f32p]
     lib.transpose_f32.argtypes = [f32p, f32p, i64, i64]
     lib.bpe_encode.argtypes = [u8p, i64, u8p, i64p, f32p, i64, i32p, i64]
@@ -71,6 +72,21 @@ def repack_q4_0(raw: np.ndarray, rows: int, row_len: int) -> Tuple[np.ndarray, n
         _ptr(q, ctypes.c_uint8), _ptr(s, ctypes.c_float),
     )
     return q, s
+
+
+def repack_q4_1(raw: np.ndarray, rows: int, row_len: int):
+    lib = load_library()
+    assert lib is not None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    q = np.empty((row_len // 2, rows), np.uint8)
+    s = np.empty((row_len // 32, rows), np.float32)
+    m = np.empty((row_len // 32, rows), np.float32)
+    lib.repack_q4_1(
+        _ptr(raw, ctypes.c_uint8), rows, row_len,
+        _ptr(q, ctypes.c_uint8), _ptr(s, ctypes.c_float),
+        _ptr(m, ctypes.c_float),
+    )
+    return q, s, m
 
 
 def repack_q8_0(raw: np.ndarray, rows: int, row_len: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -99,6 +99,10 @@ def _split_ggml_q4_0(raw: np.ndarray, rows: int, row_len: int):
 def _split_ggml_q4_1(raw: np.ndarray, rows: int, row_len: int):
     """ggml q4_1 bytes -> (packed (row_len//2, rows) uint8,
     scales (row_len//32, rows) f32, mins (row_len//32, rows) f32)."""
+    from tpu_llm import native
+
+    if native.available():
+        return native.repack_q4_1(np.asarray(raw, np.uint8), rows, row_len)
     nb = row_len // qblocks.QK4_1
     raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q4_1_BLOCK_BYTES)
     d = raw[:, :, 0:2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
