@@ -184,6 +184,8 @@ def paged_gqa_attention(
     q: jax.Array,          # (B, T, H, D)
     kv: PagedKV,
     q_positions: jax.Array,  # (T,) or (B, T) absolute positions of the queries
+    offset=None,            # scalar int32 when all rows share a position
+                            # (prefill) — enables the flash prefill route
 ) -> jax.Array:
     """Attention over the paged cache.
 
@@ -226,6 +228,25 @@ def paged_gqa_attention(
     B, S, kvd = k.shape
     k = k.reshape(B, S, kvd // D, D)
     v = v.reshape(B, S, kvd // D, D)
+
+    # long-prompt prefill: the einsum path materializes (B, T, H, S)
+    # scores over the gathered view — route through the flash kernel
+    # instead (same gate shape as models/llama._attend). Causal masking
+    # makes the lengths mask redundant here: every attended slot <=
+    # q_pos was freshly written by this call or an earlier one.
+    use_flash = (
+        T >= 256
+        and offset is not None
+        and jnp.ndim(offset) == 0
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not os.environ.get("TPU_LLM_DISABLE_FLASH")
+        and not os.environ.get("TPU_LLM_DISABLE_PALLAS")
+        and T % 256 == 0 and S % 256 == 0 and D in (64, 128)
+    )
+    if use_flash:
+        from tpu_llm.ops.flash_attention import flash_gqa_attention
+
+        return flash_gqa_attention(q, k, v, jnp.asarray(offset, jnp.int32))
     return gqa_attention(q, k, v, q_positions, kv_lengths=kv.lengths)
 
 

@@ -53,7 +53,7 @@ def _paged_update_fn(kc: PagedKV, vc, k, v, offset):
 
 
 def _paged_attn_fn(q, ka: PagedKV, va, positions, offset):
-    return paged_gqa_attention(q, ka, positions)
+    return paged_gqa_attention(q, ka, positions, offset=offset)
 
 
 class PagedEngine(BatchEngine):
