@@ -141,16 +141,24 @@ def main(argv=None) -> int:
         engine = BatchEngine(params, adapter, batch=args.batch,
                              max_seq=max_seq, speculative_k=args.spec)
 
+    t0 = time.perf_counter()
+    first_tok_s = {}
+
+    def _mark_first(rid):
+        def cb(_tok):
+            if rid not in first_tok_s:
+                first_tok_s[rid] = time.perf_counter() - t0
+        return cb
+
     reqs = []
     for i, text in enumerate(prompts):
         ids = tokenizer.encode(text)
         reqs.append(engine.submit(Request(
             prompt=ids, max_new=args.num_tokens,
             temperature=args.temperature, seed=args.seed + i,
-            stop_at_eos=args.stop_at_eos,
+            stop_at_eos=args.stop_at_eos, stream=_mark_first(i),
         )))
 
-    t0 = time.perf_counter()
     steps = 0
     while engine._queue or engine.n_active:
         engine.step()
@@ -159,7 +167,7 @@ def main(argv=None) -> int:
     wall = time.perf_counter() - t0
 
     n_generated = 0
-    for req, text in zip(reqs, prompts):
+    for i, (req, text) in enumerate(zip(reqs, prompts)):
         n_generated += len(req.tokens)
         out = tokenizer.decode(req.tokens)
         if isinstance(out, bytes):  # byte-exact decode -> lossy str for JSON
@@ -168,12 +176,15 @@ def main(argv=None) -> int:
             "prompt": text,
             "completion": out,
             "n_tokens": len(req.tokens),
+            "ttft_s": round(first_tok_s.get(i, wall), 4),
         }), flush=True)
+    ttfts = sorted(first_tok_s.values()) or [wall]
     print(json.dumps({
         "requests": len(reqs),
         "generated_tokens": n_generated,
         "wall_s": round(wall, 3),
         "tokens_per_s": round(n_generated / max(wall, 1e-9), 2),
+        "ttft_p50_s": round(ttfts[len(ttfts) // 2], 4),
         "engine_steps": steps,
         "engine": "paged" if args.paged else "dense",
         "speculative_k": args.spec,
