@@ -83,7 +83,7 @@ def compute_ppl(
     return PplResult(ppl=math.exp(nll_sum / count), nll_sum=nll_sum, n_tokens=count)
 
 
-_TABLE_FORMATS = ("f32", "f16", "bf16", "q8_0", "q4_0")
+_TABLE_FORMATS = ("f32", "f16", "bf16", "q8_0", "q4_1", "q4_0")
 
 
 def eval_stream(n: int = 1024, vocab: int = 1024, seed: int = 11) -> List[int]:
@@ -140,7 +140,8 @@ def dtype_table(
     base = GGUFFile(base_path)
     fmt_ids = {"f32": gg.GGML_F32, "f16": gg.GGML_F16, "bf16": gg.GGML_BF16,
                "q8_0": gg.GGML_Q8_0, "q5_0": gg.GGML_Q5_0,
-               "q5_1": gg.GGML_Q5_1, "q4_0": gg.GGML_Q4_0}
+               "q5_1": gg.GGML_Q5_1, "q4_0": gg.GGML_Q4_0,
+               "q4_1": gg.GGML_Q4_1}
 
     def variant(fmt: str, out_path: str):
         ttype = fmt_ids[fmt]
