@@ -39,29 +39,6 @@ _T0 = time.monotonic()
 REFERENCE_TOK_S = 7.3  # llm.f90 optimize16 branch, 1 CPU core (README.md:13)
 
 
-def _random_params(cfg):
-    """Random weights at cfg shapes (throughput is content-independent)."""
-    import jax
-
-    rng = np.random.default_rng(0)
-    L, E, F, V = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size
-    KV = cfg.kv_dim
-    mk = lambda *sh: jnp.asarray(
-        (rng.standard_normal(sh) * 0.02).astype(np.float32), jnp.bfloat16)
-    return {
-        "tok_emb": mk(V, E),
-        "final_norm": jnp.ones((E,), jnp.float32),
-        "wcls": mk(E, V),
-        "layers": {
-            "attn_norm": jnp.ones((L, E), jnp.float32),
-            "ffn_norm": jnp.ones((L, E), jnp.float32),
-            "wq": mk(L, E, E), "wk": mk(L, E, KV), "wv": mk(L, E, KV),
-            "wo": mk(L, E, E), "w1": mk(L, E, F), "w3": mk(L, E, F),
-            "w2": mk(L, F, E),
-        },
-    }
-
-
 def build_params(quant: str, cfg=None):
     import __graft_entry__ as ge
     from tpu_llm.models.llama import unstack_layers
@@ -70,7 +47,9 @@ def build_params(quant: str, cfg=None):
     )
 
     if os.environ.get("TPU_LLM_BENCH_TINY") and cfg is not None:
-        params = _random_params(cfg)
+        from tpu_llm.runtime.bench_cli import random_llama_params
+
+        params = random_llama_params(cfg)
     else:
         _, (params, _, _, _) = ge.entry()
     if quant != "none":

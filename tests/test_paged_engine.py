@@ -384,3 +384,20 @@ def test_multi_turn_prefix_reuse():
     # the original prompt's extent
     assert cached_before > len(p1) // 2        # prompt + completion blocks
     assert r1.tokens == single_stream_tokens(se, p1, 4)
+
+
+def test_exactly_fitting_request_admits():
+    """prompt (+BOS) + max_new == max_seq with a minimal pool must admit
+    (review r2: the reservation over-counted by one block when
+    n_in+max_new-1 was a block multiple)."""
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    # max_seq 16, bs 2 -> 8 blocks per slot; pool = 1 null + 8
+    pe = PagedEngine(params, cfg, batch=1, n_blocks=9, block_size=2,
+                     max_seq=CFG["seq_len"], prefix_caching=False)
+    se = Engine(params, ModelAdapter.llama(cfg, bos_id=1),
+                max_seq=CFG["seq_len"])
+    prompt = list(range(3, 3 + 11))       # +BOS = 12, + 4 new = 16 = max_seq
+    r = pe.submit(Request(prompt=prompt, max_new=4))
+    pe.run()
+    assert r.done and r.tokens == single_stream_tokens(se, prompt, 4)

@@ -208,3 +208,29 @@ def test_paged_flash_decode_q_matches_gather(positions):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_out_of_table_writes_go_to_null_block():
+    """Writes past the block table land in the null block, NOT the
+    clipped last column (review r2: a fully-mapped table would let padded
+    prefill tails scatter garbage over real rows)."""
+    from tpu_llm.ops.paged_kv import PagedKV, paged_update_tokens
+
+    B, Hkv, D, bs, MB = 1, 2, 4, 2, 2
+    kvd = Hkv * D
+    kv = PagedKV.zeros(n_blocks=4, block_size=bs, batch=B, max_blocks=MB,
+                       kv_dim=kvd, dtype=jnp.float32)
+    table = jnp.asarray([[1, 2]], jnp.int32)       # fully mapped
+    kv = PagedKV(kv.k_pool, kv.v_pool, table, kv.lengths)
+    # write real rows 0..3 (fills both blocks)
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((B, 4, Hkv, D)), jnp.float32)
+    kv = paged_update_tokens(kv, k, k, jnp.asarray([0], jnp.int32))
+    snap = np.asarray(kv.k_pool).copy()
+    # padded write at positions 2..5: 4..5 are PAST the table
+    pad = jnp.full((B, 4, Hkv, D), 99.0, jnp.float32)
+    kv2 = paged_update_tokens(kv, pad, pad, jnp.asarray([2], jnp.int32))
+    # real blocks: rows 2..3 legitimately overwritten, nothing else
+    np.testing.assert_allclose(np.asarray(kv2.k_pool)[1], snap[1])  # block 1 untouched
+    np.testing.assert_allclose(np.asarray(kv2.k_pool)[2], 99.0)     # rows 2..3
+    assert (np.asarray(kv2.k_pool)[3] == 0).all()   # unmapped block untouched

@@ -162,7 +162,9 @@ def _attend(q, kc, vc, positions, offset):
 
         Hkv = kc.shape[2] // D
         return flash_decode_attention(
-            q, kc.reshape(B, S, Hkv, D), vc.reshape(B, S, Hkv, D), positions
+            q, kc.reshape(B, S, Hkv, D), vc.reshape(B, S, Hkv, D), positions,
+            chunk=min(256, S),   # short caches (S<256) chunk at S — the
+                                 # gate's S % min(256, S) == 0 admits them
         )
 
     use_flash = (
@@ -239,7 +241,8 @@ def _use_flash_fused(q, kc) -> bool:
 
     from tpu_llm.ops.kv_cache import QuantKV
 
-    if os.environ.get("TPU_LLM_DISABLE_PALLAS"):
+    if os.environ.get("TPU_LLM_DISABLE_PALLAS") or \
+            os.environ.get("TPU_LLM_DISABLE_FLASH"):
         return False
     if jax.default_backend() in ("cpu", "gpu"):
         return False

@@ -131,8 +131,15 @@ def paged_update_tokens(
     if pos0.ndim == 0:
         pos0 = jnp.full((B,), pos0, jnp.int32)
     positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
-    block_idx = jnp.clip(positions // bs, 0, kv.block_table.shape[1] - 1)
-    block_ids = jnp.take_along_axis(kv.block_table, block_idx, axis=1)  # (B, T)
+    MB = kv.block_table.shape[1]
+    block_idx = positions // bs
+    block_ids = jnp.take_along_axis(
+        kv.block_table, jnp.clip(block_idx, 0, MB - 1), axis=1)  # (B, T)
+    # positions past the table go to the NULL block, never the clipped
+    # last column — a fully-mapped table would otherwise let padded
+    # prefill tails scatter garbage over real rows (and the scatter's
+    # duplicate indices make the winner nondeterministic)
+    block_ids = jnp.where(block_idx < MB, block_ids, 0)
     offs = positions % bs
     lengths = jnp.maximum(kv.lengths, positions[:, -1] + 1)
 
@@ -203,6 +210,7 @@ def paged_gqa_attention(
         T == 1
         and jax.default_backend() not in ("cpu", "gpu")
         and not os.environ.get("TPU_LLM_DISABLE_PALLAS")
+        and not os.environ.get("TPU_LLM_DISABLE_FLASH")
     )
     if use_kernel:
         from tpu_llm.ops.flash_attention import (

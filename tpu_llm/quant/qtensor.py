@@ -206,7 +206,7 @@ def pack_scales_f16(qt: QTensor) -> QTensor:
     bits = jax.lax.bitcast_convert_type(
         qt.scales.astype(jnp.float16), jnp.int16
     )
-    return QTensor(q=qt.q, scales=bits, kind=qt.kind)
+    return QTensor(q=qt.q, scales=bits, kind=qt.kind, mins=qt.mins)
 
 
 def pack_scales_bf16(qt: QTensor) -> QTensor:
@@ -220,7 +220,8 @@ def pack_scales_bf16(qt: QTensor) -> QTensor:
     dequantization matters."""
     if qt.scales.dtype in (jnp.bfloat16, jnp.int16):
         return qt
-    return QTensor(q=qt.q, scales=qt.scales.astype(jnp.bfloat16), kind=qt.kind)
+    return QTensor(q=qt.q, scales=qt.scales.astype(jnp.bfloat16),
+                   kind=qt.kind, mins=qt.mins)
 
 
 def unpack_scales_f16(scales: jax.Array, dtype=jnp.float32) -> jax.Array:

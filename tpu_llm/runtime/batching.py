@@ -159,8 +159,9 @@ class BatchEngine:
         self._next_rid += 1
         if not req.prompt:
             raise ValueError("empty prompt")
-        if len(req.prompt) + req.max_new > self.max_seq:
-            raise ValueError("prompt + max_new exceeds max_seq")
+        n_bos = 1 if self.bos_id >= 0 else 0
+        if len(req.prompt) + n_bos + req.max_new > self.max_seq:
+            raise ValueError("prompt (+BOS) + max_new exceeds max_seq")
         self._queue.append(req)
         return req
 
@@ -297,6 +298,12 @@ class BatchEngine:
         decode, then fetch the PREVIOUS step's tokens. Returns the number
         of live slots the dispatch covered."""
         self._admit()
+        if self.spec_k:
+            # drain the pipelined fetch BEFORE snapshotting live slots:
+            # its bookkeeping may retire a slot, and the spec step drafts
+            # from (and indexes by) the post-collect state — a stale
+            # snapshot would KeyError on a just-retired slot
+            self._collect()
         live = [(i, s.req) for i, s in enumerate(self.slots) if not s.free]
         self._pre_dispatch(live)
         if not live:
@@ -306,10 +313,8 @@ class BatchEngine:
             self.slots[i].pos + self.spec_k + 1 <= self.max_seq
             for i, _ in live
         ):
-            # drain any pending pipelined fetch, then run synchronously
-            # (near-cache-boundary batches fall through to the plain step
-            # — a padded verify window would write past the cache)
-            self._collect()
+            # near-cache-boundary batches fall through to the plain step
+            # — a padded verify window would write past the cache
             return self._step_spec(live)
 
         offsets = np.zeros((self.batch,), np.int32)

@@ -68,23 +68,17 @@ def _build_mamba():
     return params, cfg
 
 
-def _build_llama2_7b(quant: str = "q4_0"):
-    """Random Llama-2 7B-shaped weights (SURVEY.md §2.3: the model the PP
-    axis exists for; q4_0 = ~3.5 GB packed, single-chip resident)."""
+def random_llama_params(cfg, seed: int = 0):
+    """Random dense bf16 llama-family weights at cfg shapes (throughput is
+    weight-content-independent). Shared by bench.py and the 7B config."""
     import jax.numpy as jnp
 
-    from tpu_llm.config import llama2_7b
-    from tpu_llm.models.llama import unstack_layers
-    from tpu_llm.quant.convert_params import (fuse_llama_layers,
-                                              quantize_llama_params)
-
-    cfg = llama2_7b()
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     E, F, L, V, KV = (cfg.dim, cfg.hidden_dim, cfg.n_layers, cfg.vocab_size,
                       cfg.kv_dim)
     w = lambda *sh: jnp.asarray(
         (rng.standard_normal(sh) * 0.02).astype(np.float32), jnp.bfloat16)
-    params = {
+    return {
         "tok_emb": w(V, E),
         "final_norm": jnp.ones((E,), jnp.float32),
         "wcls": w(E, V),
@@ -96,6 +90,18 @@ def _build_llama2_7b(quant: str = "q4_0"):
             "w2": w(L, F, E),
         },
     }
+
+
+def _build_llama2_7b(quant: str = "q4_0"):
+    """Random Llama-2 7B-shaped weights (SURVEY.md §2.3: the model the PP
+    axis exists for; q4_0 = ~3.5 GB packed, single-chip resident)."""
+    from tpu_llm.config import llama2_7b
+    from tpu_llm.models.llama import unstack_layers
+    from tpu_llm.quant.convert_params import (fuse_llama_layers,
+                                              quantize_llama_params)
+
+    cfg = llama2_7b()
+    params = random_llama_params(cfg)
     if quant in ("q4_0", "q8_0"):
         params = quantize_llama_params(params, quant, fuse=True)
     else:

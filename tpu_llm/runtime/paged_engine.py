@@ -95,6 +95,11 @@ class PagedEngine(BatchEngine):
         self.prefix = PrefixCache(self.allocator) if prefix_caching else None
         self._slot_blocks: List[List[int]] = [[] for _ in range(batch)]
         self._slot_reserved: List[int] = [0] * batch
+        # last position whose KV must ever be real, per slot: the final
+        # sampled token is never forwarded, so writes stop at
+        # n_in + max_new - 2 (growth clamps here; later writes are
+        # pipelined garbage routed to the null block)
+        self._slot_span: List[int] = [0] * batch
 
         kvd = cfg.kv_dim
         self.quantized = cache_dtype == "int8" or cache_dtype == jnp.int8
@@ -253,9 +258,11 @@ class PagedEngine(BatchEngine):
             n_shared = len(shared) * bs
             n_tail_blocks = math.ceil((n_in - n_shared) / bs)
             # all-or-nothing admission: tail blocks now + a RESERVATION
-            # covering worst-case decode growth (last written position is
-            # n_in + max_new - 1), so growth can never fail mid-decode
-            total_blocks = (n_in + req.max_new - 1) // bs + 1
+            # covering worst-case decode growth (last REAL write is at
+            # n_in + max_new - 2 — the final sampled token is never
+            # forwarded), so growth can never fail mid-decode
+            span = n_in + req.max_new - 2
+            total_blocks = span // bs + 1
             growth = total_blocks - len(shared) - n_tail_blocks
             try:
                 owned = self.allocator.alloc(n_tail_blocks)
@@ -276,6 +283,7 @@ class PagedEngine(BatchEngine):
                         f"serve it (free={self.allocator.n_free})")
                 return
             self._slot_reserved[idx] = growth
+            self._slot_span[idx] = span
             self._queue.pop(0)
             slot.req = req
             slot.key = jax.random.PRNGKey(req.seed)
@@ -327,10 +335,12 @@ class PagedEngine(BatchEngine):
         for idx, req in live:
             slot = self.slots[idx]
             blocks = self._slot_blocks[idx]
-            reach = slot.pos
-            if self.spec_k:
-                remaining = req.max_new - len(req.tokens)
-                reach += min(self.spec_k, max(remaining - 1, 0))
+            # clamp to the reserved span: draft-window rows past it are
+            # rejected-by-construction (acceptance is budget-bounded) and
+            # their writes go to the null block; a stale ``remaining``
+            # from the pipelined lag can otherwise push reach past the
+            # reservation and trip the allocator's accounting
+            reach = min(slot.pos + self.spec_k, self._slot_span[idx])
             while reach // self.block_size >= len(blocks):
                 (bid,) = self.allocator.alloc(1, reserved=True)
                 self._slot_reserved[idx] -= 1

@@ -114,8 +114,12 @@ def main(argv=None) -> int:
     from tpu_llm.runtime.engine import ModelAdapter
 
     params, cfg, tokenizer = _load(args)
+    prompt_ids = [tokenizer.encode(t) for t in prompts]
     ctx_cap = getattr(cfg, "seq_len", 4096)   # Mamba: O(1) state, no cap
-    max_seq = args.max_seq or min(ctx_cap, max(args.num_tokens + 128, 256))
+    # default context: the LONGEST submitted prompt (+BOS) + budget, not a
+    # guess — a fixed default would reject valid long prompts at submit
+    need = max(len(ids) for ids in prompt_ids) + 1 + args.num_tokens
+    max_seq = args.max_seq or min(ctx_cap, max(need, 256))
     cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                    "int8": "int8"}[args.cache_dtype]
 
@@ -151,8 +155,7 @@ def main(argv=None) -> int:
         return cb
 
     reqs = []
-    for i, text in enumerate(prompts):
-        ids = tokenizer.encode(text)
+    for i, (text, ids) in enumerate(zip(prompts, prompt_ids)):
         reqs.append(engine.submit(Request(
             prompt=ids, max_new=args.num_tokens,
             temperature=args.temperature, seed=args.seed + i,
