@@ -349,6 +349,11 @@ class PrefixCache:
         self._map: "OrderedDict[bytes, int]" = OrderedDict()   # digest -> block
         self._rev: Dict[int, bytes] = {}
         allocator.reclaim = self.evict
+        # observability: admission-time reuse (hits = blocks served from
+        # cache; queries = full blocks eligible for matching)
+        self.hits = 0
+        self.queries = 0
+        self.evictions = 0
 
     @staticmethod
     def digests(tokens: List[int], block_size: int) -> List[bytes]:
@@ -370,6 +375,7 @@ class PrefixCache:
         needs the last prompt token's logits)."""
         hits: List[int] = []
         max_blocks = (len(tokens) - 1) // block_size
+        self.queries += max_blocks
         for d in self.digests(tokens, block_size)[:max_blocks]:
             bid = self._map.get(d)
             if bid is None:
@@ -377,6 +383,7 @@ class PrefixCache:
             self.alloc.incref(bid)
             self._map.move_to_end(d)          # LRU touch
             hits.append(bid)
+        self.hits += len(hits)
         return hits
 
     def insert(self, tokens: List[int], block_size: int,
@@ -401,4 +408,5 @@ class PrefixCache:
             bid = self._map.pop(d)
             del self._rev[bid]
             self.alloc.decref(bid)
+        self.evictions += len(victims)
         return len(victims)

@@ -105,6 +105,9 @@ class BatchEngine:
         # the host only reads them one step behind
         self._token_dev = jnp.zeros((batch,), jnp.int32)
         self._inflight = None        # (token_dev snapshot, [(slot_idx, req)])
+        # observability: speculative acceptance (tokens emitted per
+        # verify forward; 1.0 would mean zero accepted drafts)
+        self.stats = {"spec_forwards": 0, "spec_tokens": 0}
 
     # -- jitted bodies ----------------------------------------------------
 
@@ -280,6 +283,8 @@ class BatchEngine:
                     acc += 1
                 new = drafts[:acc] + [int(chain[i, acc])]
             slot.pos += len(new)
+            self.stats["spec_forwards"] += 1
+            self.stats["spec_tokens"] += len(new)
             for t in new:
                 self._record(slot, t)
                 if slot.req is not req or req.done:

@@ -135,6 +135,7 @@ class PagedEngine(BatchEngine):
                                       donate_argnums=(0,))
         self._token_dev = jnp.zeros((batch,), jnp.int32)
         self._inflight = None
+        self.stats = {"spec_forwards": 0, "spec_tokens": 0}
 
     # -- jitted bodies ----------------------------------------------------
 

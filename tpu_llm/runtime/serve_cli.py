@@ -182,7 +182,7 @@ def main(argv=None) -> int:
             "ttft_s": round(first_tok_s.get(i, wall), 4),
         }), flush=True)
     ttfts = sorted(first_tok_s.values()) or [wall]
-    print(json.dumps({
+    summary = {
         "requests": len(reqs),
         "generated_tokens": n_generated,
         "wall_s": round(wall, 3),
@@ -191,7 +191,15 @@ def main(argv=None) -> int:
         "engine_steps": steps,
         "engine": "paged" if args.paged else "dense",
         "speculative_k": args.spec,
-    }), file=sys.stderr, flush=True)
+    }
+    if args.spec and engine.stats["spec_forwards"]:
+        summary["spec_tokens_per_forward"] = round(
+            engine.stats["spec_tokens"] / engine.stats["spec_forwards"], 2)
+    if args.paged and engine.prefix is not None and engine.prefix.queries:
+        summary["prefix_cache_hit_rate"] = round(
+            engine.prefix.hits / engine.prefix.queries, 3)
+        summary["hbm_blocks_in_use"] = engine.hbm_blocks_in_use
+    print(json.dumps(summary), file=sys.stderr, flush=True)
     return 0
 
 
