@@ -37,7 +37,7 @@ def test_q4_0_exact_representable():
     np.testing.assert_allclose(x, y, atol=1e-6)
 
 
-@pytest.mark.parametrize("kind", ["q4_0", "q8_0", "q4_1"])
+@pytest.mark.parametrize("kind", ["q4_0", "q8_0", "q4_1", "q5_0", "q5_1"])
 def test_qtensor_dequant_matches_block_dequant(kind):
     rng = np.random.default_rng(2)
     K, N = 64, 128
@@ -284,3 +284,17 @@ def test_q4_1_fuse_unstack_preserve_mins():
     assert per.mins is not None and per.mins.shape == (K // 32, 3 * N)
     np.testing.assert_allclose(np.asarray(per.mins),
                                np.asarray(fused["wqkv"].mins[0]))
+
+
+def test_q5_matmul_via_linear_matches_dequant():
+    from tpu_llm.quant.linear import matmul
+
+    rng = np.random.default_rng(11)
+    K, N, B = 64, 96, 4
+    x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+    for kind in ("q5_0", "q5_1"):
+        qt = quantize_tensor(rng.standard_normal((K, N)).astype(np.float32),
+                             kind)
+        got = np.asarray(matmul(x, qt))
+        want = np.asarray(x @ dequantize(qt, jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5), kind

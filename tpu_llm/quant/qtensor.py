@@ -112,6 +112,43 @@ def _split_ggml_q4_1(raw: np.ndarray, rows: int, row_len: int):
             np.ascontiguousarray(m.T))
 
 
+def _split_ggml_q5_0(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q5_0 -> (values (row_len, rows) int8 in [-16, 15],
+    scales (row_len//32, rows) f32). The 4+1-bit packing is recombined to
+    an int8 value plane at load: 8.25 bits/weight at rest — double the
+    disk format but half of bf16, and the matmul path stays the plain
+    int8 dequant (no in-kernel bit splicing)."""
+    nb = row_len // qblocks.QK5_0
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q5_0_BLOCK_BYTES)
+    d = raw[:, :, :2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
+    hi_bit = qblocks._split_qh(raw[:, :, 2:6].reshape(rows * nb, 4))
+    qs = raw[:, :, 6:]
+    lo = (qs & 0x0F).astype(np.int16)
+    hi = (qs >> 4).astype(np.int16)
+    q4 = np.concatenate([lo, hi], axis=2).reshape(rows * nb, 32)
+    q = ((q4 | (hi_bit.astype(np.int16) << 4)) - 16).astype(np.int8)
+    q = q.reshape(rows, row_len)
+    return np.ascontiguousarray(q.T), np.ascontiguousarray(d.T)
+
+
+def _split_ggml_q5_1(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q5_1 -> (values (row_len, rows) int8 in [0, 31],
+    scales + mins (row_len//32, rows) f32)."""
+    nb = row_len // qblocks.QK5_1
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q5_1_BLOCK_BYTES)
+    d = raw[:, :, 0:2].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
+    m = raw[:, :, 2:4].copy().view(np.float16).astype(np.float32).reshape(rows, nb)
+    hi_bit = qblocks._split_qh(raw[:, :, 4:8].reshape(rows * nb, 4))
+    qs = raw[:, :, 8:]
+    lo = (qs & 0x0F).astype(np.int16)
+    hi = (qs >> 4).astype(np.int16)
+    q4 = np.concatenate([lo, hi], axis=2).reshape(rows * nb, 32)
+    q = (q4 | (hi_bit.astype(np.int16) << 4)).astype(np.int8)
+    q = q.reshape(rows, row_len)
+    return (np.ascontiguousarray(q.T), np.ascontiguousarray(d.T),
+            np.ascontiguousarray(m.T))
+
+
 def _split_ggml_q8_0(raw: np.ndarray, rows: int, row_len: int):
     from tpu_llm import native
 
@@ -139,6 +176,13 @@ def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) 
         packed, scales, mins = _split_ggml_q4_1(raw, rows, row_len)
         return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_1",
                        mins=jnp.asarray(mins))
+    if ggml_type == gg.GGML_Q5_0:
+        q, scales = _split_ggml_q5_0(raw, rows, row_len)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_0")
+    if ggml_type == gg.GGML_Q5_1:
+        q, scales, mins = _split_ggml_q5_1(raw, rows, row_len)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_1",
+                       mins=jnp.asarray(mins))
     raise ValueError(f"unsupported ggml type for QTensor: {ggml_type}")
 
 
@@ -158,6 +202,15 @@ def quantize_tensor(w: np.ndarray, kind: str = "q4_0") -> QTensor:
         raw = np.frombuffer(qblocks.quantize_q4_1(flat), np.uint8)
         packed, scales, mins = _split_ggml_q4_1(raw, rows=n, row_len=k)
         return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_1",
+                       mins=jnp.asarray(mins))
+    if kind == "q5_0":
+        raw = np.frombuffer(qblocks.quantize_q5_0(flat), np.uint8)
+        q, scales = _split_ggml_q5_0(raw, rows=n, row_len=k)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_0")
+    if kind == "q5_1":
+        raw = np.frombuffer(qblocks.quantize_q5_1(flat), np.uint8)
+        q, scales, mins = _split_ggml_q5_1(raw, rows=n, row_len=k)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_1",
                        mins=jnp.asarray(mins))
     raise ValueError(kind)
 
@@ -247,7 +300,7 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         vals = unpack_q4(qt.q).astype(dtype)
     elif qt.kind == "q4_1":
         vals = unpack_q4_unsigned(qt.q).astype(dtype)
-    elif qt.kind in ("q8_0", "q4_0i4"):
+    elif qt.kind in ("q8_0", "q4_0i4", "q5_0", "q5_1"):
         vals = qt.q.astype(dtype)
     else:
         raise ValueError(qt.kind)
@@ -256,6 +309,6 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     rep = lambda p: jnp.repeat(unpack_scales_f16(p, dtype), k // nblocks,
                                axis=-2)
     out = vals * rep(qt.scales)
-    if qt.kind == "q4_1":
+    if qt.kind in ("q4_1", "q5_1"):
         out = out + rep(qt.mins)
     return out
