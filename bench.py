@@ -114,9 +114,12 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
 
 
 def main():
-    from tpu_llm.runtime.compile_cache import enable_compile_cache
+    import os as _os
 
-    enable_compile_cache()
+    if not _os.environ.get("TPU_LLM_NO_COMPILE_CACHE"):
+        from tpu_llm.runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1)

@@ -76,10 +76,10 @@ def save_weight_cache(path: str, params: Any, cfg: LlamaConfig):
 
 def load_weight_cache(path: str) -> Tuple[Any, LlamaConfig]:
     with np.load(path) as z:
-        return _build_tree(z)
+        return _build_tree(z, path)
 
 
-def _build_tree(z) -> Tuple[Any, LlamaConfig]:
+def _build_tree(z, path: str = "<npz>") -> Tuple[Any, LlamaConfig]:
     meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
     assert meta.get("magic") == MAGIC, f"not a tpu_llm weight cache: {path}"
     cfg = LlamaConfig(**meta["config"])

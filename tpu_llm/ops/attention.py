@@ -320,7 +320,13 @@ def gqa_attention_deferred(
 
     qp = q_positions[None, :] if q_positions.ndim == 1 else q_positions
     s_idx = jnp.arange(S, dtype=jnp.int32)
-    is_cur = s_idx[None, None, :] == qp[:, :, None]        # (B, T, S)
+    # insertion slot clamps at S-1: a position past the (possibly
+    # windowed) cache mirrors what the write-then-attend path computes
+    # after dynamic_update_slice clamps the write — the current token's
+    # score/value still participate instead of silently dropping out
+    # (callers uphold pos < S; this makes the out-of-contract case match
+    # the dense clamped semantics rather than be wrong differently)
+    is_cur = s_idx[None, None, :] == jnp.minimum(qp, S - 1)[:, :, None]
     visible = s_idx[None, None, :] <= qp[:, :, None]
     scores = jnp.where(is_cur[:, :, None, :], score_cur[..., None], scores)
     scores = jnp.where(visible[:, :, None, :], scores, _NEG_INF)

@@ -50,7 +50,19 @@ def init_distributed(
         process_id = int(p) if p else None
 
     if coordinator is None and num_processes is None:
-        # Cloud TPU pods auto-detect; elsewhere single-process
+        # Auto-detect: when the environment carries a multi-host
+        # coordinator signal (Cloud TPU pod metadata / JAX service env),
+        # run the no-arg initialize() that reads it; otherwise stay a
+        # single-process world. Probing jax.process_count() alone is NOT
+        # enough — without initialize() each host reports itself as a
+        # standalone world.
+        hints = ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                 "COORDINATOR_ADDRESS", "TPU_WORKER_ID")
+        if any(os.environ.get(h) for h in hints):
+            try:
+                jax.distributed.initialize()
+            except Exception:
+                pass
         try:
             if jax.process_count() > 1:
                 return jax.process_index(), jax.process_count()

@@ -94,6 +94,13 @@ def tp_param_specs(layers_keys, fused: bool) -> Dict[str, Any]:
         specs["w13"] = col
     else:
         specs.update(wq=col, wk=col, wv=col, w1=col, w3=col)
+    unsupported = [k for k in layers_keys if k not in specs]
+    if unsupported:
+        raise NotImplementedError(
+            f"shard_map TP decode supports the unbiased llama layout; "
+            f"layer params {unsupported} (biased/phi-2 families) shard "
+            f"through the GSPMD path (parallel.sharding.llama_param_specs)"
+        )
     return {k: specs[k] for k in layers_keys}
 
 

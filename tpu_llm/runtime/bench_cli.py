@@ -547,9 +547,12 @@ def _round_up(n: int, m: int) -> int:
 
 
 def main(argv=None) -> int:
-    from tpu_llm.runtime.compile_cache import enable_compile_cache
+    import os as _os
 
-    enable_compile_cache()
+    if not _os.environ.get("TPU_LLM_NO_COMPILE_CACHE"):
+        from tpu_llm.runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     ap = argparse.ArgumentParser(prog="llm-bench", description=__doc__)
     ap.add_argument("--configs", default="bf16,q8_0,q4_0")
     ap.add_argument("--steps", type=int, default=128)

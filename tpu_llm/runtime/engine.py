@@ -255,6 +255,11 @@ class Engine:
         if not bos and not prompt_ids:
             raise ValueError("empty prompt with no BOS")
         input_ids = bos + prompt_ids
+        if len(input_ids) >= self.max_seq:
+            raise ValueError(
+                f"prompt ({len(input_ids)} tokens incl. BOS) does not fit "
+                f"max_seq={self.max_seq}; raise --max-seq or shorten the "
+                f"prompt")
         # positions fed through the model: input_ids then sampled tokens,
         # for n_total total emissions
         emitted: List[int] = []

@@ -160,6 +160,9 @@ def dtype_table(
                                    n=min(512, cfg_f32.seq_len - 8))
         del params_f32
 
+    assert formats[0] == "f32", (
+        "dtype_table computes every delta against the FIRST row; pass "
+        "formats starting with 'f32' (got %r)" % (formats[0],))
     rows: List[dict] = []
     ref_logits = None
     with tempfile.TemporaryDirectory() as td:
