@@ -145,6 +145,11 @@ def decode_step_pp_tp(
     c_specs = {"k": c_spec, "v": c_spec}
 
     def stage_layers(lp, x, kc, vc, positions, pos):
+        # Deliberately a separate body from models/llama._block: inside
+        # shard_map every operand is a LOCAL shard and the reductions
+        # after wo/w2 are explicit psums — _block has no collective
+        # hooks. Numerics drift vs the canonical block is pinned by
+        # test_pipeline.py::test_pp_tp_composed_decode_matches_dense.
         # lp: stacked local slice (Ll, ..., /tp); python loop (harness path)
         B = x.shape[0]
         Ll = lp["wq"].shape[0]
