@@ -67,11 +67,14 @@ def main():
     jax.block_until_ready(params["layers"][0]["wqkv"].q)
     print("params ready", flush=True)
 
+    # known-good paths first; the fused-append variants (never scan-run
+    # on chip) go LAST so a Mosaic hang there can't cost the rest of the
+    # sweep (killed claims wedge the pool — memory/axon-wedge-recovery)
     run_variant("base", params, cfg)
-    run_variant("defer", params, cfg, defer=True)
     run_variant("bf16s", params, cfg, pack_scales="bf16")
-    run_variant("defer+bf16s", params, cfg, defer=True, pack_scales="bf16")
     run_variant("int8kv", params, cfg, cache_dtype="int8")
+    run_variant("defer", params, cfg, defer=True)
+    run_variant("defer+bf16s", params, cfg, defer=True, pack_scales="bf16")
 
 
 if __name__ == "__main__":
