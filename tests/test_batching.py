@@ -259,3 +259,23 @@ def test_batched_speculative_eos_stop():
     r = be.submit(Request(prompt=[6], max_new=10, stop_at_eos=True))
     be.run()
     assert r.tokens == [first]
+
+
+def test_batched_speculative_int8_cache():
+    """Speculation composes with the int8 KV cache: stream identical to
+    the plain int8 engine (same quantization at the same write positions)."""
+    from tests.test_llama import make_weights, to_params
+    params = to_params(make_weights(4))
+    cfg = LlamaConfig(**CFG)
+    a1 = ModelAdapter.llama(cfg, cache_dtype="int8")
+    a2 = ModelAdapter.llama(cfg, cache_dtype="int8")
+    plain = BatchEngine(params, a1, batch=2, max_seq=CFG["seq_len"])
+    spec = BatchEngine(params, a2, batch=2, max_seq=CFG["seq_len"],
+                       speculative_k=3)
+    prompts = [[5, 11, 5, 11], [9, 2, 9]]
+    rp = [plain.submit(Request(prompt=p, max_new=6)) for p in prompts]
+    rs = [spec.submit(Request(prompt=p, max_new=6)) for p in prompts]
+    plain.run()
+    spec.run()
+    for a, b in zip(rp, rs):
+        assert a.tokens == b.tokens
