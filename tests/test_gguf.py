@@ -118,3 +118,25 @@ def test_q4_1_tensor_roundtrip(tmp_path):
     step = (w.reshape(-1, 32).max(1) - w.reshape(-1, 32).min(1)) / 15.0
     err = np.abs((deq - w).reshape(-1, 32))
     assert (err <= step[:, None] * 0.51 + 1e-3).all()
+
+
+def test_truncated_file_fails_loudly(tmp_path):
+    path = str(tmp_path / "t.gguf")
+    w = np.ones((4, 64), np.float32)
+    gg.write_gguf(path, {"k": 1}, {"w": w})
+    data = open(path, "rb").read()
+    cut = str(tmp_path / "cut.gguf")
+    open(cut, "wb").write(data[: len(data) - 64])   # drop tensor tail
+    f = gg.GGUFFile(cut)
+    with pytest.raises(Exception):
+        f.array("w")
+
+
+def test_unsupported_version_fails(tmp_path):
+    path = str(tmp_path / "v99.gguf")
+    gg.write_gguf(path, {}, {"w": np.ones((2, 32), np.float32)})
+    data = bytearray(open(path, "rb").read())
+    data[4:8] = (99).to_bytes(4, "little")          # version field
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(Exception):
+        gg.GGUFFile(path)
