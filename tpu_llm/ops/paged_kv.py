@@ -367,7 +367,8 @@ class PrefixCache:
             out.append(h.digest())
         return out
 
-    def match(self, tokens: List[int], block_size: int) -> List[int]:
+    def match(self, tokens: List[int], block_size: int,
+              digests: Optional[List[bytes]] = None) -> List[int]:
         """Longest cached prefix: block ids for leading full blocks whose
         chained digests hit. Increfs every returned block (caller owns
         the references). Capped at len(tokens)-1 tokens so admission
@@ -376,7 +377,9 @@ class PrefixCache:
         hits: List[int] = []
         max_blocks = (len(tokens) - 1) // block_size
         self.queries += max_blocks
-        for d in self.digests(tokens, block_size)[:max_blocks]:
+        if digests is None:
+            digests = self.digests(tokens, block_size)
+        for d in digests[:max_blocks]:
             bid = self._map.get(d)
             if bid is None:
                 break
@@ -387,11 +390,14 @@ class PrefixCache:
         return hits
 
     def insert(self, tokens: List[int], block_size: int,
-               blocks: List[int]) -> None:
+               blocks: List[int],
+               digests: Optional[List[bytes]] = None) -> None:
         """Register ``blocks`` (the sequence's mapped blocks, in order)
         under the prompt's chained digests. Already-registered digests
         are skipped; newly registered blocks gain one cache reference."""
-        for d, bid in zip(self.digests(tokens, block_size), blocks):
+        if digests is None:
+            digests = self.digests(tokens, block_size)
+        for d, bid in zip(digests, blocks):
             if d in self._map or bid in self._rev or bid == 0:
                 continue
             self.alloc.incref(bid)

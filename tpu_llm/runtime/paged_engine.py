@@ -22,6 +22,12 @@ step per batch and one prefill per bucketed tail length.
 
 Llama-family only: Mamba state is O(1) per slot (nothing to page), and
 the dense engine already serves it.
+
+Known cost cliff: with speculative decoding (speculative_k > 0) every
+step is a (B, K+1) verify forward, and T>1 paged attention goes through
+the GATHER path — the O(pos) paged decode kernel serves only T=1 steps.
+Combine --paged with --spec when draft acceptance (repetitive workloads)
+outweighs the per-step gather; the dense engine has no such cliff.
 """
 
 from __future__ import annotations
@@ -103,6 +109,15 @@ class PagedEngine(BatchEngine):
 
         kvd = cfg.kv_dim
         self.quantized = cache_dtype == "int8" or cache_dtype == jnp.int8
+        if self.quantized and block_size % 32 and \
+                jax.default_backend() not in ("cpu", "gpu"):
+            import warnings
+
+            warnings.warn(
+                f"int8 pools with block_size={block_size}: the paged int8 "
+                f"decode kernel needs 32-row tiles, so decode falls back "
+                f"to full-gather attention — use block_size % 32 == 0",
+                stacklevel=2)
         pool_dtype = jnp.int8 if self.quantized else cache_dtype
         self.state: Dict[str, Any] = {
             "k": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
@@ -254,7 +269,12 @@ class PagedEngine(BatchEngine):
             n_in = len(input_ids)
             bs = self.block_size
 
-            shared = (self.prefix.match(input_ids, bs)
+            # hash the prompt's block chain ONCE per admission (match
+            # and insert share it — SHA1 over long prompts is host
+            # scheduling-path work)
+            digs = (PrefixCache.digests(input_ids, bs)
+                    if self.prefix is not None else [])
+            shared = (self.prefix.match(input_ids, bs, digests=digs)
                       if self.prefix is not None else [])
             n_shared = len(shared) * bs
             n_tail_blocks = math.ceil((n_in - n_shared) / bs)
@@ -318,7 +338,7 @@ class PagedEngine(BatchEngine):
                 jnp.float32(req.temperature),
             )
             if self.prefix is not None:
-                self.prefix.insert(input_ids, bs, blocks)
+                self.prefix.insert(input_ids, bs, blocks, digests=digs)
             tok = int(jax.device_get(sampled))
             slot.pos = n_in
             self._token_dev = self._set_lane(

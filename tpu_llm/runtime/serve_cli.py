@@ -44,7 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--paged", action="store_true",
                    help="paged KV pool + prefix caching (llama only)")
-    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--block-size", type=int, default=None,
+                   help="paged block size (default 16; 32 for int8 pools "
+                        "— the int8 decode kernel needs 32-row tiles)")
     p.add_argument("--n-blocks", type=int, default=None,
                    help="paged pool size (default: batch x max_seq worth)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
@@ -120,9 +122,17 @@ def main(argv=None) -> int:
     # guess — a fixed default would reject valid long prompts at submit
     need = max(len(ids) for ids in prompt_ids) + 1 + args.num_tokens
     max_seq = args.max_seq or min(ctx_cap, max(need, 256))
+    if args.paged and max_seq > 256 and max_seq % 256:
+        # round the paged context to a 256-multiple so long-prompt
+        # prefill stays eligible for the flash kernel (S % 256 gate)
+        max_seq = min(-(-max_seq // 256) * 256, ctx_cap)
     cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                    "int8": "int8"}[args.cache_dtype]
 
+    # model-declared special tokens (GGUF tokenizer.ggml.*) — hardcoded
+    # llama2 ids would make --stop-at-eos inert for other vocabs
+    bos_id = getattr(tokenizer, "bos_id", 1)
+    eos_id = getattr(tokenizer, "eos_id", 2)
     is_mamba = args.model.endswith(".bin")
     if args.paged:
         if is_mamba:
@@ -131,19 +141,21 @@ def main(argv=None) -> int:
             return 1
         from tpu_llm.runtime.paged_engine import PagedEngine
 
-        bs = args.block_size
+        bs = args.block_size or (32 if args.cache_dtype == "int8" else 16)
         n_blocks = args.n_blocks or (
             1 + args.batch * ((max_seq + bs - 1) // bs))
         engine = PagedEngine(
             params, cfg, batch=args.batch, n_blocks=n_blocks,
             block_size=bs, max_seq=max_seq, cache_dtype=cache_dtype,
-            speculative_k=args.spec,
+            speculative_k=args.spec, bos_id=bos_id, eos_id=eos_id,
         )
     else:
         adapter = (ModelAdapter.mamba(cfg) if is_mamba else
-                   ModelAdapter.llama(cfg, cache_dtype=cache_dtype, bos_id=1))
+                   ModelAdapter.llama(cfg, cache_dtype=cache_dtype,
+                                      bos_id=bos_id))
         engine = BatchEngine(params, adapter, batch=args.batch,
-                             max_seq=max_seq, speculative_k=args.spec)
+                             max_seq=max_seq, speculative_k=args.spec,
+                             eos_id=eos_id)
 
     t0 = time.perf_counter()
     first_tok_s = {}
