@@ -288,23 +288,7 @@ def _scaling_rows(args):
         # hardware, is under test below one real slice)
         cfg = LlamaConfig(dim=256, hidden_dim=512, n_layers=4, n_heads=8,
                           n_kv_heads=4, vocab_size=2048, seq_len=256)
-    rng = np.random.default_rng(0)
-    s = lambda *sh: jnp.asarray(
-        (rng.standard_normal(sh) * 0.02).astype(np.float32)).astype(jnp.bfloat16)
-    L, E, F, V, KV = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size, cfg.kv_dim
-    params = {
-        "tok_emb": s(V, E),
-        "final_norm": jnp.ones((E,), jnp.float32),
-        "wcls": s(E, V),
-        "layers": {
-            "attn_norm": jnp.ones((L, E), jnp.float32),
-            "ffn_norm": jnp.ones((L, E), jnp.float32),
-            "wq": s(E, E)[None].repeat(L, 0), "wk": s(E, KV)[None].repeat(L, 0),
-            "wv": s(E, KV)[None].repeat(L, 0), "wo": s(E, E)[None].repeat(L, 0),
-            "w1": s(E, F)[None].repeat(L, 0), "w3": s(E, F)[None].repeat(L, 0),
-            "w2": s(F, E)[None].repeat(L, 0),
-        },
-    }
+    params = random_llama_params(cfg)
     max_seq = min(cfg.seq_len, args.max_seq)
     steps = min(args.steps, max(1, (max_seq - 2) // 5))
     base = None
