@@ -66,13 +66,21 @@ def build_params(quant: str, cfg=None):
 
 
 def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
-            i4: bool = True, cache_dtype=jnp.bfloat16):
+            i4: bool = True, cache_dtype=jnp.bfloat16, defer_kv: bool = True,
+            pack_scales="bf16"):
     from tpu_llm.models import llama as M
     from tpu_llm.quant.convert_params import unpack_params_int4
 
     cache = M.init_cache(cfg, batch, max_seq, dtype=cache_dtype,
                          stacked=not isinstance(params["layers"], (list, tuple)))
     token = jnp.ones((batch,), jnp.int32)
+    # defer_kv (attend stale cache + explicit current k/v, fused append)
+    # and bf16 scale planes are the measured-best batch-1 config:
+    # 1113.4 tok/s vs 1095.3 for the round-1 defaults (r2_full_measure,
+    # 2026-08-18). defer_kv needs the unstacked dense-cache path; only
+    # batch 1 is chip-validated, so batched runs keep the eager append.
+    defer_kv = (defer_kv and batch == 1 and cache_dtype != "int8"
+                and isinstance(params["layers"], (list, tuple)))
 
     def make_run(length):
         @jax.jit
@@ -80,11 +88,12 @@ def measure(params, cfg, steps: int, batch: int, max_seq: int, prompt_len: int,
             if i4:
                 # one hoisted repack pass before the scan: q4_0 nibbles ->
                 # int4 planes (same HBM bytes, hardware widening in-kernel)
-                params = unpack_params_int4(params)
+                params = unpack_params_int4(params, pack_scales=pack_scales)
 
             def body(carry, _):
                 token, cache, pos = carry
-                logits, cache = M.decode_step(params, cfg, token, cache, pos)
+                logits, cache = M.decode_step(params, cfg, token, cache, pos,
+                                              defer_kv=defer_kv)
                 token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return (token, cache, pos + 1), token
 
@@ -130,6 +139,11 @@ def main():
                     help="keep the manual uint8 nibble-unpack kernel")
     ap.add_argument("--cache-dtype", default="bf16",
                     choices=["f32", "bf16", "int8"])
+    ap.add_argument("--no-defer-kv", action="store_true",
+                    help="eager per-layer cache appends (round-1 path)")
+    ap.add_argument("--pack-scales", default="bf16",
+                    choices=["none", "f16", "bf16"],
+                    help="Q4_0 scale-plane storage for the int4 fast path")
     args = ap.parse_args()
 
     from tpu_llm.config import LlamaConfig, tinyllama_1_1b
@@ -149,7 +163,10 @@ def main():
                    "int8": "int8"}[args.cache_dtype]
     tok_s = measure(params, cfg, args.steps, args.batch, args.max_seq,
                     args.prompt_len, i4=not args.no_i4,
-                    cache_dtype=cache_dtype)
+                    cache_dtype=cache_dtype,
+                    defer_kv=not args.no_defer_kv,
+                    pack_scales=(False if args.pack_scales == "none"
+                                 else args.pack_scales))
 
     name = "bf16" if args.quant == "none" else args.quant
     print(json.dumps({
