@@ -93,6 +93,43 @@ def _load(args):
     return params, cfg, tokenizer
 
 
+def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
+    """Build the dense or paged engine from parsed serving flags — shared
+    by the offline front end (below) and the HTTP server
+    (tpu_llm.runtime.server)."""
+    import jax.numpy as jnp
+
+    from tpu_llm.runtime.batching import BatchEngine
+    from tpu_llm.runtime.engine import ModelAdapter
+
+    cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                   "int8": "int8"}[args.cache_dtype]
+    # model-declared special tokens (GGUF tokenizer.ggml.*) — hardcoded
+    # llama2 ids would make --stop-at-eos inert for other vocabs
+    bos_id = getattr(tokenizer, "bos_id", 1)
+    eos_id = getattr(tokenizer, "eos_id", 2)
+    if args.paged:
+        if is_mamba:
+            raise SystemExit(
+                "--paged requires a KV-cache model (llama family)")
+        from tpu_llm.runtime.paged_engine import PagedEngine
+
+        bs = args.block_size or (32 if args.cache_dtype == "int8" else 16)
+        n_blocks = args.n_blocks or (
+            1 + args.batch * ((max_seq + bs - 1) // bs))
+        return PagedEngine(
+            params, cfg, batch=args.batch, n_blocks=n_blocks,
+            block_size=bs, max_seq=max_seq, cache_dtype=cache_dtype,
+            speculative_k=args.spec, bos_id=bos_id, eos_id=eos_id,
+        )
+    adapter = (ModelAdapter.mamba(cfg) if is_mamba else
+               ModelAdapter.llama(cfg, cache_dtype=cache_dtype,
+                                  bos_id=bos_id))
+    return BatchEngine(params, adapter, batch=args.batch,
+                       max_seq=max_seq, speculative_k=args.spec,
+                       eos_id=eos_id)
+
+
 def main(argv=None) -> int:
     import os
 
@@ -110,10 +147,7 @@ def main(argv=None) -> int:
         print("no prompts (-p or -f)", file=sys.stderr)
         return 1
 
-    import jax.numpy as jnp
-
-    from tpu_llm.runtime.batching import BatchEngine, Request
-    from tpu_llm.runtime.engine import ModelAdapter
+    from tpu_llm.runtime.batching import Request
 
     params, cfg, tokenizer = _load(args)
     prompt_ids = [tokenizer.encode(t) for t in prompts]
@@ -126,36 +160,13 @@ def main(argv=None) -> int:
         # round the paged context to a 256-multiple so long-prompt
         # prefill stays eligible for the flash kernel (S % 256 gate)
         max_seq = min(-(-max_seq // 256) * 256, ctx_cap)
-    cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
-                   "int8": "int8"}[args.cache_dtype]
-
-    # model-declared special tokens (GGUF tokenizer.ggml.*) — hardcoded
-    # llama2 ids would make --stop-at-eos inert for other vocabs
-    bos_id = getattr(tokenizer, "bos_id", 1)
-    eos_id = getattr(tokenizer, "eos_id", 2)
     is_mamba = args.model.endswith(".bin")
-    if args.paged:
-        if is_mamba:
-            print("--paged requires a KV-cache model (llama family)",
-                  file=sys.stderr)
-            return 1
-        from tpu_llm.runtime.paged_engine import PagedEngine
-
-        bs = args.block_size or (32 if args.cache_dtype == "int8" else 16)
-        n_blocks = args.n_blocks or (
-            1 + args.batch * ((max_seq + bs - 1) // bs))
-        engine = PagedEngine(
-            params, cfg, batch=args.batch, n_blocks=n_blocks,
-            block_size=bs, max_seq=max_seq, cache_dtype=cache_dtype,
-            speculative_k=args.spec, bos_id=bos_id, eos_id=eos_id,
-        )
-    else:
-        adapter = (ModelAdapter.mamba(cfg) if is_mamba else
-                   ModelAdapter.llama(cfg, cache_dtype=cache_dtype,
-                                      bos_id=bos_id))
-        engine = BatchEngine(params, adapter, batch=args.batch,
-                             max_seq=max_seq, speculative_k=args.spec,
-                             eos_id=eos_id)
+    try:
+        engine = make_engine(args, params, cfg, tokenizer, max_seq,
+                             is_mamba=is_mamba)
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 1
 
     t0 = time.perf_counter()
     first_tok_s = {}

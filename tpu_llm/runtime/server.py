@@ -1,0 +1,374 @@
+"""`llm-server` — online HTTP serving front end (continuous batching).
+
+The reference serves one prompt per process (`llama2.f90:379-402`);
+`llm-serve` batches a fixed offline prompt list. This server accepts
+requests over HTTP *while decode is running*: a single loop thread owns
+the engine (engine scheduling and device dispatch are deliberately
+single-threaded) and steps it whenever any slot is live, admitting
+network arrivals between steps — iteration-level scheduling extended to
+online traffic. stdlib ``http.server`` only: the environment bakes in no
+web framework, and the reference's zero-dependency ethos
+(`README.md:5`) is worth keeping at the serving layer.
+
+API (JSON over HTTP):
+
+  POST /v1/completions
+    {"prompt": str, "max_tokens": int?, "temperature": float?,
+     "seed": int?, "stop_at_eos": bool?, "stream": bool?}
+    -> {"completion": str, "tokens": [int], "n_tokens": int,
+        "ttft_s": float, "queue_s": float}
+    With "stream": true the response is ``text/event-stream``: one
+    ``data: {"token": id, "text": "..."}`` event per generated token,
+    then a terminal ``data: {"done": true, "n_tokens": N, ...}`` event.
+
+  GET /health -> {"ok": true, "active": n, "queued": n}
+  GET /stats  -> uptime, request/token counters, tokens/s, engine kind,
+                 prefix-cache hit rate + HBM blocks (paged engine),
+                 speculative acceptance (spec mode)
+
+Threading model: HTTP handler threads never touch the engine. They
+enqueue (Request, _Tracker) pairs with the loop's condition variable and
+wait on the tracker; the loop thread submits, steps the engine, and
+publishes per-token events through the tracker (``Request.stream``
+callbacks run inside the loop thread's ``engine.step()``). Completion is
+signalled once the request's ``done`` flag is set by the engine's
+(pipelined, one step lagged) bookkeeping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+
+class _Tracker:
+    """Handler<->loop handshake for one request."""
+
+    def __init__(self, want_stream: bool):
+        self.done = threading.Event()
+        self.events: Optional[queue.Queue] = queue.Queue() if want_stream else None
+        self.error: Optional[str] = None
+        self.t_enqueue = time.monotonic()
+        self.t_first: Optional[float] = None
+        self.t_admit: Optional[float] = None
+
+    # called on the LOOP thread (from Request.stream)
+    def on_token(self, tok: int) -> None:
+        if self.t_first is None:
+            self.t_first = time.monotonic()
+        if self.events is not None:
+            self.events.put(tok)
+
+    def finish(self, error: Optional[str] = None) -> None:
+        self.error = error
+        if self.events is not None:
+            self.events.put(None)        # stream sentinel
+        self.done.set()
+
+
+class ServingLoop(threading.Thread):
+    """Owns the engine. The only thread that calls submit/step/_collect."""
+
+    daemon = True
+
+    def __init__(self, engine, max_queue: int = 256):
+        super().__init__(name="llm-serving-loop")
+        self.engine = engine
+        self.max_queue = max_queue
+        self._cv = threading.Condition()
+        self._pending = []           # [(Request, _Tracker)]
+        self._tracked = {}           # rid -> (Request, _Tracker)
+        self._stopping = False
+        self.t0 = time.monotonic()
+        self.n_requests = 0
+        self.n_completed = 0
+        self.n_tokens = 0
+
+    # -- handler-thread API -------------------------------------------------
+
+    def enqueue(self, req, tracker: _Tracker) -> bool:
+        """Queue a request for the loop thread. False if at capacity."""
+        with self._cv:
+            if self._stopping:
+                return False
+            if len(self._pending) + len(self.engine._queue) >= self.max_queue:
+                return False
+            self._pending.append((req, tracker))
+            self.n_requests += 1
+            self._cv.notify()
+        return True
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stopping = True
+            self._cv.notify()
+        self.join(timeout=30)
+
+    def snapshot(self) -> dict:
+        eng = self.engine
+        out = {
+            "uptime_s": round(time.monotonic() - self.t0, 1),
+            "requests": self.n_requests,
+            "completed": self.n_completed,
+            "active": eng.n_active,
+            "queued": len(eng._queue) + len(self._pending),
+            "generated_tokens": self.n_tokens,
+            "engine": type(eng).__name__,
+        }
+        stats = getattr(eng, "stats", None)
+        if stats and stats.get("spec_forwards"):
+            out["spec_tokens_per_forward"] = round(
+                stats["spec_tokens"] / stats["spec_forwards"], 2)
+        prefix = getattr(eng, "prefix", None)
+        if prefix is not None and prefix.queries:
+            out["prefix_cache_hit_rate"] = round(
+                prefix.hits / prefix.queries, 3)
+            out["hbm_blocks_in_use"] = eng.hbm_blocks_in_use
+        return out
+
+    # -- loop thread ---------------------------------------------------------
+
+    def run(self) -> None:
+        eng = self.engine
+        while True:
+            with self._cv:
+                while (not self._stopping and not self._pending
+                       and not (eng._queue or eng.n_active)):
+                    self._cv.wait(timeout=0.25)
+                if self._stopping and not (
+                        self._pending or eng._queue or eng.n_active):
+                    return
+                pending, self._pending = self._pending, []
+            for req, tr in pending:
+                try:
+                    eng.submit(req)
+                except (ValueError, MemoryError) as e:
+                    tr.finish(error=str(e))
+                    continue
+                self._tracked[req.rid] = (req, tr)
+            if eng._queue or eng.n_active:
+                try:
+                    eng.step()
+                except MemoryError as e:
+                    # admission can never fit: fail every queued request
+                    # rather than spin (running slots keep decoding)
+                    for req in list(eng._queue):
+                        tr = self._tracked.pop(req.rid, (None, None))[1]
+                        eng._queue.remove(req)
+                        if tr:
+                            tr.finish(error=str(e))
+                if not (eng._queue or eng.n_active):
+                    eng._collect()   # flush the pipelined last step
+            self._reap()
+
+    def _reap(self) -> None:
+        done = [rid for rid, (req, _) in self._tracked.items() if req.done]
+        for rid in done:
+            req, tr = self._tracked.pop(rid)
+            self.n_completed += 1
+            self.n_tokens += len(req.tokens)
+            tr.finish()
+
+
+def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
+                 request_timeout_s: float = 600.0):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        # server identity stays generic; clients key on the JSON body
+        server_version = "llm-server"
+
+        def log_message(self, fmt, *args):  # stderr chatter off by default
+            if loop_verbose:
+                sys.stderr.write("%s - %s\n" % (self.address_string(),
+                                                fmt % args))
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                snap = loop.snapshot()
+                self._json(200, {"ok": True, "active": snap["active"],
+                                 "queued": snap["queued"]})
+            elif self.path == "/stats":
+                self._json(200, loop.snapshot())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/completions", "/completions"):
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body["prompt"]
+                if not isinstance(prompt, str) or not prompt:
+                    raise ValueError("prompt must be a non-empty string")
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+
+            from tpu_llm.runtime.batching import Request
+
+            want_stream = bool(body.get("stream", False))
+            tracker = _Tracker(want_stream)
+            req = Request(
+                prompt=tokenizer.encode(prompt),
+                max_new=min(int(body.get("max_tokens", 64)), max_new_cap),
+                temperature=float(body.get("temperature", 0.0)),
+                seed=int(body.get("seed", 0)),
+                stop_at_eos=bool(body.get("stop_at_eos", False)),
+                stream=tracker.on_token,
+            )
+            if not loop.enqueue(req, tracker):
+                self._json(503, {"error": "server at capacity"})
+                return
+            if want_stream:
+                self._stream_response(req, tracker)
+            else:
+                self._block_response(req, tracker)
+
+        def _decode(self, toks) -> str:
+            out = tokenizer.decode(toks)
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", errors="replace")
+            return out
+
+        def _block_response(self, req, tracker: _Tracker) -> None:
+            if not tracker.done.wait(timeout=request_timeout_s):
+                self._json(504, {"error": "generation timed out"})
+                return
+            if tracker.error is not None:
+                self._json(400, {"error": tracker.error})
+                return
+            ttft = ((tracker.t_first or time.monotonic())
+                    - tracker.t_enqueue)
+            self._json(200, {
+                "completion": self._decode(req.tokens),
+                "tokens": req.tokens,
+                "n_tokens": len(req.tokens),
+                "ttft_s": round(ttft, 4),
+            })
+
+        def _stream_response(self, req, tracker: _Tracker) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            # SSE has no predeclared length; chunked framing keeps
+            # HTTP/1.1 keep-alive semantics honest
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes) -> None:
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+                self.wfile.flush()
+
+            deadline = time.monotonic() + request_timeout_s
+            sent = 0
+            try:
+                while True:
+                    try:
+                        tok = tracker.events.get(timeout=1.0)
+                    except queue.Empty:
+                        if time.monotonic() > deadline:
+                            break
+                        continue
+                    if tok is None:
+                        break
+                    sent += 1
+                    # decode incrementally against the full prefix so
+                    # multi-token UTF-8/whitespace merges stay byte-exact
+                    text = self._decode(req.tokens[:sent])
+                    prev = self._decode(req.tokens[:sent - 1])
+                    ev = {"token": tok, "text": text[len(prev):]}
+                    chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+                fin = {"done": True, "n_tokens": len(req.tokens)}
+                if tracker.error is not None:
+                    fin["error"] = tracker.error
+                chunk(b"data: " + json.dumps(fin).encode() + b"\n\n")
+                chunk(b"")                   # terminal chunk
+            except (BrokenPipeError, ConnectionResetError):
+                pass                         # client went away mid-stream
+
+    loop_verbose = False
+    return Handler
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from tpu_llm.runtime.serve_cli import build_parser as offline_parser
+
+    p = argparse.ArgumentParser(
+        prog="llm-server", description=__doc__,
+        parents=[offline_parser()], add_help=False, conflict_handler="resolve")
+    p.add_argument("-h", "--help", action="help")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="503 beyond this many waiting requests")
+    p.add_argument("--timeout", type=float, default=600.0,
+                   help="per-request generation timeout (s)")
+    return p
+
+
+def serve(engine, tokenizer, host: str, port: int, *, max_queue: int = 256,
+          max_new_cap: int = 4096, timeout_s: float = 600.0):
+    """Start the loop thread + HTTP server. Returns (server, loop);
+    caller runs server.serve_forever() (or uses it from tests)."""
+    loop = ServingLoop(engine, max_queue=max_queue)
+    loop.start()
+    handler = make_handler(loop, tokenizer, max_new_cap, timeout_s)
+    httpd = ThreadingHTTPServer((host, port), handler)
+    httpd.daemon_threads = True
+    return httpd, loop
+
+
+def main(argv=None) -> int:
+    import os
+
+    if not os.environ.get("TPU_LLM_NO_COMPILE_CACHE"):
+        from tpu_llm.runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+    args = build_parser().parse_args(argv)
+    from tpu_llm.runtime.serve_cli import _load, make_engine
+
+    params, cfg, tokenizer = _load(args)
+    ctx_cap = getattr(cfg, "seq_len", 4096)
+    max_seq = args.max_seq or min(ctx_cap, 1024)
+    if args.paged and max_seq > 256 and max_seq % 256:
+        max_seq = min(-(-max_seq // 256) * 256, ctx_cap)
+    engine = make_engine(args, params, cfg, tokenizer, max_seq,
+                         is_mamba=args.model.endswith(".bin"))
+    # cap per-request budgets to what the context can actually hold
+    max_new_cap = max(1, max_seq - 2)
+    httpd, loop = serve(engine, tokenizer, args.host, args.port,
+                        max_queue=args.max_queue, max_new_cap=max_new_cap,
+                        timeout_s=args.timeout)
+    print(f"llm-server listening on http://{args.host}:{args.port} "
+          f"(engine={type(engine).__name__}, slots={args.batch}, "
+          f"max_seq={max_seq})", file=sys.stderr, flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        loop.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
