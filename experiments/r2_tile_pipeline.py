@@ -76,23 +76,37 @@ def qcall(x, q, s, K, N, tk, tn):
     )(x, q, s)
 
 
-def sweep(K, N, tks, label, chain=24):
+def sweep(K, N, tks, label, chain=4096):
+    # slope_time_s already returns per-ITERATION seconds (one qcall);
+    # chain=4096 with a 5x upper length gives a >=40ms device-time delta
+    # per pair — tunnel jitter is ~1-2ms, so the error stays <5% (the
+    # first two attempts measured noise: chain=24 gave negative slopes,
+    # chain=512 gave above-HBM-spec bandwidths)
     rng = np.random.default_rng(0)
     w = rng.standard_normal((K, N), np.float32) * 0.02
-    qt = pack_scales_bf16(to_int4(quantize_tensor(w, "q4_0")))
-    q, s = jax.device_put(qt.q), jax.device_put(qt.scales)
+    # int4 cannot cross a jit boundary on the axon backend — pass the
+    # packed uint8 q4_0 QTensor in and convert INSIDE jit (XLA hoists
+    # the conversion out of the fori loop; slope timing cancels it),
+    # exactly like production's unpack_params_int4-inside-decode_n.
+    qt0 = quantize_tensor(w, "q4_0")
+    q, s = jax.device_put(qt0.q), jax.device_put(qt0.scales)
     x0 = jnp.full((1, K), 0.01, jnp.bfloat16)
     qbytes = K * N // 2 + (K // 32) * N * 2
 
-    for tk in tks:
+    for tile in tks:
+        tk, tn = tile if isinstance(tile, tuple) else (tile, N)
         if K % tk or (tk // 32) % 8:
             continue
-        tn = N
 
         @jax.jit
         def loop(x, q, s, n, tk=tk, tn=tn):
+            from tpu_llm.quant.qtensor import QTensor
+
+            qt = pack_scales_bf16(to_int4(QTensor(q, s, "q4_0")))
+            qi, si = qt.q, qt.scales
+
             def body(_, c):
-                o = qcall(c, q, s, K, N, tk, tn)
+                o = qcall(c, qi, si, K, N, tk, tn)
                 # fold (1, N) back to (1, K): bounded, data-dependent
                 o = jnp.tanh(o[:, : min(N, K)]).astype(jnp.bfloat16)
                 pad = K - o.shape[1]
@@ -112,7 +126,7 @@ def sweep(K, N, tks, label, chain=24):
             return thunk
 
         try:
-            dt = slope_time_s(make, chain, chain * 5) / chain
+            dt = slope_time_s(make, chain, chain * 5)
             emit(shape=label, K=K, N=N, tk=tk, tn=tn, ksteps=K // tk,
                  us=round(dt * 1e6, 2), gbs=round(qbytes / dt / 1e9, 1))
         except Exception as e:
@@ -120,11 +134,21 @@ def sweep(K, N, tks, label, chain=24):
 
 
 def main():
-    # shipped policy first (tk = full K where it fits) for the baseline
-    sweep(2048, 2560, [2048, 1024, 512, 256], "wqkv")
-    sweep(2048, 2048, [2048, 1024, 512, 256], "wo")
-    sweep(2048, 11264, [512, 256], "w13")
-    sweep(5632, 2048, [512, 256], "w2")
+    # Round A (measured 2026-08-18, /tmp/r2_tiles.jsonl): BIGGER tk wins
+    # everywhere — the grid-pipelining hypothesis was wrong; single-step
+    # kernels still stream at 744-750 GB/s. Shipped policy confirmed for
+    # wqkv (750), wo (744), w13 (786). w2 lags at 641 GB/s because
+    # _pick_tiles candidates miss tk=2816 (= 11*256: divides 5632, keeps
+    # the scales block sublane-aligned).
+    # Round B: w2 big-tk variants, tn splits on the 1-step shapes, and
+    # the wcls classifier shape (absent from round A).
+    sweep(5632, 2048, [2816, (2816, 1024), 5632, 512], "w2")
+    sweep(2048, 2560, [(2048, 1280), 2048], "wqkv")
+    sweep(2048, 2048, [(2048, 1024), 2048], "wo")
+    sweep(2048, 11264, [(1024, 11264), (2048, 5632), (1024, 5632),
+                        (512, 11264)], "w13")
+    sweep(2048, 32000, [(2048, 2048), (2048, 4096), (1024, 4096),
+                        (2048, 1024)], "wcls")
     emit(stage="DONE")
 
 

@@ -101,33 +101,40 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
 
 
 def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):  # noqa: ARG001 — unused; kept so policy monkeypatches (experiments/decode_slope.py) share a signature
-    """Pick (tk, tn): FULL-WIDTH n stripes, grid over K only (plus a
-    2048-wide stripe for vocab-sized N).
+    """Pick (tk, tn): FULL-WIDTH n stripes, LARGEST legal K-tile (plus a
+    4096-wide stripe for vocab-sized N).
 
     Measured on the honest slope-timed decode harness
     (experiments/decode_slope.py — earlier per-call microbenches divided
     a constant ~30ms tunnel round-trip by REPS and mis-ranked policies):
     full-width tiles beat the old min-step (tk<=4096, tn<=1024) policy
-    979 vs 868 tok/s on TinyLlama q4_0 batch-1 decode. Wide stripes keep
-    each HBM read contiguous across the whole row and give the k-grid
-    deep pipelining; the f32 dequant tile (tk x N x 4B, up to ~32MB)
-    fits v5e's VMEM comfortably.
+    979 vs 868 tok/s on TinyLlama q4_0 batch-1 decode. The serialized
+    per-shape sweep (experiments/r2_tile_pipeline.py, on-chip 2026-08-18)
+    then showed BIGGER tk monotonically wins — fewer grid steps beat
+    deeper k-pipelining at these shapes — and that the old 32MB dequant-
+    tile budget was leaving bandwidth on the table: w2 (5632, 2048)
+    forced to tk=512 ran at 649 GB/s vs 756 at tk=5632 (46MB tile), and
+    w13 (2048, 11264) at tk=1024 hits 823 GB/s vs 786 at tk=512. Tiles
+    up to ~46MB compile and stream at full rate on v5e.
 
     Constraints: tk must divide K (a ragged K-tile would accumulate
     garbage into real outputs) and be a multiple of 256 so the scales
     block (tk/32, tn) keeps a sublane multiple of 8. tn need NOT divide
     N — the ragged last N-tile is masked by Pallas and its garbage
     columns die in the masked store (vital for vocab-sized N = 32000)."""
-    budget = 32 * 1024 * 1024  # f32 dequantized-tile VMEM bytes
+    budget = 48 * 1024 * 1024  # f32 dequantized-tile VMEM bytes
+
+    def best_tk(width):
+        # largest multiple-of-256 divisor of K whose dequant tile fits
+        cands = (t for t in range(256, K + 1, 256)
+                 if K % t == 0 and t * width * 4 <= budget)
+        return max(cands, default=None)
+
     if N > 16384:  # vocab-sized: full width would blow the tile budget
-        tk = next((t for t in (2048, 1024, 512, 256) if K % t == 0), None)
+        tk = best_tk(4096)
         if tk is not None:
-            return tk, 2048
-    tk = max(
-        (t for t in (256, 512, 1024, 2048)
-         if K % t == 0 and t * N * 4 <= budget),
-        default=None,
-    )
+            return tk, 4096  # 719 GB/s vs 699 at tn=2048 (r2_tile_pipeline)
+    tk = best_tk(N)
     if tk is not None:
         return tk, N
     # K has no 256-multiple divisor: small tk (scales block keeps legal
