@@ -80,52 +80,52 @@ POLICIES = {}
 
 
 def register_policies(orig):
-    def small(K, N, acc_itemsize=4):
+    def small(K, N, acc_itemsize=4, **kw):
         tk = max((t for t in (1024, 512, 256) if K % t == 0), default=None)
         if tk is None:
-            return orig(K, N, acc_itemsize)
-        tn = 512 if N >= 512 else orig(K, N, acc_itemsize)[1]
+            return orig(K, N, acc_itemsize, **kw)
+        tn = 512 if N >= 512 else orig(K, N, acc_itemsize, **kw)[1]
         return tk, tn
 
-    def tn256(K, N, acc_itemsize=4):
+    def tn256(K, N, acc_itemsize=4, **kw):
         tk = max((t for t in (2048, 1024, 512, 256) if K % t == 0), default=None)
         if tk is None or N < 256:
-            return orig(K, N, acc_itemsize)
+            return orig(K, N, acc_itemsize, **kw)
         return tk, 256
 
-    def fullN(K, N, acc_itemsize=4):
+    def fullN(K, N, acc_itemsize=4, **kw):
         if N > 16384:
-            return orig(K, N, acc_itemsize)
+            return orig(K, N, acc_itemsize, **kw)
         tk = max((t for t in (256, 512, 1024)
                   if K % t == 0 and t * N * 2 <= 8 * 1024 * 1024), default=None)
         if tk is None:
-            return orig(K, N, acc_itemsize)
+            return orig(K, N, acc_itemsize, **kw)
         return tk, N
 
-    def fullN_cls2048(K, N, acc_itemsize=4):
+    def fullN_cls2048(K, N, acc_itemsize=4, **kw):
         if N > 16384:
             tk = max((t for t in (2048, 1024, 512) if K % t == 0), default=None)
             if tk is None:
-                return orig(K, N, acc_itemsize)
+                return orig(K, N, acc_itemsize, **kw)
             return tk, 2048
-        return fullN(K, N, acc_itemsize)
+        return fullN(K, N, acc_itemsize, **kw)
 
-    def fullN_clsfull(K, N, acc_itemsize=4):
+    def fullN_clsfull(K, N, acc_itemsize=4, **kw):
         if N > 16384:
             tk = max((t for t in (128, 64) if K % t == 0), default=None)
             if tk is None:
-                return orig(K, N, acc_itemsize)
+                return orig(K, N, acc_itemsize, **kw)
             return tk, N
-        return fullN(K, N, acc_itemsize)
+        return fullN(K, N, acc_itemsize, **kw)
 
-    def fullN_big(K, N, acc_itemsize=4):
+    def fullN_big(K, N, acc_itemsize=4, **kw):
         # same shape rule but a 2x tile budget (tk*N*4 <= 32MB)
         if N > 16384:
-            return fullN_cls2048(K, N, acc_itemsize)
+            return fullN_cls2048(K, N, acc_itemsize, **kw)
         tk = max((t for t in (256, 512, 1024, 2048)
                   if K % t == 0 and t * N * 4 <= 32 * 1024 * 1024), default=None)
         if tk is None:
-            return orig(K, N, acc_itemsize)
+            return orig(K, N, acc_itemsize, **kw)
         return tk, N
 
     POLICIES.update(prod=orig, small=small, tn256=tn256, fullN=fullN,

@@ -23,7 +23,7 @@ STEPS = 128
 
 
 def make_pick(budget_mb, tns):
-    def _pick_tiles(K, N, acc_itemsize=4):
+    def _pick_tiles(K, N, acc_itemsize=4, **kw):
         itemsize = 2 if acc_itemsize == 2 else 4
         budget = budget_mb * 1024 * 1024
         if tns == "fullN":
@@ -34,7 +34,7 @@ def make_pick(budget_mb, tns):
                 for tk in (2048, 1024, 512, 256):
                     if K % tk == 0 and tk * N * itemsize <= budget:
                         return tk, N
-            return PM._orig_pick_tiles(K, N, acc_itemsize)  # fallback
+            return PM._orig_pick_tiles(K, N, acc_itemsize, **kw)  # fallback
         if N >= 512:
             best = None
             tks = [tk for tk in range(256, min(K, 8192) + 1, 256) if K % tk == 0]

@@ -21,3 +21,13 @@ os.environ.setdefault("TPU_LLM_DISABLE_PALLAS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache for the CPU test backend: the heavy
+# shard_map compiles (PP x TP parity: ~157s; the full suite: ~12 min of
+# compile) hit disk on every run after the first. Entries key on the
+# full HLO + options, so stale hits are impossible.
+from tpu_llm.runtime.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.path.expanduser("~/.cache/tpu_llm/xla-cpu-tests")
+)

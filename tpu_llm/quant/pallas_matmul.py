@@ -100,7 +100,8 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
         o_ref[:] = o_ref[:] + acc
 
 
-def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):  # noqa: ARG001 — unused; kept so policy monkeypatches (experiments/decode_slope.py) share a signature
+def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unused; kept so older experiment call sites (q4_serial_latency.py et al.) keep working
+                *, packed_itemsize: float = 0.5, scale_itemsize: float = 2.0):
     """Pick (tk, tn): FULL-WIDTH n stripes, LARGEST legal K-tile (plus a
     4096-wide stripe for vocab-sized N).
 
@@ -117,23 +118,46 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):  # noqa: ARG001 — unus
     w13 (2048, 11264) at tk=1024 hits 823 GB/s vs 786 at tk=512. Tiles
     up to ~46MB compile and stream at full rate on v5e.
 
+    The budget models what actually limits tile size: Mosaic DOUBLE-
+    BUFFERS the input tiles, and the scoped VMEM limit is 16MB — so
+    2 x (packed weight tile + scales tile) must leave headroom for
+    x/out/accumulator. The dequantized f32 (tk, tn) product is NEVER
+    materialized (Mosaic fuses the multiply into the MXU feed): 46MB
+    "dequant" tiles run fine while a 2x11.2MB double-buffered int8 tile
+    OOMs ("Scoped allocation with size 22.41M and limit 16.00M", the
+    q8_0 w13 shape at tk=1024). This is why the budget is per-KIND:
+    q8_0 packs 1 byte/weight vs q4's 0.5.
+
     Constraints: tk must divide K (a ragged K-tile would accumulate
     garbage into real outputs) and be a multiple of 256 so the scales
     block (tk/32, tn) keeps a sublane multiple of 8. tn need NOT divide
     N — the ragged last N-tile is masked by Pallas and its garbage
     columns die in the masked store (vital for vocab-sized N = 32000)."""
-    budget = 48 * 1024 * 1024  # f32 dequantized-tile VMEM bytes
+    budget = int(6.75 * 1024 * 1024)   # per-buffer (q + scales) bytes;
+    # x2 double-buffered = 13.5MB of the 16MB scoped VMEM, the rest for
+    # x/out/acc. 6.75MB admits every measured-best q4+bf16-scale tile
+    # (w13 tk=1024 at 6.49MB) and rejects the configs that measured
+    # slower or OOM'd under pressure (q4+f32-scales w13 tk=1024 at
+    # 7.21MB: 1074 vs 1095 tok/s; q8 tk=1024 at 11.5MB: VMEM OOM).
+
+    def fits(tk, tn):
+        return (tk * tn * packed_itemsize
+                + (tk // 32) * tn * scale_itemsize) <= budget
 
     def best_tk(width):
-        # largest multiple-of-256 divisor of K whose dequant tile fits
+        # largest multiple-of-256 divisor of K within the VMEM budget
         cands = (t for t in range(256, K + 1, 256)
-                 if K % t == 0 and t * width * 4 <= budget)
+                 if K % t == 0 and fits(t, width))
         return max(cands, default=None)
 
     if N > 16384:  # vocab-sized: full width would blow the tile budget
-        tk = best_tk(4096)
-        if tk is not None:
-            return tk, 4096  # 719 GB/s vs 699 at tn=2048 (r2_tile_pipeline)
+        # prefer the largest tk, then the wider stripe: q4 gets
+        # (2048, 4096) — 719 GB/s vs 699 at tn=2048 (r2_tile_pipeline) —
+        # q8's bigger tiles get (2048, 2048)
+        pairs = [(best_tk(tn), tn) for tn in (4096, 2048)]
+        pairs = [(tk, tn) for tk, tn in pairs if tk is not None]
+        if pairs:
+            return max(pairs)
     tk = best_tk(N)
     if tk is not None:
         return tk, N
@@ -152,13 +176,21 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4):  # noqa: ARG001 — unus
     return None, tn
 
 
+def _tile_params(qt: QTensor) -> dict:
+    """Per-kind byte weights for the VMEM tile budget."""
+    return {
+        "packed_itemsize": 1.0 if qt.kind == "q8_0" else 0.5,
+        "scale_itemsize": float(jnp.dtype(qt.scales.dtype).itemsize),
+    }
+
+
 def pallas_tiles_ok(qt: QTensor) -> bool:
     if qt.kind not in ("q4_0", "q8_0", "q4_0i4"):
         return False  # q4_1 (affine) has no fused kernel yet -> XLA path
     if qt.q.ndim != 2:
         return False
     K, N = qt.shape[-2], qt.shape[-1]
-    tk, tn = _pick_tiles(K, N)
+    tk, tn = _pick_tiles(K, N, **_tile_params(qt))
     return tk is not None and tn is not None
 
 
@@ -189,7 +221,7 @@ def qmatmul_pallas(
     # Partial blocks: rows need NOT be a multiple of tb — Pallas masks the
     # ragged edge. Padding x on the host path instead costs ~34us per call
     # (experiments/q4_wrapper_delta.py), 2.4x the whole kernel.
-    tk, tn = _pick_tiles(K, N)
+    tk, tn = _pick_tiles(K, N, **_tile_params(qt))
     tb = min(256, -(-rows // 8) * 8)
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")
