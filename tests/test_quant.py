@@ -298,3 +298,32 @@ def test_q5_matmul_via_linear_matches_dequant():
         got = np.asarray(matmul(x, qt))
         want = np.asarray(x @ dequantize(qt, jnp.float32))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5), kind
+
+
+def test_pick_tiles_production_shapes():
+    """Pin the measured-best tile choices for TinyLlama's projection
+    shapes (experiments/r2_tile_pipeline.py, on-chip 2026-08-18) and the
+    VMEM-budget behavior that keeps q8_0 from OOMing: the budget is the
+    DOUBLE-BUFFERED packed+scales tile pair against the 16MB scoped VMEM
+    limit, so q8 (1 byte/weight) gets smaller K-tiles than q4 (0.5)."""
+    from tpu_llm.quant.pallas_matmul import _pick_tiles
+
+    q4 = dict(packed_itemsize=0.5, scale_itemsize=2.0)   # int4 + bf16 scales
+    q4f = dict(packed_itemsize=0.5, scale_itemsize=4.0)  # int4 + f32 scales
+    q8 = dict(packed_itemsize=1.0, scale_itemsize=4.0)
+
+    # wqkv / wo: full-K single-step tiles (750/744 GB/s measured)
+    assert _pick_tiles(2048, 2560, **q4) == (2048, 2560)
+    assert _pick_tiles(2048, 2048, **q4) == (2048, 2048)
+    # w13: tk=1024 (823 GB/s vs 786 at 512) — only with 2-byte scales
+    assert _pick_tiles(2048, 11264, **q4) == (1024, 11264)
+    assert _pick_tiles(2048, 11264, **q4f) == (512, 11264)
+    # w2: the 11*256 divisor the old candidate list missed
+    assert _pick_tiles(5632, 2048, **q4) == (5632, 2048)
+    # vocab classifier: widest stripe that keeps full-K
+    assert _pick_tiles(2048, 32000, **q4) == (2048, 4096)
+    assert _pick_tiles(2048, 32000, **q8) == (2048, 2048)
+    # q8_0 w13 at tk=1024 double-buffers 2x11.2MB and OOMs scoped VMEM —
+    # the budget must keep it at or below 512
+    tk, _ = _pick_tiles(2048, 11264, **q8)
+    assert tk <= 512

@@ -136,17 +136,19 @@ def _attend(q, kc, vc, positions, offset):
     T, S, H = q.shape[1], kc.shape[1], q.shape[2]
     scores_bytes = q.shape[0] * T * S * H * 4
 
-    # Batch-1 decode routes to the fused online-softmax kernel: ONE
+    # Decode (any batch) routes to the fused online-softmax kernel: ONE
     # pallas call replaces the score/AV einsums + mask + softmax fusions,
-    # with O(pos) cache DMA via pinned block indices. Round 1 measured it
-    # slower than the einsum chain; with the RoPE fold and unstacked fast
-    # path it now wins at every probed point (1088 vs 1043 tok/s on the
-    # bench harness, experiments/r2_bench_like.py). Batch>1 decode and
-    # CPU stay on the einsum path (unmeasured / no Mosaic).
+    # with O(pos) cache DMA PER ROW via pinned block indices. Round 1
+    # measured it slower than the einsum chain at batch 1; with the RoPE
+    # fold and unstacked fast path it wins at every probed point (1088 vs
+    # 1043 tok/s, experiments/r2_bench_like.py). For batched serving the
+    # win is structural: the einsum path streams the FULL preallocated
+    # (B, S, Hkv*D) planes every step (~369 MB/step at batch 32, S=1024)
+    # while the kernel's per-row index maps stop at each row's position.
+    # CPU/GPU stay on the einsum path (no Mosaic).
     B, D = q.shape[0], q.shape[3]
     use_decode_flash = (
         T == 1
-        and B == 1
         and not isinstance(kc, QuantKV)
         and kc.ndim == 3
         and kc.dtype in (jnp.bfloat16, jnp.float32)
@@ -161,8 +163,11 @@ def _attend(q, kc, vc, positions, offset):
         from tpu_llm.ops.flash_attention import flash_decode_attention
 
         Hkv = kc.shape[2] // D
+        pos = positions.reshape(-1)
+        if pos.size == 1 and B > 1:   # scalar offset, batched rows
+            pos = jnp.broadcast_to(pos, (B,))
         return flash_decode_attention(
-            q, kc.reshape(B, S, Hkv, D), vc.reshape(B, S, Hkv, D), positions,
+            q, kc.reshape(B, S, Hkv, D), vc.reshape(B, S, Hkv, D), pos,
             chunk=min(256, S),   # short caches (S<256) chunk at S — the
                                  # gate's S % min(256, S) == 0 admits them
         )
