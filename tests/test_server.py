@@ -132,7 +132,7 @@ def test_streaming_sse(server):
         assert r.headers["Content-Type"] == "text/event-stream"
         for line in r:
             line = line.strip()
-            if line.startswith(b"data: "):
+            if line.startswith(b"data: ") and line != b"data: [DONE]":
                 events.append(json.loads(line[6:]))
     assert events[-1]["done"] is True and events[-1]["n_tokens"] == 4
     toks = [e["token"] for e in events[:-1]]
@@ -177,3 +177,86 @@ def test_max_tokens_capped(server):
     status, out = _post(port, "/v1/completions",
                         {"prompt": "ab", "max_tokens": 9999})
     assert status == 200 and out["n_tokens"] <= 32
+
+
+def test_openai_completion_shape(server):
+    """OpenAI clients parse the /v1/completions response unchanged:
+    id/object/model/choices/usage superset alongside the native fields."""
+    port, _, tokenizer = server
+    status, out = _post(port, "/v1/completions",
+                        {"prompt": "ab", "max_tokens": 4})
+    assert status == 200
+    assert out["object"] == "text_completion" and out["id"].startswith("cmpl-")
+    (choice,) = out["choices"]
+    assert choice["text"] == out["completion"]
+    assert choice["finish_reason"] in ("stop", "length")
+    u = out["usage"]
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    assert u["completion_tokens"] == out["n_tokens"]
+
+
+def test_openai_models_route(server):
+    port, _, _ = server
+    status, out = _get(port, "/v1/models")
+    assert status == 200 and out["object"] == "list"
+    assert out["data"][0]["object"] == "model"
+
+
+def test_chat_completions(server):
+    """messages render through the chat template; the reply is
+    chat-shaped and matches a raw completion of the rendered prompt."""
+    from tpu_llm.runtime.server import render_chat
+
+    port, engine, tokenizer = server
+    messages = [{"role": "user", "content": "ab"}]
+    status, out = _post(port, "/v1/chat/completions",
+                        {"messages": messages, "max_tokens": 4,
+                         "chat_template": "plain", "stop_at_eos": False})
+    assert status == 200 and out["object"] == "chat.completion"
+    (choice,) = out["choices"]
+    assert choice["message"]["role"] == "assistant"
+    assert choice["message"]["content"] == out["completion"]
+
+    # same tokens as a /v1/completions call on the rendered prompt
+    prompt = render_chat(messages, "plain")
+    assert prompt == "user: ab\nassistant:"
+    _, raw = _post(port, "/v1/completions",
+                   {"prompt": prompt, "max_tokens": 4})
+    assert raw["tokens"] == out["tokens"]
+
+
+def test_chat_stream_delta_shape(server):
+    port, _, _ = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "ab"}],
+                         "max_tokens": 3, "stream": True,
+                         "chat_template": "plain",
+                         "stop_at_eos": False}).encode(),
+        method="POST",
+    )
+    lines, events = [], []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: "):
+                lines.append(line)
+                if line != b"data: [DONE]":
+                    events.append(json.loads(line[6:]))
+    assert lines[-1] == b"data: [DONE]"
+    assert events[-1]["done"] is True
+    assert events[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    for ev in events[:-1]:
+        assert ev["object"] == "chat.completion.chunk"
+        assert ev["choices"][0]["delta"]["content"] == ev["text"]
+
+
+def test_chat_bad_messages(server):
+    port, _, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/v1/chat/completions", {"messages": "not-a-list"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/v1/chat/completions",
+              {"messages": [{"role": "user"}]})
+    assert e.value.code == 400

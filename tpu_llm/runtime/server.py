@@ -16,11 +16,22 @@ API (JSON over HTTP):
     {"prompt": str, "max_tokens": int?, "temperature": float?,
      "seed": int?, "stop_at_eos": bool?, "stream": bool?}
     -> {"completion": str, "tokens": [int], "n_tokens": int,
-        "ttft_s": float, "queue_s": float}
+        "ttft_s": float, ...} plus the OpenAI completion fields
+    ("id"/"object"/"model"/"choices"/"usage") so off-the-shelf OpenAI
+    clients pointed at this server parse the response unchanged.
     With "stream": true the response is ``text/event-stream``: one
-    ``data: {"token": id, "text": "..."}`` event per generated token,
-    then a terminal ``data: {"done": true, "n_tokens": N, ...}`` event.
+    ``data: {"token": id, "text": "...", "choices": [...]}`` event per
+    generated token, a terminal ``data: {"done": true, ...}`` event,
+    then the OpenAI ``data: [DONE]`` sentinel.
 
+  POST /v1/chat/completions
+    {"messages": [{"role": str, "content": str}, ...], ...same knobs}
+    — messages are rendered through a chat template (--chat-template:
+    "zephyr" = TinyLlama-chat's <|role|> format, "plain" = role: content
+    lines) and the reply comes back OpenAI-chat-shaped
+    ({"choices": [{"message": {"role": "assistant", ...}}]}).
+
+  GET /v1/models -> OpenAI model list (one entry, the loaded model)
   GET /health -> {"ok": true, "active": n, "queued": n}
   GET /stats  -> uptime, request/token counters, tokens/s, engine kind,
                  prefix-cache hit rate + HBM blocks (paged engine),
@@ -45,6 +56,28 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+
+
+def render_chat(messages, template: str = "zephyr") -> str:
+    """Render an OpenAI-style messages list to a prompt string.
+
+    "zephyr" is the TinyLlama-1.1B-Chat format (its HF chat_template):
+    ``<|role|>\\n{content}</s>\\n`` per message, then the assistant
+    header the model completes after. "plain" is a model-agnostic
+    fallback: ``role: content`` lines then ``assistant:``."""
+    for m in messages:
+        if not isinstance(m, dict) or "content" not in m:
+            raise ValueError("each message needs role/content")
+    if template == "zephyr":
+        out = "".join(
+            f"<|{m.get('role', 'user')}|>\n{m['content']}</s>\n"
+            for m in messages)
+        return out + "<|assistant|>\n"
+    if template == "plain":
+        out = "".join(
+            f"{m.get('role', 'user')}: {m['content']}\n" for m in messages)
+        return out + "assistant:"
+    raise ValueError(f"unknown chat template {template!r}")
 
 
 class _Tracker:
@@ -177,7 +210,9 @@ class ServingLoop(threading.Thread):
 
 
 def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 model_name: str = "tpu-llm",
+                 chat_template: str = "zephyr"):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
         # server identity stays generic; clients key on the JSON body
@@ -203,20 +238,34 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                                  "queued": snap["queued"]})
             elif self.path == "/stats":
                 self._json(200, loop.snapshot())
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{
+                    "id": model_name, "object": "model",
+                    "owned_by": "tpu-llm"}]})
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/v1/completions", "/completions"):
+            chat = self.path == "/v1/chat/completions"
+            if not chat and self.path not in ("/v1/completions",
+                                              "/completions"):
                 self._json(404, {"error": f"no route {self.path}"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                prompt = body["prompt"]
+                if chat:
+                    prompt = render_chat(body["messages"],
+                                         body.get("chat_template",
+                                                  chat_template))
+                else:
+                    prompt = body["prompt"]
                 if not isinstance(prompt, str) or not prompt:
-                    raise ValueError("prompt must be a non-empty string")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    raise ValueError(
+                        "messages must render to a non-empty prompt"
+                        if chat else "prompt must be a non-empty string")
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
@@ -229,16 +278,23 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 max_new=min(int(body.get("max_tokens", 64)), max_new_cap),
                 temperature=float(body.get("temperature", 0.0)),
                 seed=int(body.get("seed", 0)),
-                stop_at_eos=bool(body.get("stop_at_eos", False)),
+                # chat replies should stop at </s> like any chat server
+                stop_at_eos=bool(body.get("stop_at_eos", chat)),
                 stream=tracker.on_token,
             )
             if not loop.enqueue(req, tracker):
                 self._json(503, {"error": "server at capacity"})
                 return
             if want_stream:
-                self._stream_response(req, tracker)
+                self._stream_response(req, tracker, chat)
             else:
-                self._block_response(req, tracker)
+                self._block_response(req, tracker, chat)
+
+        def _finish_reason(self, req) -> str:
+            if (req.stop_at_eos and req.tokens
+                    and req.tokens[-1] == getattr(loop.engine, "eos_id", -1)):
+                return "stop"
+            return "length"
 
         def _decode(self, toks) -> str:
             out = tokenizer.decode(toks)
@@ -246,7 +302,8 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 out = out.decode("utf-8", errors="replace")
             return out
 
-        def _block_response(self, req, tracker: _Tracker) -> None:
+        def _block_response(self, req, tracker: _Tracker,
+                            chat: bool = False) -> None:
             if not tracker.done.wait(timeout=request_timeout_s):
                 self._json(504, {"error": "generation timed out"})
                 return
@@ -255,14 +312,32 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 return
             ttft = ((tracker.t_first or time.monotonic())
                     - tracker.t_enqueue)
+            text = self._decode(req.tokens)
+            finish = self._finish_reason(req)
+            if chat:
+                choice = {"index": 0, "finish_reason": finish,
+                          "message": {"role": "assistant", "content": text}}
+            else:
+                choice = {"index": 0, "finish_reason": finish, "text": text}
             self._json(200, {
-                "completion": self._decode(req.tokens),
+                # native fields (tests, llm-serve parity)
+                "completion": text,
                 "tokens": req.tokens,
                 "n_tokens": len(req.tokens),
                 "ttft_s": round(ttft, 4),
+                # OpenAI-compatible superset
+                "id": f"{'chatcmpl' if chat else 'cmpl'}-{req.rid}",
+                "object": ("chat.completion" if chat else "text_completion"),
+                "created": int(time.time()),
+                "model": model_name,
+                "choices": [choice],
+                "usage": {"prompt_tokens": len(req.prompt),
+                          "completion_tokens": len(req.tokens),
+                          "total_tokens": len(req.prompt) + len(req.tokens)},
             })
 
-        def _stream_response(self, req, tracker: _Tracker) -> None:
+        def _stream_response(self, req, tracker: _Tracker,
+                             chat: bool = False) -> None:
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -293,12 +368,28 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     # multi-token UTF-8/whitespace merges stay byte-exact
                     text = self._decode(req.tokens[:sent])
                     prev = self._decode(req.tokens[:sent - 1])
-                    ev = {"token": tok, "text": text[len(prev):]}
+                    delta = text[len(prev):]
+                    if chat:
+                        choice = {"index": 0, "finish_reason": None,
+                                  "delta": {"content": delta}}
+                    else:
+                        choice = {"index": 0, "finish_reason": None,
+                                  "text": delta}
+                    ev = {"token": tok, "text": delta,
+                          "id": f"cmpl-{req.rid}", "model": model_name,
+                          "object": ("chat.completion.chunk" if chat
+                                     else "text_completion"),
+                          "choices": [choice]}
                     chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
-                fin = {"done": True, "n_tokens": len(req.tokens)}
+                fin = {"done": True, "n_tokens": len(req.tokens),
+                       "choices": [{"index": 0,
+                                    "finish_reason": self._finish_reason(req),
+                                    **({"delta": {}} if chat
+                                       else {"text": ""})}]}
                 if tracker.error is not None:
                     fin["error"] = tracker.error
                 chunk(b"data: " + json.dumps(fin).encode() + b"\n\n")
+                chunk(b"data: [DONE]\n\n")   # OpenAI stream sentinel
                 chunk(b"")                   # terminal chunk
             except (BrokenPipeError, ConnectionResetError):
                 pass                         # client went away mid-stream
@@ -320,16 +411,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="503 beyond this many waiting requests")
     p.add_argument("--timeout", type=float, default=600.0,
                    help="per-request generation timeout (s)")
+    p.add_argument("--chat-template", default="zephyr",
+                   choices=["zephyr", "plain"],
+                   help="messages rendering for /v1/chat/completions")
+    p.add_argument("--served-model-name", default=None,
+                   help="model id reported by /v1/models and responses "
+                        "(default: the model file's basename)")
     return p
 
 
 def serve(engine, tokenizer, host: str, port: int, *, max_queue: int = 256,
-          max_new_cap: int = 4096, timeout_s: float = 600.0):
+          max_new_cap: int = 4096, timeout_s: float = 600.0,
+          model_name: str = "tpu-llm", chat_template: str = "zephyr"):
     """Start the loop thread + HTTP server. Returns (server, loop);
     caller runs server.serve_forever() (or uses it from tests)."""
     loop = ServingLoop(engine, max_queue=max_queue)
     loop.start()
-    handler = make_handler(loop, tokenizer, max_new_cap, timeout_s)
+    handler = make_handler(loop, tokenizer, max_new_cap, timeout_s,
+                           model_name=model_name,
+                           chat_template=chat_template)
     httpd = ThreadingHTTPServer((host, port), handler)
     httpd.daemon_threads = True
     return httpd, loop
@@ -354,9 +454,11 @@ def main(argv=None) -> int:
                          is_mamba=args.model.endswith(".bin"))
     # cap per-request budgets to what the context can actually hold
     max_new_cap = max(1, max_seq - 2)
+    model_name = args.served_model_name or os.path.basename(args.model)
     httpd, loop = serve(engine, tokenizer, args.host, args.port,
                         max_queue=args.max_queue, max_new_cap=max_new_cap,
-                        timeout_s=args.timeout)
+                        timeout_s=args.timeout, model_name=model_name,
+                        chat_template=args.chat_template)
     print(f"llm-server listening on http://{args.host}:{args.port} "
           f"(engine={type(engine).__name__}, slots={args.batch}, "
           f"max_seq={max_seq})", file=sys.stderr, flush=True)
