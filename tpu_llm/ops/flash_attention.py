@@ -265,43 +265,92 @@ def _paged_decode_kernel(
     pos_ref,            # SMEM (B,) — absolute position of the query per row
     table_ref,          # SMEM (B, MB) — block table (pool indices)
     q_ref,              # (1, H, D)
-    k_ref,              # (1, BS, Hkv*D) — one pool BLOCK (table-indirected)
-    v_ref,
+    k_hbm,              # ANY/HBM (N, BS, Hkv*D) — whole pool
+    v_hbm,
     o_ref,              # (1, H, D)
+    k_buf,              # VMEM (2, chunk, Hkv*D) — double-buffered chunk
+    v_buf,
+    sems,               # DMA sems (2, cb, 2)
     m_scr, l_scr, acc_scr,
     *,
     bs: int,
-    n_blocks: int,
+    cb: int,            # pool blocks gathered per grid step
+    chunk: int,         # cb * bs logical rows per grid step
+    n_chunks: int,
     hkv: int,
     group: int,
     d: int,
     sm_scale: float,
 ):
+    """Grid step (b, ik) covers logical rows [ik*chunk, (ik+1)*chunk):
+    cb table-indirected pool blocks are DMA'd into ONE contiguous VMEM
+    chunk buffer, then the dense decode kernel's exact compute runs —
+    one score dot, one online-softmax update, one AV pass per chunk.
+
+    Why manual DMA instead of per-block BlockSpec windows: at serving
+    block sizes the per-block costs dominated (bs=32 ran at 52% of
+    dense, bs=64 at 70%; xprof showed the paged kernel at 1145us/step
+    vs dense 455us, experiments/r3_paged_gap.py + r3_paged_trace.py),
+    and a sub-block-per-window rewrite only recovered ~5% because every
+    window still pays its own buffering machinery and softmax update.
+    Here the chunk buffer is double-buffered by hand: while chunk ik
+    computes, chunk ik+1's blocks stream in — the same pipelining
+    BlockSpec windows get automatically, but with dense-kernel-shaped
+    compute. Chunks past the query position are never DMA'd at all
+    (start/wait share the ``ci*chunk <= pos`` predicate)."""
     b = pl.program_id(0)
     ik = pl.program_id(1)
     pos = pos_ref[b]
+
+    def _copies(ci, slot):
+        """The cb block copies of chunk ``ci`` into buffer ``slot``."""
+        out = []
+        for j in range(cb):
+            bid = table_ref[b, jnp.minimum(ci * cb + j, pos // bs)]
+            out.append(pltpu.make_async_copy(
+                k_hbm.at[pl.ds(bid, 1)],
+                k_buf.at[pl.ds(slot, 1), pl.ds(j * bs, bs), :],
+                sems.at[slot, j, 0]))
+            out.append(pltpu.make_async_copy(
+                v_hbm.at[pl.ds(bid, 1)],
+                v_buf.at[pl.ds(slot, 1), pl.ds(j * bs, bs), :],
+                sems.at[slot, j, 1]))
+        return out
 
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
         l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+        for c in _copies(0, 0):   # chunk 0 is always active (pos >= 0)
+            c.start()
 
-    # logical blocks past the query position are fully masked: compute is
-    # predicated off AND their pool DMAs never happen (the index map pins
-    # them at the block holding ``pos``, Mosaic skips the re-fetch)
-    @pl.when(ik * bs <= pos)
+    active = ik * chunk <= pos
+
+    @pl.when(active)
     def _run():
+        slot = jax.lax.rem(ik, 2)
+
+        # start the successor chunk's DMAs before blocking on ours
+        @pl.when(jnp.logical_and(ik + 1 < n_chunks,
+                                 (ik + 1) * chunk <= pos))
+        def _prefetch():
+            for c in _copies(ik + 1, 1 - slot):
+                c.start()
+
+        for c in _copies(ik, slot):
+            c.wait()
+
         q = q_ref[0]                                     # (H, D)
-        kc = k_ref[0]                                    # (BS, Hkv*D)
         diag = _gqa_diag(hkv, group, d)                  # (H, Hkv*D)
         q_tiled = jnp.concatenate([q] * hkv, axis=1)
         q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
+        kc = k_buf[slot]                                 # (chunk, Hkv*D)
         s = jax.lax.dot_general(
             q_bd, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                                     # (H, BS)
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * bs
+        ) * sm_scale                                     # (H, chunk)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * chunk
         s = jnp.where(s_idx <= pos, s, NEG_INF)
 
         m_prev = m_scr[:]
@@ -314,12 +363,12 @@ def _paged_decode_kernel(
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
 
         full = jax.lax.dot_general(
-            p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v_buf[slot], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
 
-    @pl.when(ik == n_blocks - 1)
+    @pl.when(ik == n_chunks - 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -330,50 +379,91 @@ def _paged_decode_q_kernel(
     pos_ref,            # SMEM (B,)
     table_ref,          # SMEM (B, MB)
     q_ref,              # (1, H, D)
-    k_ref,              # (1, BS, Hkv*D) int8 pool block
-    v_ref,
-    ks_ref,             # (1, Hkv, BS) f32 scale block
-    vs_ref,
+    k_hbm,              # ANY/HBM (N, BS, Hkv*D) int8 pool
+    v_hbm,
+    ks_hbm,             # ANY/HBM (N, Hkv, BS) f32 scale pool
+    vs_hbm,
     o_ref,              # (1, H, D)
+    k_buf,              # VMEM (2, chunk, Hkv*D) int8
+    v_buf,
+    ks_buf,             # VMEM (2, cb, Hkv, BS) f32 — per-block planes
+    vs_buf,             #   (concatenated along lanes in-kernel; a column
+                        #   offset j*BS into one (Hkv, chunk) buffer would
+                        #   not be a lane-aligned DMA destination)
+    sems,               # DMA sems (2, cb, 4)
     m_scr, l_scr, acc_scr,
     *,
     bs: int,
-    n_blocks: int,
+    cb: int,
+    chunk: int,
+    n_chunks: int,
     hkv: int,
     group: int,
     d: int,
     sm_scale: float,
 ):
-    """int8-pool variant: the plane is contracted in its widened form and
-    the per-(token, kv-head) scales are applied to the (H, BS) score
-    matrix — BS multiplies per head instead of BS x D (the same
+    """int8-pool variant of _paged_decode_kernel: same manual-DMA chunk
+    gather; the plane is contracted in its widened form and the
+    per-(token, kv-head) scales are applied to the (H, chunk) score
+    matrix — chunk multiplies per head instead of chunk x D (the same
     factorization as ops/attention._gqa_attention_int8_flat)."""
     b = pl.program_id(0)
     ik = pl.program_id(1)
     pos = pos_ref[b]
+
+    def _copies(ci, slot):
+        out = []
+        for j in range(cb):
+            bid = table_ref[b, jnp.minimum(ci * cb + j, pos // bs)]
+            for i, (hbm, buf) in enumerate(((k_hbm, k_buf), (v_hbm, v_buf))):
+                out.append(pltpu.make_async_copy(
+                    hbm.at[pl.ds(bid, 1)],
+                    buf.at[pl.ds(slot, 1), pl.ds(j * bs, bs), :],
+                    sems.at[slot, j, i]))
+            for i, (hbm, buf) in enumerate(((ks_hbm, ks_buf),
+                                            (vs_hbm, vs_buf))):
+                out.append(pltpu.make_async_copy(
+                    hbm.at[pl.ds(bid, 1)],
+                    buf.at[pl.ds(slot, 1), j],
+                    sems.at[slot, j, 2 + i]))
+        return out
 
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
         l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+        for c in _copies(0, 0):
+            c.start()
 
-    @pl.when(ik * bs <= pos)
+    active = ik * chunk <= pos
+
+    @pl.when(active)
     def _run():
+        slot = jax.lax.rem(ik, 2)
+
+        @pl.when(jnp.logical_and(ik + 1 < n_chunks,
+                                 (ik + 1) * chunk <= pos))
+        def _prefetch():
+            for c in _copies(ik + 1, 1 - slot):
+                c.start()
+
+        for c in _copies(ik, slot):
+            c.wait()
+
         q = q_ref[0].astype(jnp.float32)                 # (H, D)
-        kc = k_ref[0].astype(jnp.float32)                # (BS, Hkv*D)
         diag = _gqa_diag(hkv, group, d)
         q_tiled = jnp.concatenate([q] * hkv, axis=1)
         q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
+        kc = k_buf[slot].astype(jnp.float32)             # (chunk, Hkv*D)
         s = jax.lax.dot_general(
             q_bd, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                                     # (H, BS)
-        # scale rows by the K scales of each row's own kv head:
-        # (Hkv, BS) -> (H, BS) by group repeat on the sublane axis
-        ks = jnp.repeat(ks_ref[0], group, axis=0)        # (H, BS)
-        s = s * ks
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * bs
+        ) * sm_scale                                     # (H, chunk)
+        # (cb, Hkv, BS) block scale planes -> (H, chunk) row scales
+        ks = jnp.concatenate([ks_buf[slot, j] for j in range(cb)], axis=1)
+        s = s * jnp.repeat(ks, group, axis=0)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * chunk
         s = jnp.where(s_idx <= pos, s, NEG_INF)
 
         m_prev = m_scr[:]
@@ -385,20 +475,25 @@ def _paged_decode_q_kernel(
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
 
-        # fold V scales into the attention weights before AV
-        vs = jnp.repeat(vs_ref[0], group, axis=0)        # (H, BS)
-        pv = p * vs
+        vs = jnp.concatenate([vs_buf[slot, j] for j in range(cb)], axis=1)
+        pv = p * jnp.repeat(vs, group, axis=0)
         full = jax.lax.dot_general(
-            pv, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            pv, v_buf[slot].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
 
-    @pl.when(ik == n_blocks - 1)
+    @pl.when(ik == n_chunks - 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+
+
+def _chunk_blocks(bs: int, mb: int, target_rows: int = 256) -> int:
+    """Pool blocks per grid step: cover ~target_rows logical rows per
+    step (the dense kernel's chunk) without overshooting the table."""
+    return max(1, min(mb, target_rows // bs))
 
 
 def paged_flash_decode_q(
@@ -420,31 +515,37 @@ def paged_flash_decode_q(
     MB = block_table.shape[1]
     assert T == 1 and D in (64, 128) and kvd % LANES == 0
     sm_scale = 1.0 / (D ** 0.5)
+    cb = _chunk_blocks(bs, MB)
+    chunk = cb * bs
+    n_chunks = -(-MB // cb)
 
     q2 = q.reshape(B, H, D)
     pos = positions.astype(jnp.int32).reshape(B)
 
-    def kv_index(b, ik, pos_ref, table_ref):
-        return (table_ref[b, jnp.minimum(ik, pos_ref[b] // bs)], 0, 0)
-
     out = pl.pallas_call(
         functools.partial(
             _paged_decode_q_kernel,
-            bs=bs, n_blocks=MB, hkv=Hkv, group=G, d=D, sm_scale=sm_scale,
+            bs=bs, cb=cb, chunk=chunk, n_chunks=n_chunks, hkv=Hkv, group=G,
+            d=D, sm_scale=sm_scale,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, MB),
+            grid=(B, n_chunks),
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda b, ik, pos, tbl: (b, 0, 0)),
-                pl.BlockSpec((1, bs, kvd), kv_index),
-                pl.BlockSpec((1, bs, kvd), kv_index),
-                pl.BlockSpec((1, Hkv, bs), kv_index),
-                pl.BlockSpec((1, Hkv, bs), kv_index),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, H, D),
                                    lambda b, ik, pos, tbl: (b, 0, 0)),
             scratch_shapes=[
+                pltpu.VMEM((2, chunk, kvd), k_pool.dtype),
+                pltpu.VMEM((2, chunk, kvd), v_pool.dtype),
+                pltpu.VMEM((2, cb, Hkv, bs), jnp.float32),
+                pltpu.VMEM((2, cb, Hkv, bs), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, cb, 4)),
                 pltpu.VMEM((H, LANES), jnp.float32),
                 pltpu.VMEM((H, LANES), jnp.float32),
                 pltpu.VMEM((H, D), jnp.float32),
@@ -501,29 +602,33 @@ def paged_flash_decode_attention(
     MB = block_table.shape[1]
     assert paged_flash_decode_ok(q, k_pool, bs)
     sm_scale = 1.0 / (D ** 0.5)
+    cb = _chunk_blocks(bs, MB)
+    chunk = cb * bs
+    n_chunks = -(-MB // cb)
 
     q2 = q.reshape(B, H, D)
     pos = positions.astype(jnp.int32).reshape(B)
 
-    def kv_index(b, ik, pos_ref, table_ref):
-        return (table_ref[b, jnp.minimum(ik, pos_ref[b] // bs)], 0, 0)
-
     out = pl.pallas_call(
         functools.partial(
             _paged_decode_kernel,
-            bs=bs, n_blocks=MB, hkv=Hkv, group=G, d=D, sm_scale=sm_scale,
+            bs=bs, cb=cb, chunk=chunk, n_chunks=n_chunks, hkv=Hkv, group=G,
+            d=D, sm_scale=sm_scale,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, MB),
+            grid=(B, n_chunks),
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda b, ik, pos, tbl: (b, 0, 0)),
-                pl.BlockSpec((1, bs, kvd), kv_index),
-                pl.BlockSpec((1, bs, kvd), kv_index),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, H, D),
                                    lambda b, ik, pos, tbl: (b, 0, 0)),
             scratch_shapes=[
+                pltpu.VMEM((2, chunk, kvd), k_pool.dtype),
+                pltpu.VMEM((2, chunk, kvd), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((2, cb, 2)),
                 pltpu.VMEM((H, LANES), jnp.float32),
                 pltpu.VMEM((H, LANES), jnp.float32),
                 pltpu.VMEM((H, D), jnp.float32),
