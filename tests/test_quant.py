@@ -140,11 +140,13 @@ def test_unpack_params_int4_tree():
     assert out["q8"].kind == "q8_0"          # values untouched
     assert out["layers"][0]["wq"].kind == "q4_0i4"
     assert out["norm"].dtype == jnp.float32
-    # with pack_scales=True, scales become f16-bit int16 planes — EXACTLY
-    # representing the f32 scales (f16-valued by block-format construction)
+    # with pack_scales=True, q4 scales become f16-bit int16 planes —
+    # EXACTLY representing the f32 scales (f16-valued by block-format
+    # construction). q8_0 scales stay f32: packing measured a 16% LOSS
+    # there (608.7 -> 511.5 tok/s, experiments/r3_q8_paged_int8.py).
     out = jax.jit(lambda p: unpack_params_int4(p, pack_scales=True))(params)
     assert out["wcls"].scales.dtype == jnp.int16
-    assert out["q8"].scales.dtype == jnp.int16
+    assert out["q8"].scales.dtype == jnp.float32
     for a, b in (("wcls",) * 2, ("q8",) * 2):
         np.testing.assert_array_equal(
             np.asarray(dequantize(out[a], jnp.float32)),
@@ -327,3 +329,22 @@ def test_pick_tiles_production_shapes():
     # the budget must keep it at or below 512
     tk, _ = _pick_tiles(2048, 11264, **q8)
     assert tk <= 512
+
+
+def test_pick_tiles_prefill_shapes():
+    """Prefill-shaped row tiles (tb=256) must shrink the N stripe: the
+    out window double-buffers tb x tn x 4 bytes of scoped VMEM, and a
+    full-width w13 stripe (2 x 256 x 11264 x 4 = 22.5MB) is the exact
+    Mosaic OOM a 2048-token q4_0 prefill hit on-chip
+    (experiments/r3_q8_paged_int8.py, 2026-08-19)."""
+    from tpu_llm.quant.pallas_matmul import _pick_tiles
+
+    q4 = dict(packed_itemsize=0.5, scale_itemsize=2.0)
+    # w13 at tb=256: full width rejected, falls to a narrower stripe
+    tk, tn = _pick_tiles(2048, 11264, tb=256, x_itemsize=2.0, **q4)
+    assert tn < 11264 and tk is not None
+    assert 2 * (tk * tn * 0.5 + tk // 32 * tn * 2.0
+                + 256 * tk * 2.0 + 256 * tn * 4) <= 14 * 1024 * 1024
+    # decode shapes (tb=8) keep the pinned round-2 tiles
+    assert _pick_tiles(2048, 11264, tb=8, **q4) == (1024, 11264)
+    assert _pick_tiles(2048, 32000, tb=8, **q4) == (2048, 4096)

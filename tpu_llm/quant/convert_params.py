@@ -67,7 +67,10 @@ def unpack_params_int4(params, pack_scales=False):
     ``pack_scales`` halves the scale-plane HBM bytes (~10% of Q4_0's
     total per-token traffic): "f16" (or True) stores exact f16 bits in
     int16 planes (5-op in-kernel rebuild); "bf16" stores bf16 (1-op
-    upcast, rounds f16-origin scales by <=2^-8 relative)."""
+    upcast, rounds f16-origin scales by <=2^-8 relative). Only q4-family
+    QTensors are packed: for q8_0 the scale plane is 1/8 of traffic and
+    packing measured a 16% LOSS (608.7 -> 511.5 tok/s batch-1,
+    experiments/r3_q8_paged_int8.py 2026-08-19)."""
     import jax
 
     from tpu_llm.quant.qtensor import pack_scales_bf16, pack_scales_f16, to_int4
@@ -76,6 +79,8 @@ def unpack_params_int4(params, pack_scales=False):
         if not isinstance(x, QTensor):
             return x
         x = to_int4(x)
+        if x.kind != "q4_0i4":
+            return x
         if pack_scales in (True, "f16"):
             return pack_scales_f16(x)
         if pack_scales == "bf16":

@@ -101,7 +101,8 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
 
 
 def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unused; kept so older experiment call sites (q4_serial_latency.py et al.) keep working
-                *, packed_itemsize: float = 0.5, scale_itemsize: float = 2.0):
+                *, packed_itemsize: float = 0.5, scale_itemsize: float = 2.0,
+                tb: int = 8, x_itemsize: float = 4.0):
     """Pick (tk, tn): FULL-WIDTH n stripes, LARGEST legal K-tile (plus a
     4096-wide stripe for vocab-sized N).
 
@@ -133,16 +134,24 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
     block (tk/32, tn) keeps a sublane multiple of 8. tn need NOT divide
     N — the ragged last N-tile is masked by Pallas and its garbage
     columns die in the masked store (vital for vocab-sized N = 32000)."""
-    budget = int(6.75 * 1024 * 1024)   # per-buffer (q + scales) bytes;
-    # x2 double-buffered = 13.5MB of the 16MB scoped VMEM, the rest for
-    # x/out/acc. 6.75MB admits every measured-best q4+bf16-scale tile
-    # (w13 tk=1024 at 6.49MB) and rejects the configs that measured
-    # slower or OOM'd under pressure (q4+f32-scales w13 tk=1024 at
-    # 7.21MB: 1074 vs 1095 tok/s; q8 tk=1024 at 11.5MB: VMEM OOM).
+    budget = 14 * 1024 * 1024   # total double-buffered window bytes
+    # against the 16MB scoped VMEM: Mosaic double-buffers EVERY window
+    # (packed weights, scales, x, out), so the constraint is
+    # 2*(q + scales + x + out). For decode-shaped tb=8 the x/out terms
+    # are tiny and this admits exactly the measured-best tiles the old
+    # 6.75MB-per-(q+scales)-buffer budget chose (w13 q4+bf16s tk=1024:
+    # 13.76MB; q4+f32s tk=1024: 15.2MB rejected -> 512; q8 tk=1024:
+    # rejected). For PREFILL (tb=256) the out tile dominates — a
+    # full-width w13 stripe is 2x256x11264x4 = 22.5MB of out buffer
+    # alone, the exact scoped-VMEM OOM r3 hit at T=2048 — so wide-N
+    # shapes drop to narrower stripes (pinned by
+    # test_pick_tiles_prefill_shapes).
 
     def fits(tk, tn):
-        return (tk * tn * packed_itemsize
-                + (tk // 32) * tn * scale_itemsize) <= budget
+        return 2 * (tk * tn * packed_itemsize
+                    + (tk // 32) * tn * scale_itemsize
+                    + tb * tk * x_itemsize
+                    + tb * tn * 4) <= budget
 
     def best_tk(width):
         # largest multiple-of-256 divisor of K within the VMEM budget
@@ -150,17 +159,26 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
                  if K % t == 0 and fits(t, width))
         return max(cands, default=None)
 
+    def best_pair(widths):
+        # largest tk first, then the wider stripe
+        pairs = [(best_tk(tn), tn) for tn in widths if tn <= N]
+        pairs = [(tk, tn) for tk, tn in pairs if tk is not None]
+        return max(pairs) if pairs else None
+
     if N > 16384:  # vocab-sized: full width would blow the tile budget
         # prefer the largest tk, then the wider stripe: q4 gets
         # (2048, 4096) — 719 GB/s vs 699 at tn=2048 (r2_tile_pipeline) —
         # q8's bigger tiles get (2048, 2048)
-        pairs = [(best_tk(tn), tn) for tn in (4096, 2048)]
-        pairs = [(tk, tn) for tk, tn in pairs if tk is not None]
-        if pairs:
-            return max(pairs)
+        pair = best_pair((4096, 2048))
+        if pair:
+            return pair
     tk = best_tk(N)
     if tk is not None:
         return tk, N
+    # full width does not fit (big tb — prefill rows): narrower stripes
+    pair = best_pair((4096, 2048, 1024, 512))
+    if pair:
+        return pair
     # K has no 256-multiple divisor: small tk (scales block keeps legal
     # sublanes only when tk == K, i.e. the block spans the full array dim)
     if N >= 512:
@@ -184,14 +202,18 @@ def _tile_params(qt: QTensor) -> dict:
     }
 
 
-def pallas_tiles_ok(qt: QTensor) -> bool:
+def pallas_tiles_ok(qt: QTensor, rows: int = 1) -> bool:
     if qt.kind not in ("q4_0", "q8_0", "q4_0i4"):
         return False  # q4_1 (affine) has no fused kernel yet -> XLA path
     if qt.q.ndim != 2:
         return False
     K, N = qt.shape[-2], qt.shape[-1]
-    tk, tn = _pick_tiles(K, N, **_tile_params(qt))
+    tk, tn = _pick_tiles(K, N, tb=_row_tile(rows), **_tile_params(qt))
     return tk is not None and tn is not None
+
+
+def _row_tile(rows: int) -> int:
+    return min(256, -(-rows // 8) * 8)
 
 
 def qmatmul_pallas(
@@ -221,8 +243,10 @@ def qmatmul_pallas(
     # Partial blocks: rows need NOT be a multiple of tb — Pallas masks the
     # ragged edge. Padding x on the host path instead costs ~34us per call
     # (experiments/q4_wrapper_delta.py), 2.4x the whole kernel.
-    tk, tn = _pick_tiles(K, N, **_tile_params(qt))
-    tb = min(256, -(-rows // 8) * 8)
+    tb = _row_tile(rows)
+    tk, tn = _pick_tiles(K, N, tb=tb,
+                         x_itemsize=float(jnp.dtype(x.dtype).itemsize),
+                         **_tile_params(qt))
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")
     qrow = tk // 2 if qt.kind == "q4_0" else tk
