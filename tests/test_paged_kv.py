@@ -206,8 +206,11 @@ def test_paged_flash_decode_q_matches_gather(positions):
     got = paged_flash_decode_q(q, kv.k_pool, kv.v_pool, kv.k_scale,
                                kv.v_scale, kv.block_table, pos,
                                interpret=True)
+    # kernel contracts in bf16 (int8 values exact; q and p*vs rounded to
+    # bf16 like the dense kernel's AV pass) vs the gather path's f32 —
+    # expect <=2^-8 relative deltas
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=5e-3, atol=5e-3)
 
 
 def test_out_of_table_writes_go_to_null_block():

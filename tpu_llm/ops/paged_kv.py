@@ -40,21 +40,31 @@ import jax.numpy as jnp
 from tpu_llm.ops.attention import gqa_attention
 
 
+def scale_pool_width(block_size: int) -> int:
+    """Lane-aligned scale-pool minor dim: block_size rounded up to 128
+    (see PagedKV docstring)."""
+    return -(-block_size // 128) * 128
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKV:
     """One layer's paged KV state (a pytree; flows through jit/scan).
 
     int8 pools (``k_scale``/``v_scale`` not None) store one f32 scale
-    per (token, kv-head) vector in kv-head-major (n_blocks, Hkv, bs)
+    per (token, kv-head) vector in kv-head-major (n_blocks, Hkv, SP)
     pools — the same factorization as the flat dense QuantKV (attention
-    applies scales to the score matrix, never dequantizing the plane)."""
+    applies scales to the score matrix, never dequantizing the plane).
+    SP = block_size rounded up to 128 (``scale_pool_width``): the paged
+    decode kernel DMAs whole (1, Hkv, SP) scale blocks from ANY memory,
+    and Mosaic requires the minor (lane) extent of a manual-copy source
+    to be tile-aligned; columns past block_size are dead padding."""
 
     k_pool: jax.Array       # (n_blocks, block_size, Hkv*D)
     v_pool: jax.Array
     block_table: jax.Array  # (B, max_blocks) int32 pool indices
     lengths: jax.Array      # (B,) int32 valid token count per sequence
-    k_scale: Optional[jax.Array] = None   # (n_blocks, Hkv, block_size) f32
+    k_scale: Optional[jax.Array] = None   # (n_blocks, Hkv, SP) f32
     v_scale: Optional[jax.Array] = None
 
     def tree_flatten(self):
@@ -86,8 +96,9 @@ class PagedKV:
             assert n_kv_heads, "int8 pools need n_kv_heads for scale planes"
         mk = lambda: jnp.zeros((n_blocks, block_size, kv_dim),
                                jnp.int8 if quant else dtype)
-        sc = (lambda: jnp.zeros((n_blocks, n_kv_heads, block_size),
-                                jnp.float32)) if quant else (lambda: None)
+        sc = (lambda: jnp.zeros(
+            (n_blocks, n_kv_heads, scale_pool_width(block_size)),
+            jnp.float32)) if quant else (lambda: None)
         return cls(
             k_pool=mk(), v_pool=mk(),
             block_table=jnp.zeros((batch, max_blocks), jnp.int32),
@@ -179,8 +190,9 @@ def paged_gather(kv: PagedKV):
         return k, v
     from tpu_llm.ops.kv_cache import QuantKV
 
-    def scales(pool):                                  # (N, Hkv, bs)
-        s = jnp.take(pool, kv.block_table, axis=0)     # (B, MB, Hkv, bs)
+    def scales(pool):                                  # (N, Hkv, SP)
+        s = jnp.take(pool, kv.block_table, axis=0)     # (B, MB, Hkv, SP)
+        s = s[..., :bs]                                # drop lane padding
         return s.transpose(0, 2, 1, 3).reshape(B, -1, MB * bs)
 
     return (QuantKV(q=k, s=scales(kv.k_scale)),

@@ -46,6 +46,7 @@ from tpu_llm.ops.paged_kv import (
     PrefixCache,
     paged_gqa_attention,
     paged_update_tokens,
+    scale_pool_width,
 )
 from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
 from tpu_llm.runtime.engine import _next_bucket, _select_token
@@ -124,10 +125,12 @@ class PagedEngine(BatchEngine):
                   for _ in range(self.n_layers)],
             "v": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
                   for _ in range(self.n_layers)],
-            "ks": [jnp.zeros((n_blocks, cfg.n_kv_heads, block_size),
+            "ks": [jnp.zeros((n_blocks, cfg.n_kv_heads,
+                              scale_pool_width(block_size)),
                              jnp.float32) for _ in range(self.n_layers)]
             if self.quantized else None,
-            "vs": [jnp.zeros((n_blocks, cfg.n_kv_heads, block_size),
+            "vs": [jnp.zeros((n_blocks, cfg.n_kv_heads,
+                              scale_pool_width(block_size)),
                              jnp.float32) for _ in range(self.n_layers)]
             if self.quantized else None,
             "table": jnp.zeros((batch, mb), jnp.int32),
