@@ -272,3 +272,47 @@ def test_unstacked_matches_stacked():
     h_u2, _ = M.forward(pu, cfg, nxt, st_u)
     np.testing.assert_allclose(np.asarray(h_s2), np.asarray(h_u2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_split_projections_exact_parity():
+    """split_projections only re-tiles matmuls (each output column is an
+    independent dot product), so outputs agree to f32 ULP noise — XLA
+    may pick different contraction tilings for the narrower shapes."""
+    import jax.numpy as jnp
+
+    from tpu_llm.models import mamba as M
+    from tpu_llm.runtime.bench_cli import _build_mamba
+
+    params, cfg = _build_mamba()
+    sp = M.split_projections(M.unstack_layers(params))
+    assert "in_proj_x" in sp["layers"][0] and "xp_c" in sp["layers"][0]
+    # idempotent / pass-through on already-split params
+    assert M.split_projections(sp) is sp or "in_proj_x" in \
+        M.split_projections(sp)["layers"][0]
+
+    # like-for-like: unstacked fused vs unstacked split (only the weight
+    # layout differs — each output column is an independent dot product)
+    toks = jnp.asarray([[5, 9, 3]], jnp.int32)
+    un = M.unstack_layers(params)
+    h_a, st_a = M.forward(un, cfg, toks, M.init_state(cfg, 1, stacked=False))
+    h_b, st_b = M.forward(sp, cfg, toks, M.init_state(cfg, 1, stacked=False))
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_a["ssm"][2]),
+                               np.asarray(st_b["ssm"][2]),
+                               rtol=1e-5, atol=1e-6)
+
+    # stacked split (scan path) vs stacked fused also exact
+    h_c, _ = M.forward(params, cfg, toks, M.init_state(cfg, 1))
+    h_d, _ = M.forward(M.split_projections(params), cfg, toks,
+                       M.init_state(cfg, 1))
+    np.testing.assert_allclose(np.asarray(h_c), np.asarray(h_d),
+                               rtol=1e-5, atol=1e-6)
+
+    # decode step (T=1) parity through the sequential path
+    h_e, _ = M.forward(un, cfg, toks[:, :1],
+                       M.init_state(cfg, 1, stacked=False))
+    h_f, _ = M.forward(sp, cfg, toks[:, :1],
+                       M.init_state(cfg, 1, stacked=False))
+    np.testing.assert_allclose(np.asarray(h_e), np.asarray(h_f),
+                               rtol=1e-5, atol=1e-6)

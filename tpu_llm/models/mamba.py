@@ -86,22 +86,83 @@ def unstack_layers(params: Params) -> Params:
     return out
 
 
+def split_projections(params: Params) -> Params:
+    """Split the fused in_proj / x_proj weights into their consumers:
+    in_proj (E, 2di) -> in_proj_x + in_proj_z; x_proj (di, dr+2ds) ->
+    xp_dt + xp_b + xp_c.
+
+    Available as an opt-in layout transform; measured NEUTRAL on chip
+    (f32 1451 -> 1444 tok/s, bf16 2675 -> 2575): the activation-split
+    slice ops it removes reappear as copy ops feeding the now-separate
+    matmuls — Mamba-130M f32 decode is already at ~91% of its honest
+    515 MB/token roofline, so data-movement op count, not layout, is
+    what remains (experiments/r3_mamba_trace.py). Works on stacked
+    (L, ...) or unstacked layer params; _mixer_step/_mixer_scan accept
+    either layout."""
+    def split_layer(lp, di, dr, ds):
+        lp = dict(lp)
+        ip = lp.pop("in_proj")
+        lp["in_proj_x"], lp["in_proj_z"] = ip[..., :di], ip[..., di:]
+        xp = lp.pop("x_proj")
+        lp["xp_dt"] = xp[..., :dr]
+        lp["xp_b"] = xp[..., dr : dr + ds]
+        lp["xp_c"] = xp[..., dr + ds :]
+        return lp
+
+    layers = params["layers"]
+    out = dict(params)
+    if isinstance(layers, (list, tuple)):
+        if "in_proj" not in layers[0]:
+            return params
+        di = layers[0]["in_proj"].shape[-1] // 2
+        ds = layers[0]["A_log"].shape[-2]
+        dr = layers[0]["x_proj"].shape[-1] - 2 * ds
+        out["layers"] = [split_layer(lp, di, dr, ds) for lp in layers]
+        return out
+    if "in_proj" not in layers:
+        return params
+    di = layers["in_proj"].shape[-1] // 2
+    ds = layers["A_log"].shape[-2]
+    dr = layers["x_proj"].shape[-1] - 2 * ds
+    out["layers"] = split_layer(layers, di, dr, ds)
+    return out
+
+
+def _in_proj(lp, xb):
+    """(x, z) halves — pre-split weights when available."""
+    if "in_proj_x" in lp:
+        x = jnp.matmul(xb, lp["in_proj_x"], preferred_element_type=jnp.float32)
+        z = jnp.matmul(xb, lp["in_proj_z"], preferred_element_type=jnp.float32)
+        return x, z
+    d_inner = lp["in_proj"].shape[-1] // 2
+    xz = jnp.matmul(xb, lp["in_proj"], preferred_element_type=jnp.float32)
+    return xz[..., :d_inner], xz[..., d_inner:]
+
+
+def _x_proj(lp, x, dt_rank, d_state):
+    """(dt, B, C) — pre-split weights when available."""
+    if "xp_dt" in lp:
+        dt = jnp.matmul(x, lp["xp_dt"], preferred_element_type=jnp.float32)
+        Bv = jnp.matmul(x, lp["xp_b"], preferred_element_type=jnp.float32)
+        Cv = jnp.matmul(x, lp["xp_c"], preferred_element_type=jnp.float32)
+        return dt, Bv, Cv
+    x_db = jnp.matmul(x, lp["x_proj"], preferred_element_type=jnp.float32)
+    return (x_db[..., :dt_rank], x_db[..., dt_rank : dt_rank + d_state],
+            x_db[..., dt_rank + d_state :])
+
+
 def _mixer_step(cfg: MambaConfig, lp, xb, conv_state, ssm_state):
     """One token through one Mamba mixer. xb: (B, E)."""
     d_inner, d_state, dt_rank = cfg.d_inner, cfg.d_state, cfg.dt_rank_
 
-    xz = jnp.matmul(xb, lp["in_proj"], preferred_element_type=jnp.float32)
-    x, z = xz[:, :d_inner], xz[:, d_inner:]
+    x, z = _in_proj(lp, xb)
 
     # causal depthwise conv as shift register (ssm/mamba.f90:616-621)
     conv_state = jnp.concatenate([conv_state[:, 1:], x[:, None, :]], axis=1)
     x = jnp.sum(conv_state * lp["conv_w"][None], axis=1) + lp["conv_b"]
     x = silu(x)
 
-    x_db = jnp.matmul(x, lp["x_proj"], preferred_element_type=jnp.float32)
-    dt = x_db[:, :dt_rank]
-    Bv = x_db[:, dt_rank : dt_rank + d_state]
-    Cv = x_db[:, dt_rank + d_state :]
+    dt, Bv, Cv = _x_proj(lp, x, dt_rank, d_state)
 
     dt = jnp.matmul(dt, lp["dt_proj"], preferred_element_type=jnp.float32)
     dt = jax.nn.softplus(dt + lp["dt_bias"])          # (B, d_inner)
@@ -166,8 +227,7 @@ def _mixer_scan(cfg: MambaConfig, lp, xb, conv_state, ssm_state, length):
     B, T, _ = xb.shape
     d_inner, d_state, dt_rank = cfg.d_inner, cfg.d_state, cfg.dt_rank_
 
-    xz = jnp.matmul(xb, lp["in_proj"], preferred_element_type=jnp.float32)
-    x, z = xz[..., :d_inner], xz[..., d_inner:]          # (B, T, d_inner)
+    x, z = _in_proj(lp, xb)                              # (B, T, d_inner)
 
     # causal depthwise conv (width d_conv) as a sum of shifted slices;
     # the incoming shift register provides the left context
@@ -180,10 +240,7 @@ def _mixer_scan(cfg: MambaConfig, lp, xb, conv_state, ssm_state, length):
     conv_state = jax.lax.dynamic_slice_in_dim(padded, length - 1, cfg.d_conv, axis=1)
     x = silu(x_conv + lp["conv_b"])
 
-    x_db = jnp.matmul(x, lp["x_proj"], preferred_element_type=jnp.float32)
-    dt = x_db[..., :dt_rank]
-    Bv = x_db[..., dt_rank : dt_rank + d_state]          # (B, T, d_state)
-    Cv = x_db[..., dt_rank + d_state :]
+    dt, Bv, Cv = _x_proj(lp, x, dt_rank, d_state)        # Bv/Cv: (B, T, d_state)
 
     dt = jnp.matmul(dt, lp["dt_proj"], preferred_element_type=jnp.float32)
     dt = jax.nn.softplus(dt + lp["dt_bias"])             # (B, T, d_inner)

@@ -92,20 +92,62 @@ def random_llama_params(cfg, seed: int = 0):
     }
 
 
+def synth_quant_llama(cfg, kind: str = "q4_0", seed: int = 0):
+    """Random PACKED llama-family weights built with on-device RNG —
+    no host f32 materialization, no host quantize pass, no multi-GB
+    tunnel upload (the host path costs 20+ min for 7B; this is seconds).
+    Throughput benching is weight-content-independent, so these exercise
+    the same kernels as GGUF-loaded weights. Fused wqkv/w13 layout,
+    unstacked layers."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.quant.qtensor import QTensor
+
+    E, F, L, V, KV = (cfg.dim, cfg.hidden_dim, cfg.n_layers,
+                      cfg.vocab_size, cfg.kv_dim)
+    key = iter(jax.random.split(jax.random.PRNGKey(seed), 8 + 8 * L))
+
+    def qt(K, N):
+        if kind == "q4_0":
+            q = jax.random.randint(next(key), (K // 2, N), 0, 256,
+                                   jnp.int32).astype(jnp.uint8)
+        else:
+            q = jax.random.randint(next(key), (K, N), -127, 128,
+                                   jnp.int32).astype(jnp.int8)
+        scales = jax.random.uniform(next(key), (K // 32, N), jnp.float32,
+                                    0.001, 0.01)
+        return QTensor(q=q, scales=scales, kind=kind)
+
+    emb = (jax.random.normal(next(key), (V, E), jnp.bfloat16) * 0.02)
+    layers = [{
+        "attn_norm": jnp.ones((E,), jnp.float32),
+        "ffn_norm": jnp.ones((E,), jnp.float32),
+        "wqkv": qt(E, E + 2 * KV),
+        "wo": qt(E, E),
+        "w13": qt(E, 2 * F),
+        "w2": qt(F, E),
+    } for _ in range(L)]
+    return {
+        "tok_emb": emb,
+        "final_norm": jnp.ones((E,), jnp.float32),
+        "wcls": qt(E, V),
+        "layers": layers,
+    }
+
+
 def _build_llama2_7b(quant: str = "q4_0"):
     """Random Llama-2 7B-shaped weights (SURVEY.md §2.3: the model the PP
     axis exists for; q4_0 = ~3.5 GB packed, single-chip resident)."""
     from tpu_llm.config import llama2_7b
     from tpu_llm.models.llama import unstack_layers
-    from tpu_llm.quant.convert_params import (fuse_llama_layers,
-                                              quantize_llama_params)
+    from tpu_llm.quant.convert_params import fuse_llama_layers
 
     cfg = llama2_7b()
-    params = random_llama_params(cfg)
     if quant in ("q4_0", "q8_0"):
-        params = quantize_llama_params(params, quant, fuse=True)
-    else:
-        params = dict(params, layers=fuse_llama_layers(params["layers"]))
+        return synth_quant_llama(cfg, quant), cfg
+    params = random_llama_params(cfg)
+    params = dict(params, layers=fuse_llama_layers(params["layers"]))
     return unstack_layers(params), cfg
 
 
