@@ -348,3 +348,46 @@ def test_pick_tiles_prefill_shapes():
     # decode shapes (tb=8) keep the pinned round-2 tiles
     assert _pick_tiles(2048, 11264, tb=8, **q4) == (1024, 11264)
     assert _pick_tiles(2048, 32000, tb=8, **q4) == (2048, 4096)
+
+
+def test_pad_k_exact():
+    """pad_k: zero scale rows make padded weights dequantize to exactly
+    0; matmul through linear.matmul (which zero-pads x) is unchanged."""
+    import jax
+    from tpu_llm.quant.qtensor import pad_k
+    from tpu_llm.quant.linear import matmul
+
+    rng = np.random.default_rng(12)
+    K, N = 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    for kind in ("q4_0", "q8_0"):
+        qt = quantize_tensor(w, kind)
+        qp = jax.jit(lambda q: pad_k(q, 1024))(qt)
+        assert qp.shape == (1024, N)
+        deq = np.asarray(dequantize(qp, jnp.float32))
+        np.testing.assert_array_equal(deq[:K],
+                                      np.asarray(dequantize(qt, jnp.float32)))
+        np.testing.assert_array_equal(deq[K:], 0.0)
+        np.testing.assert_array_equal(np.asarray(matmul(x, qp)),
+                                      np.asarray(matmul(x, qt)))
+
+
+def test_unpack_pads_awkward_7b_k():
+    """unpack_params_int4 pads K dims with no >=1024 legal tile: the
+    Llama-2 7B w2 shape (K=11008=2^8*43, full-width N) tiles at tk=256
+    otherwise. TinyLlama's w2 (K=5632, full-K tile) must NOT pad."""
+    import jax
+    from tpu_llm.quant.convert_params import unpack_params_int4
+    from tpu_llm.quant.qtensor import QTensor
+
+    q = jnp.zeros((11008 // 2, 4096), jnp.uint8)
+    s = jnp.ones((11008 // 32, 4096), jnp.float32)
+    out = jax.jit(unpack_params_int4)({"w2": QTensor(q, s, "q4_0")})
+    assert out["w2"].shape == (11264, 4096)
+    assert out["w2"].kind == "q4_0i4"
+
+    q5 = jnp.zeros((5632 // 2, 2048), jnp.uint8)
+    s5 = jnp.ones((5632 // 32, 2048), jnp.float32)
+    out5 = jax.jit(unpack_params_int4)({"w2": QTensor(q5, s5, "q4_0")})
+    assert out5["w2"].shape == (5632, 2048)

@@ -75,9 +75,26 @@ def unpack_params_int4(params, pack_scales=False):
 
     from tpu_llm.quant.qtensor import pack_scales_bf16, pack_scales_f16, to_int4
 
+    def maybe_pad_k(x):
+        """Pad awkward contraction dims (no >=1024 legal K-tile) to the
+        next 1024 multiple — Llama-2 7B's w2 (K=11008=2^8*43) otherwise
+        tiles at tk=256 (~650 GB/s class). Zero scale rows make padding
+        numerically exact; linear.matmul zero-pads x to match."""
+        from tpu_llm.quant.pallas_matmul import _pick_tiles, _tile_params
+        from tpu_llm.quant.qtensor import pad_k
+
+        K, N = x.shape[-2], x.shape[-1]
+        if K <= 1024 or K % 1024 == 0:
+            return x
+        tk, _ = _pick_tiles(K, N, **_tile_params(x))
+        if tk is not None and tk >= 1024:
+            return x
+        return pad_k(x, 1024)
+
     def leaf(x):
         if not isinstance(x, QTensor):
             return x
+        x = maybe_pad_k(x)
         x = to_int4(x)
         if x.kind != "q4_0i4":
             return x

@@ -33,6 +33,11 @@ def matmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
     accumulator un-rounded (e.g. the classifier's logits)."""
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QTensor):
+        Kq, K = w.shape[-2], x.shape[-1]
+        if Kq > K:
+            # K-padded QTensor (qtensor.pad_k): zero scale rows make the
+            # padded region contribute exactly 0 — pad x to match
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kq - K)])
         rows = 1
         for d in x.shape[:-1]:
             rows *= d

@@ -312,3 +312,31 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     if qt.kind in ("q4_1", "q5_1"):
         out = out + rep(qt.mins)
     return out
+
+
+def pad_k(qt: QTensor, k_multiple: int = 1024) -> QTensor:
+    """Zero-pad the contraction dim to a multiple of ``k_multiple``.
+
+    Padded SCALE rows are zero, so every padded weight dequantizes to
+    exactly 0 regardless of the padded q bytes — the matmul result over
+    a zero-padded x is bit-identical. Purpose: K dims with no large
+    256-multiple divisor (Llama-2 7B's w2 has K=11008 = 2^8*43, whose
+    only legal K-tiles are 256 and 11008) force tiny K-tiles on the
+    fused kernel; padding to 11264 = 11*1024 restores tk=1024-class
+    tiles (~650 -> ~750+ GB/s on w2-shaped r2_tile_pipeline points).
+    jit-traceable; callers pad x rows on the fly (linear.matmul)."""
+    *lead, K, N = qt.shape
+    Kp = -(-K // k_multiple) * k_multiple
+    if Kp == K:
+        return qt
+    if qt.kind not in ("q4_0", "q8_0", "q4_0i4"):
+        return qt                      # affine kinds: no fused kernel
+    extra = Kp - K
+    rows = extra // 2 if qt.kind == "q4_0" else extra
+    pad_rows = [(0, 0)] * len(lead) + [(0, rows), (0, 0)]
+    pad_scales = [(0, 0)] * len(lead) + [(0, extra // 32), (0, 0)]
+    return QTensor(
+        q=jnp.pad(qt.q, pad_rows),
+        scales=jnp.pad(qt.scales, pad_scales),
+        kind=qt.kind,
+    )
