@@ -141,7 +141,14 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
     # are tiny and this admits exactly the measured-best tiles the old
     # 6.75MB-per-(q+scales)-buffer budget chose (w13 q4+bf16s tk=1024:
     # 13.76MB; q4+f32s tk=1024: 15.2MB rejected -> 512; q8 tk=1024:
-    # rejected). For PREFILL (tb=256) the out tile dominates — a
+    # rejected). NOT raised to admit Llama-2 7B's w13 full-width
+    # stripe (512, 22016, 14.1MB): the serialized-chain sweep rated it
+    # 810 vs 640 GB/s for the (1024/2048, 4096) fallback, but the FULL
+    # MODEL runs the narrow-stripe fallback at ~795 GB/s and got SLOWER
+    # with the full-width stripe admitted (153.1 -> 147.5 tok/s) —
+    # single-matmul chains under-rate narrow stripes
+    # (experiments/r3_7b_tiles.py vs r3_7b_trace.py). For PREFILL
+    # (tb=256) the out tile dominates — a
     # full-width w13 stripe is 2x256x11264x4 = 22.5MB of out buffer
     # alone, the exact scoped-VMEM OOM r3 hit at T=2048 — so wide-N
     # shapes drop to narrower stripes (pinned by

@@ -246,7 +246,11 @@ def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
     def make_run(length):
         @jax.jit
         def decode_n(params, token, cache, pos0):
-            if on_tpu:  # int4 planes, hoisted ahead of the scan
+            if on_tpu:  # int4 planes, hoisted ahead of the scan.
+                # Scales stay f32 here: bf16 scale planes WIN on
+                # TinyLlama shapes (bench.py's headline config) but LOSE
+                # on 7B (153.1 -> 147.5 tok/s) and q8_0 — pack only
+                # where measured (r3 A/Bs, 2026-08-19).
                 params = unpack_params_int4(params)
 
             def body(carry, _):
