@@ -92,6 +92,24 @@ def random_llama_params(cfg, seed: int = 0):
     }
 
 
+def _synth_qtensor(key, K, N, kind):
+    """Random packed QTensor with on-device RNG (see synth_quant_llama)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.quant.qtensor import QTensor
+
+    kq, ks = jax.random.split(key)
+    if kind == "q4_0":
+        q = jax.random.randint(kq, (K // 2, N), 0, 256,
+                               jnp.int32).astype(jnp.uint8)
+    else:
+        q = jax.random.randint(kq, (K, N), -127, 128,
+                               jnp.int32).astype(jnp.int8)
+    scales = jax.random.uniform(ks, (K // 32, N), jnp.float32, 0.001, 0.01)
+    return QTensor(q=q, scales=scales, kind=kind)
+
+
 def synth_quant_llama(cfg, kind: str = "q4_0", seed: int = 0):
     """Random PACKED llama-family weights built with on-device RNG —
     no host f32 materialization, no host quantize pass, no multi-GB
@@ -102,22 +120,12 @@ def synth_quant_llama(cfg, kind: str = "q4_0", seed: int = 0):
     import jax
     import jax.numpy as jnp
 
-    from tpu_llm.quant.qtensor import QTensor
-
     E, F, L, V, KV = (cfg.dim, cfg.hidden_dim, cfg.n_layers,
                       cfg.vocab_size, cfg.kv_dim)
     key = iter(jax.random.split(jax.random.PRNGKey(seed), 8 + 8 * L))
 
     def qt(K, N):
-        if kind == "q4_0":
-            q = jax.random.randint(next(key), (K // 2, N), 0, 256,
-                                   jnp.int32).astype(jnp.uint8)
-        else:
-            q = jax.random.randint(next(key), (K, N), -127, 128,
-                                   jnp.int32).astype(jnp.int8)
-        scales = jax.random.uniform(next(key), (K // 32, N), jnp.float32,
-                                    0.001, 0.01)
-        return QTensor(q=q, scales=scales, kind=kind)
+        return _synth_qtensor(next(key), K, N, kind)
 
     emb = (jax.random.normal(next(key), (V, E), jnp.bfloat16) * 0.02)
     layers = [{
@@ -186,9 +194,21 @@ def _build_phi2(quant: str = "bf16"):
         },
     }
     if quant in ("q4_0", "q8_0"):
-        from tpu_llm.quant.convert_params import quantize_llama_params
+        # device-side packed synth (the host quantize pass for 2.7B of
+        # f32 costs minutes; same kernels either way)
+        import jax
 
-        params = quantize_llama_params(params, quant, fuse=False)
+        key = iter(jax.random.split(jax.random.PRNGKey(1), 8 * L + 8))
+        for k in ("wq", "wk", "wv", "wo", "w3", "w2"):
+            K, N = params["layers"][k].shape[1:]
+            params["layers"][k] = [
+                _synth_qtensor(next(key), K, N, quant) for _ in range(L)]
+        params["wcls"] = _synth_qtensor(next(key), E, V, quant)
+        layers = params.pop("layers")
+        # unstack: [i] slices both the stacked (L, ...) dense leaves and
+        # the per-layer QTensor lists
+        out = [{k: layers[k][i] for k in layers} for i in range(L)]
+        return dict(params, layers=out), cfg
     from tpu_llm.models.llama import unstack_layers
 
     return unstack_layers(params), cfg
