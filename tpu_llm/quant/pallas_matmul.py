@@ -154,29 +154,33 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
     # shapes drop to narrower stripes (pinned by
     # test_pick_tiles_prefill_shapes).
 
-    def fits(tk, tn):
+    def fits(tk, tn, slack=0):
         return 2 * (tk * tn * packed_itemsize
                     + (tk // 32) * tn * scale_itemsize
                     + tb * tk * x_itemsize
-                    + tb * tn * 4) <= budget
+                    + tb * tn * 4) <= budget - slack
 
-    def best_tk(width):
+    def best_tk(width, slack=0):
         # largest multiple-of-256 divisor of K within the VMEM budget
         cands = (t for t in range(256, K + 1, 256)
-                 if K % t == 0 and fits(t, width))
+                 if K % t == 0 and fits(t, width, slack))
         return max(cands, default=None)
 
-    def best_pair(widths):
+    def best_pair(widths, slack=0):
         # largest tk first, then the wider stripe
-        pairs = [(best_tk(tn), tn) for tn in widths if tn <= N]
+        pairs = [(best_tk(tn, slack), tn) for tn in widths if tn <= N]
         pairs = [(tk, tn) for tk, tn in pairs if tk is not None]
         return max(pairs) if pairs else None
 
     if N > 16384:  # vocab-sized: full width would blow the tile budget
         # prefer the largest tk, then the wider stripe: q4 gets
         # (2048, 4096) — 719 GB/s vs 699 at tn=2048 (r2_tile_pipeline) —
-        # q8's bigger tiles get (2048, 2048)
-        pair = best_pair((4096, 2048))
+        # q8's bigger tiles get (2048, 2048). 3MB slack: Mosaic's real
+        # scoped usage on single-k-step vocab stripes runs ~2.8MB above
+        # the window model (phi-2's (2560, 4096) classifier tile modeled
+        # 13.5MB but OOM'd at 16.32M); TinyLlama's pinned wcls tiles
+        # model <= 10.9MB and keep their choices.
+        pair = best_pair((4096, 2048), slack=3 * 1024 * 1024)
         if pair:
             return pair
     tk = best_tk(N)
