@@ -89,6 +89,25 @@ def test_pallas_qmatmul_3d_input():
     np.testing.assert_allclose(got.reshape(-1, N), expected, rtol=2e-4, atol=2e-4)
 
 
+def test_tiles_gate_matches_kernel_itemsize():
+    """The gate and the kernel evaluate the same VMEM budget: for every
+    activation itemsize, pallas_tiles_ok agrees with _pick_tiles given
+    that itemsize (ADVICE r2 — the gate used to hardcode f32)."""
+    from tpu_llm.quant.pallas_matmul import _pick_tiles, _row_tile, _tile_params
+
+    rng = np.random.default_rng(11)
+    for K, N in [(128, 256), (2048, 2048), (2048, 32000), (5632, 2048),
+                 (96, 256), (2048, 96)]:
+        w = rng.standard_normal((K, N)).astype(np.float32)
+        qt = quantize_tensor(w, "q4_0")
+        for rows in (1, 256):
+            for itemsize in (2.0, 4.0):
+                tk, tn = _pick_tiles(K, N, tb=_row_tile(rows),
+                                     x_itemsize=itemsize, **_tile_params(qt))
+                want = tk is not None and tn is not None
+                assert pallas_tiles_ok(qt, rows, x_itemsize=itemsize) == want
+
+
 def test_to_int4_dequant_parity():
     import jax
     from tpu_llm.quant.qtensor import to_int4

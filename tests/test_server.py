@@ -251,6 +251,88 @@ def test_chat_stream_delta_shape(server):
         assert ev["choices"][0]["delta"]["content"] == ev["text"]
 
 
+def test_stop_token_not_in_content(server):
+    """When generation ends on the stop token, the EOS id must not leak
+    into content/tokens/usage (OpenAI semantics — ADVICE r2 medium)."""
+    port, engine, tokenizer = server
+    # find what the model actually generates so we can make one of those
+    # tokens "the EOS" for this test
+    _, free = _post(port, "/v1/completions",
+                    {"prompt": "abc", "max_tokens": 6})
+    assert free["n_tokens"] == 6
+    # pick a fake EOS that does not occur earlier in the greedy sequence
+    # (tiny models repeat tokens; an earlier hit would shift the cut)
+    cut = next(i for i in range(1, 6)
+               if free["tokens"][i] not in free["tokens"][:i])
+    fake_eos = free["tokens"][cut]
+    old_eos = engine.eos_id
+    engine.eos_id = fake_eos
+    try:
+        _, out = _post(port, "/v1/completions",
+                       {"prompt": "abc", "max_tokens": 6,
+                        "stop_at_eos": True})
+        assert out["choices"][0]["finish_reason"] == "stop"
+        # the engine generated tokens[:cut+1] then retired on fake_eos;
+        # the visible completion excludes it — no EOS in content/counts
+        assert out["tokens"] == free["tokens"][:cut]
+        assert out["n_tokens"] == cut
+        assert out["usage"]["completion_tokens"] == cut
+        assert out["completion"] == _decode(tokenizer, free["tokens"][:cut])
+
+        # stream path: the EOS delta is suppressed too
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "abc", "max_tokens": 6,
+                             "stop_at_eos": True, "stream": True}).encode(),
+            method="POST",
+        )
+        events = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.strip()
+                if line.startswith(b"data: ") and line != b"data: [DONE]":
+                    events.append(json.loads(line[6:]))
+        assert events[-1]["done"] is True and events[-1]["n_tokens"] == cut
+        assert [e["token"] for e in events[:-1]] == free["tokens"][:cut]
+    finally:
+        engine.eos_id = old_eos
+
+
+def test_usage_counts_bos(server):
+    """usage.prompt_tokens includes the BOS the engine prepends at
+    admission (ADVICE r2)."""
+    port, engine, tokenizer = server
+    _, out = _post(port, "/v1/completions",
+                   {"prompt": "ab", "max_tokens": 2})
+    n_bos = 1 if getattr(engine, "bos_id", -1) >= 0 else 0
+    assert out["usage"]["prompt_tokens"] == len(tokenizer.encode("ab")) + n_bos
+
+
+def test_chat_stream_openai_shape(server):
+    """Chat stream chunks carry the chatcmpl- id prefix and the first
+    delta announces role=assistant (ADVICE r2)."""
+    port, _, _ = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "ab"}],
+                         "max_tokens": 3, "stream": True,
+                         "chat_template": "plain",
+                         "stop_at_eos": False}).encode(),
+        method="POST",
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: ") and line != b"data: [DONE]":
+                events.append(json.loads(line[6:]))
+    deltas = events[:-1]
+    assert deltas and all(e["id"].startswith("chatcmpl-") for e in deltas)
+    assert deltas[0]["choices"][0]["delta"]["role"] == "assistant"
+    for e in deltas[1:]:
+        assert "role" not in e["choices"][0]["delta"]
+
+
 def test_chat_bad_messages(server):
     port, _, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -509,8 +509,8 @@ def paged_flash_decode_q(
     q: jax.Array,            # (B, 1, H, D)
     k_pool: jax.Array,       # (N, BS, Hkv*D) int8
     v_pool: jax.Array,
-    k_scale: jax.Array,      # (N, Hkv, BS) f32
-    v_scale: jax.Array,
+    k_scale: jax.Array,      # (N, Hkv, SP) f32 — SP = scale_pool_width(BS),
+    v_scale: jax.Array,      #   lane-padded; only the first BS cols are live
     block_table: jax.Array,  # (B, MB) int32
     positions: jax.Array,    # (B,) int32
     *,

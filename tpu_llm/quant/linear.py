@@ -41,7 +41,8 @@ def matmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        if _use_pallas() and pallas_tiles_ok(w, rows):
+        if _use_pallas() and pallas_tiles_ok(
+                w, rows, x_itemsize=float(jnp.dtype(x.dtype).itemsize)):
             return qmatmul_pallas(x, w, out_dtype=out_dtype)
         wd = dequantize(w, dtype=jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)

@@ -213,13 +213,20 @@ def _tile_params(qt: QTensor) -> dict:
     }
 
 
-def pallas_tiles_ok(qt: QTensor, rows: int = 1) -> bool:
+def pallas_tiles_ok(qt: QTensor, rows: int = 1, x_itemsize: float = 4.0) -> bool:
+    """True if the fused kernel can tile this shape.
+
+    ``x_itemsize`` must match the activation dtype the kernel will see —
+    the gate and ``qmatmul_pallas`` evaluate the same VMEM budget, so a
+    mismatch (e.g. modelling bf16 prefill activations as f32) can gate a
+    compilable shape off to the slower XLA dequant path."""
     if qt.kind not in ("q4_0", "q8_0", "q4_0i4"):
         return False  # q4_1 (affine) has no fused kernel yet -> XLA path
     if qt.q.ndim != 2:
         return False
     K, N = qt.shape[-2], qt.shape[-1]
-    tk, tn = _pick_tiles(K, N, tb=_row_tile(rows), **_tile_params(qt))
+    tk, tn = _pick_tiles(K, N, tb=_row_tile(rows), x_itemsize=x_itemsize,
+                         **_tile_params(qt))
     return tk is not None and tn is not None
 
 

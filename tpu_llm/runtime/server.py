@@ -296,6 +296,21 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 return "stop"
             return "length"
 
+        def _visible_tokens(self, req) -> list:
+            """Generated tokens minus the trailing stop token.
+
+            The engine appends the EOS id to ``req.tokens`` before
+            retiring; OpenAI clients expect ``content`` without the stop
+            token and ``completion_tokens`` not to count it."""
+            if self._finish_reason(req) == "stop":
+                return req.tokens[:-1]
+            return req.tokens
+
+        def _n_prompt(self, req) -> int:
+            # count the BOS the engine prepends at admission
+            n_bos = 1 if getattr(loop.engine, "bos_id", -1) >= 0 else 0
+            return len(req.prompt) + n_bos
+
         def _decode(self, toks) -> str:
             out = tokenizer.decode(toks)
             if isinstance(out, bytes):
@@ -312,7 +327,8 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 return
             ttft = ((tracker.t_first or time.monotonic())
                     - tracker.t_enqueue)
-            text = self._decode(req.tokens)
+            vis = self._visible_tokens(req)
+            text = self._decode(vis)
             finish = self._finish_reason(req)
             if chat:
                 choice = {"index": 0, "finish_reason": finish,
@@ -322,8 +338,8 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
             self._json(200, {
                 # native fields (tests, llm-serve parity)
                 "completion": text,
-                "tokens": req.tokens,
-                "n_tokens": len(req.tokens),
+                "tokens": vis,
+                "n_tokens": len(vis),
                 "ttft_s": round(ttft, 4),
                 # OpenAI-compatible superset
                 "id": f"{'chatcmpl' if chat else 'cmpl'}-{req.rid}",
@@ -331,9 +347,9 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 "created": int(time.time()),
                 "model": model_name,
                 "choices": [choice],
-                "usage": {"prompt_tokens": len(req.prompt),
-                          "completion_tokens": len(req.tokens),
-                          "total_tokens": len(req.prompt) + len(req.tokens)},
+                "usage": {"prompt_tokens": self._n_prompt(req),
+                          "completion_tokens": len(vis),
+                          "total_tokens": self._n_prompt(req) + len(vis)},
             })
 
         def _stream_response(self, req, tracker: _Tracker,
@@ -353,6 +369,8 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
 
             deadline = time.monotonic() + request_timeout_s
             sent = 0
+            first = True
+            eos_id = getattr(loop.engine, "eos_id", -1)
             try:
                 while True:
                     try:
@@ -364,24 +382,32 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     if tok is None:
                         break
                     sent += 1
+                    if req.stop_at_eos and tok == eos_id:
+                        continue  # stop token is not content (ADVICE r2)
                     # decode incrementally against the full prefix so
                     # multi-token UTF-8/whitespace merges stay byte-exact
                     text = self._decode(req.tokens[:sent])
                     prev = self._decode(req.tokens[:sent - 1])
                     delta = text[len(prev):]
                     if chat:
+                        # OpenAI SDKs expect role in the first chat delta
+                        d = ({"role": "assistant", "content": delta}
+                             if first else {"content": delta})
                         choice = {"index": 0, "finish_reason": None,
-                                  "delta": {"content": delta}}
+                                  "delta": d}
                     else:
                         choice = {"index": 0, "finish_reason": None,
                                   "text": delta}
+                    first = False
                     ev = {"token": tok, "text": delta,
-                          "id": f"cmpl-{req.rid}", "model": model_name,
+                          "id": f"{'chatcmpl' if chat else 'cmpl'}-{req.rid}",
+                          "model": model_name,
                           "object": ("chat.completion.chunk" if chat
                                      else "text_completion"),
                           "choices": [choice]}
                     chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
-                fin = {"done": True, "n_tokens": len(req.tokens),
+                fin = {"done": True,
+                       "n_tokens": len(self._visible_tokens(req)),
                        "choices": [{"index": 0,
                                     "finish_reason": self._finish_reason(req),
                                     **({"delta": {}} if chat
