@@ -279,3 +279,91 @@ def test_batched_speculative_int8_cache():
     spec.run()
     for a, b in zip(rp, rs):
         assert a.tokens == b.tokens
+
+
+def test_top_k_one_matches_greedy():
+    """top_k=1 at temperature>0 collapses the distribution to the argmax,
+    so the stream must equal the greedy stream — pins the traced filter
+    path (engine-level top-k/top-p, round 3)."""
+    _, _, _, be, se = setup()
+    greedy = single_stream_tokens(se, [5, 11], 6)
+    r = be.submit(Request(prompt=[5, 11], max_new=6, temperature=0.9,
+                          seed=3, top_k=1))
+    be.run()
+    assert r.tokens == greedy
+    # single-stream engine: same collapse, both loop styles
+    res = se.generate([5, 11], n_new=6, temperature=0.9, seed=3, top_k=1)
+    assert res.tokens[2:] == greedy
+    res = se.generate([5, 11], n_new=6, temperature=0.9, seed=3, top_k=1,
+                      use_scan=True)
+    assert res.tokens[2:] == greedy
+
+
+def test_top_p_tiny_matches_greedy():
+    """A vanishing nucleus keeps only the top token."""
+    _, _, _, be, se = setup()
+    greedy = single_stream_tokens(se, [3], 5)
+    r = be.submit(Request(prompt=[3], max_new=5, temperature=1.3,
+                          seed=11, top_p=1e-9))
+    be.run()
+    assert r.tokens == greedy
+
+
+def test_filtered_and_plain_share_batch():
+    """A filtered request and a plain greedy request decode in the same
+    batch: the filtered step variant must leave greedy slots greedy."""
+    _, _, _, be, se = setup()
+    r1 = be.submit(Request(prompt=[5, 11], max_new=6))
+    r2 = be.submit(Request(prompt=[3], max_new=6, temperature=0.9,
+                           seed=5, top_k=1))
+    be.run()
+    assert r1.tokens == single_stream_tokens(se, [5, 11], 6)
+    assert r2.tokens == single_stream_tokens(se, [3], 6)
+
+
+def test_filtered_sample_matches_static_sampler():
+    """filtered_sample (traced knobs) agrees with sample_token (static
+    knobs) for the same key on identical filter settings."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_llm.ops.sampling import filtered_sample, sample_token
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((64,)).astype(np.float32))
+    for temp, k, p in [(0.7, 5, 1.0), (1.1, 0, 0.6), (0.9, 8, 0.8),
+                       (1.0, 1, 1.0)]:
+        for seed in range(4):
+            key = jax.random.PRNGKey(seed)
+            want = sample_token(key, logits, temperature=temp,
+                                top_k=k or None, top_p=p)
+            got = filtered_sample(logits, key, jnp.float32(temp),
+                                  jnp.int32(k), jnp.float32(p))
+            assert int(want) == int(got), (temp, k, p, seed)
+
+
+def test_cancel_mid_decode():
+    """cancel() retires a live request immediately; the surviving request
+    is unaffected and a new request can reuse the freed slot."""
+    _, _, _, be, se = setup(batch=2)
+    r1 = be.submit(Request(prompt=[5, 11], max_new=12))
+    r2 = be.submit(Request(prompt=[3], max_new=8))
+    for _ in range(3):
+        be.step()
+    n_at_cancel = len(r1.tokens)
+    assert be.cancel(r1) is True
+    assert r1.done and be.cancel(r1) is False
+    r3 = be.submit(Request(prompt=[7, 7, 24], max_new=4))
+    be.run()
+    # cancel may race the one-step-lagged fetch by at most one token
+    assert len(r1.tokens) <= n_at_cancel + 1
+    assert r2.tokens == single_stream_tokens(se, [3], 8)
+    assert r3.tokens == single_stream_tokens(se, [7, 7, 24], 4)
+
+
+def test_cancel_queued_request():
+    _, _, _, be, _ = setup(batch=1)
+    r1 = be.submit(Request(prompt=[5], max_new=4))
+    r2 = be.submit(Request(prompt=[3], max_new=4))   # queued behind r1
+    assert be.cancel(r2) is True and r2.done
+    be.run()
+    assert r1.done and len(r1.tokens) == 4 and r2.tokens == []

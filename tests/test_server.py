@@ -342,3 +342,80 @@ def test_chat_bad_messages(server):
         _post(port, "/v1/chat/completions",
               {"messages": [{"role": "user"}]})
     assert e.value.code == 400
+
+
+def test_stop_strings(server):
+    """OpenAI `stop`: generation is cancelled at the earliest match and
+    the match itself is excluded from the content."""
+    port, _, tokenizer = server
+    _, free = _post(port, "/v1/completions",
+                    {"prompt": "abc", "max_tokens": 8})
+    full = free["completion"]
+    assert len(full) > 4
+    # pick a mid-text substring as the stop string
+    pos = len(full) // 2
+    stop = full[pos:pos + 2]
+    first = full.find(stop)       # earliest occurrence rules
+    _, out = _post(port, "/v1/completions",
+                   {"prompt": "abc", "max_tokens": 8, "stop": stop})
+    assert out["choices"][0]["finish_reason"] == "stop"
+    assert out["completion"] == full[:first]
+    assert stop not in out["completion"]
+    assert out["usage"]["completion_tokens"] == out["n_tokens"] == len(out["tokens"])
+
+    # stream path: concatenated deltas give the same truncated text
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": "abc", "max_tokens": 8, "stop": [stop],
+                         "stream": True}).encode(),
+        method="POST",
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: ") and line != b"data: [DONE]":
+                events.append(json.loads(line[6:]))
+    assert events[-1]["done"] is True
+    assert events[-1]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(e["text"] for e in events[:-1])
+    assert text == full[:first]
+
+
+def test_stop_string_no_match_flushes_holdback(server):
+    """A stop string that never completes must not swallow withheld text:
+    the stream flushes the full generation at the end."""
+    port, _, _ = server
+    _, free = _post(port, "/v1/completions",
+                    {"prompt": "abc", "max_tokens": 6})
+    full = free["completion"]
+    # a stop whose PREFIX appears at the very end of the text (worst-case
+    # holdback) but which never completes
+    stop = full[-2:] + "\x00NEVERMATCHES"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": "abc", "max_tokens": 6, "stop": stop,
+                         "stream": True}).encode(),
+        method="POST",
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: ") and line != b"data: [DONE]":
+                events.append(json.loads(line[6:]))
+    text = "".join(e["text"] for e in events[:-1])
+    assert text == full
+    assert events[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_top_k_param_passthrough(server):
+    """top_k=1 at temperature>0 must reproduce the greedy completion
+    through the HTTP layer."""
+    port, _, _ = server
+    _, greedy = _post(port, "/v1/completions",
+                      {"prompt": "abc", "max_tokens": 5})
+    _, out = _post(port, "/v1/completions",
+                   {"prompt": "abc", "max_tokens": 5, "temperature": 0.9,
+                    "seed": 9, "top_k": 1})
+    assert out["tokens"] == greedy["tokens"]

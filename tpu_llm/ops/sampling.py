@@ -40,6 +40,42 @@ def _cdf_sample(key: jax.Array, probs: jax.Array) -> jax.Array:
     return jnp.minimum(idx, probs.shape[-1] - 1).astype(jnp.int32)
 
 
+def filtered_sample(
+    logits: jax.Array,
+    key: jax.Array,
+    temperature: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+) -> jax.Array:
+    """Branch-free greedy/top-k/top-p/CDF sampling over TRACED knobs.
+
+    One-row variant (vocab,) for ``jax.vmap`` across batch slots: every
+    argument may differ per slot without recompiling the decode step.
+    ``top_k == 0`` and ``top_p >= 1.0`` are identity filters, and
+    ``temperature == 0`` short-circuits to greedy — so a single compiled
+    step serves any mix of per-request sampling settings.
+    """
+    v = logits.shape[-1]
+    t = jnp.maximum(temperature, 1e-8)
+    x = logits.astype(jnp.float32) / t
+    # traced top-k: ascending sort, threshold at the (V-k)'th entry
+    k = jnp.clip(top_k.astype(jnp.int32), 0, v)
+    sx = jnp.sort(x, axis=-1)
+    kth = jax.lax.dynamic_index_in_dim(
+        sx, v - jnp.maximum(k, 1), keepdims=False)
+    x = jnp.where((k > 0) & (x < kth), -jnp.inf, x)
+    probs = jax.nn.softmax(x, axis=-1)
+    # traced top-p: nucleus cutoff; p >= 1.0 keeps everything
+    sp = jnp.sort(probs, axis=-1)[..., ::-1]
+    csum = jnp.cumsum(sp, axis=-1)
+    keep = csum - sp < jnp.minimum(top_p, 1.0)
+    cutoff = jnp.min(jnp.where(keep, sp, jnp.inf), axis=-1, keepdims=False)
+    probs = jnp.where(probs < cutoff, 0.0, probs)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    sampled = _cdf_sample(key, probs)
+    return jnp.where(temperature > 0, sampled, greedy(logits))
+
+
 def sample_token(
     key: jax.Array,
     logits: jax.Array,

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_llm.ops.sampling import filtered_sample
 from tpu_llm.runtime.engine import (ModelAdapter, _lookup_draft, _next_bucket,
                                     _select_token)
 
@@ -48,10 +49,30 @@ class Request:
     seed: int = 0
     stream: Optional[Callable[[int], None]] = None
     stop_at_eos: bool = False
+    top_k: int = 0               # 0 = no top-k filter
+    top_p: float = 1.0           # 1.0 = no nucleus filter
     # filled by the engine:
     rid: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)  # generated only
     done: bool = False
+
+
+def _req_filters(req: Request):
+    """(top_k, top_p) device scalars for a filtered request, else
+    (None, None) — None selects the cheap sampler's jit cache entry."""
+    if req.top_k > 0 or req.top_p < 1.0:
+        return jnp.int32(req.top_k), jnp.float32(req.top_p)
+    return None, None
+
+
+def _sample_rows(logits, keys, temps, topks, topps):
+    """Per-slot sampling: the cheap greedy/CDF path unless any request in
+    the compiled variant carries a top-k/top-p filter (``topks is None``
+    distinguishes the two jit cache entries — filters cost two vocab
+    sorts per slot, so the plain path must not pay for them)."""
+    if topks is None:
+        return jax.vmap(_select_token)(logits, keys, temps)
+    return jax.vmap(filtered_sample)(logits, keys, temps, topks, topps)
 
 
 @dataclasses.dataclass
@@ -111,15 +132,17 @@ class BatchEngine:
 
     # -- jitted bodies ----------------------------------------------------
 
-    def _step_impl(self, params, tokens, state, offsets, keys, temps):
+    def _step_impl(self, params, tokens, state, offsets, keys, temps,
+                   topks=None, topps=None):
         hidden, state = self.adapter.apply(
             params, tokens=tokens[:, None], state=state, offset=offsets
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
-        sampled = jax.vmap(_select_token)(logits, keys, temps)
+        sampled = _sample_rows(logits, keys, temps, topks, topps)
         return sampled, state
 
-    def _verify_impl(self, params, tokens, state, offsets, keys, temps):
+    def _verify_impl(self, params, tokens, state, offsets, keys, temps,
+                     topks=None, topps=None):
         """Speculative verify (tokens (B, K+1) at per-slot offsets):
         greedy next-token chain for every window position, plus a sampled
         token from position 0 for temperature>0 slots (which accept no
@@ -129,10 +152,11 @@ class BatchEngine:
         )
         logits = self.adapter.lm_head(params, hidden=hidden)  # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        sampled0 = jax.vmap(_select_token)(logits[:, 0], keys, temps)
+        sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
         return chain, sampled0, state
 
-    def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp):
+    def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp,
+                      topk=None, topp=None):
         """Prefill ``tokens`` (1, Tpad) into fresh batch-1 state rows, then
         scatter them into the batch state at ``slot``. Returns the first
         sampled token and the updated state."""
@@ -147,7 +171,10 @@ class BatchEngine:
         )
         last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
         logits = self.adapter.lm_head(params, hidden=last)[:, 0, :]
-        sampled = _select_token(logits, key, temp)[0]
+        if topk is None:
+            sampled = _select_token(logits, key, temp)[0]
+        else:
+            sampled = filtered_sample(logits[0], key, temp, topk, topp)
         state = jax.tree_util.tree_map(
             lambda a, b: jax.lax.dynamic_update_slice_in_dim(
                 a, b.astype(a.dtype), slot, axis=ax),
@@ -190,7 +217,7 @@ class BatchEngine:
                 sampled, self.state = self._prefill(
                     self.params, jnp.asarray(toks), self.state,
                     jnp.int32(idx), jnp.int32(n_in - 1), sub,
-                    jnp.float32(req.temperature),
+                    jnp.float32(req.temperature), *_req_filters(req),
                 )
                 # one host fetch per REQUEST (not per token): the prefill
                 # token is the request's first generated token
@@ -216,6 +243,35 @@ class BatchEngine:
         if ends or slot.pos >= self.max_seq:
             req.done = True
             slot.req = None
+
+    def _filter_vecs(self, live):
+        """Per-slot (top_k, top_p) vectors, or (None, None) when no live
+        request filters — keeping the plain step's compiled variant."""
+        if not any(r.top_k > 0 or r.top_p < 1.0 for _, r in live):
+            return None, None
+        topks = np.zeros((self.batch,), np.int32)
+        topps = np.ones((self.batch,), np.float32)
+        for i, r in live:
+            topks[i] = r.top_k
+            topps[i] = r.top_p
+        return jnp.asarray(topks), jnp.asarray(topps)
+
+    def cancel(self, req: Request) -> bool:
+        """Retire ``req`` immediately (client disconnect, stop-string
+        match). Safe between steps: in-flight bookkeeping skips retired
+        slots (``slot.req is not req``). Returns True if it was live."""
+        if req.done:
+            return False
+        for slot in self.slots:
+            if slot.req is req:
+                req.done = True
+                slot.req = None
+                return True
+        if req in self._queue:          # never admitted
+            self._queue.remove(req)
+            req.done = True
+            return True
+        return False
 
     _POP = object()        # sentinel: collect whatever is in flight
 
@@ -267,7 +323,8 @@ class BatchEngine:
 
         chain_d, sampled0_d, self.state = self._verify(
             self.params, jnp.asarray(toks), self.state,
-            jnp.asarray(offsets), jnp.stack(keys), jnp.asarray(temps))
+            jnp.asarray(offsets), jnp.stack(keys), jnp.asarray(temps),
+            *self._filter_vecs(live))
         chain = np.asarray(jax.device_get(chain_d))
         sampled0 = np.asarray(jax.device_get(sampled0_d))
 
@@ -342,6 +399,7 @@ class BatchEngine:
             jnp.asarray(offsets),
             jnp.stack(keys),
             jnp.asarray(temps),
+            *self._filter_vecs(live),
         )
         prev = self._inflight
         self._inflight = (self._token_dev, live)

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KV cache storage; int8 = per-(token, head) scaled "
                         "planes (tpu_llm.ops.kv_cache), half the HBM "
                         "traffic of bf16 at <0.5%% score error")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="top-k sampling filter (0 = off; framework "
+                        "extension, the reference has neither)")
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="nucleus sampling filter (1.0 = off)")
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-based, like Fortran random_number)")
     p.add_argument("--scan", action="store_true",
@@ -220,6 +225,8 @@ def main(argv=None) -> int:
             stream=None if args.scan else stream,
             use_scan=args.scan,
             speculative_k=args.spec,
+            top_k=args.top_k,
+            top_p=args.top_p,
         )
     if args.scan:
         out.write(tokenizer.decode(res.tokens))

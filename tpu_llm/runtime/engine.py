@@ -122,8 +122,16 @@ def _lookup_draft(ctx: List[int], k: int, ngram: int = 2) -> List[int]:
     return []
 
 
-def _select_token(logits, key, temperature):
-    """Greedy vs CDF-sample, branch-free over a traced temperature."""
+def _select_token(logits, key, temperature, topk=None, topp=None):
+    """Greedy vs CDF-sample, branch-free over a traced temperature.
+    ``topk``/``topp`` (traced scalars, or None for the cheap path — a
+    separate jit cache entry) add per-request top-k/top-p filtering."""
+    if topk is not None:
+        from tpu_llm.ops.sampling import filtered_sample
+
+        keys = jax.random.split(key, logits.shape[0])
+        return jax.vmap(filtered_sample, in_axes=(0, 0, None, None, None))(
+            logits, keys, temperature, topk, topp)
     t = jnp.maximum(temperature, 1e-8)
     probs = jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
     sampled = _cdf_sample(key, probs)
@@ -177,12 +185,13 @@ class Engine:
         logits = self.adapter.lm_head(params, hidden=last)[:, 0, :]
         return logits, state
 
-    def _decode_impl(self, params, token, state, pos, key, temperature):
+    def _decode_impl(self, params, token, state, pos, key, temperature,
+                     topk=None, topp=None):
         hidden, state = self.adapter.apply(
             params, tokens=token[:, None], state=state, offset=pos
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
-        next_tok = _select_token(logits, key, temperature)
+        next_tok = _select_token(logits, key, temperature, topk, topp)
         return next_tok, logits, state
 
     def _verify_impl(self, params, tokens, state, pos):
@@ -199,7 +208,8 @@ class Engine:
         logits = self.adapter.lm_head(params, hidden=hidden)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), state
 
-    def _decode_scan_impl(self, params, token, state, pos, key, temperature, n_steps):
+    def _decode_scan_impl(self, params, token, state, pos, key, temperature,
+                          n_steps, topk=None, topp=None):
         # int4-plane weights for the scan: one hoisted conversion pass,
         # then Mosaic's native int4 widening in every step's kernels
         # (980 vs 766 tok/s — experiments/decode_slope.py). The per-step
@@ -215,7 +225,7 @@ class Engine:
             token, state, pos, key = carry
             key, sub = jax.random.split(key)
             next_tok, _, state = self._decode_impl(
-                params, token, state, pos, sub, temperature
+                params, token, state, pos, sub, temperature, topk, topp
             )
             return (next_tok, state, pos + 1, key), next_tok
 
@@ -237,6 +247,8 @@ class Engine:
         add_bos: bool = True,
         use_scan: bool = False,
         speculative_k: int = 0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> GenerationResult:
         """Single-stream generation with the reference's -n semantics:
         ``n_total`` counts prompt echo + generated tokens (llama2.f90:379);
@@ -282,12 +294,15 @@ class Engine:
 
         key = jax.random.PRNGKey(seed)
         temp = jnp.float32(temperature)
+        # (None, None) keeps the cheap sampler's jit cache entry
+        filt = ((jnp.int32(top_k), jnp.float32(top_p))
+                if (top_k > 0 or top_p < 1.0) else (None, None))
         n_gen = n_total - len(emitted)
         ttft_s = None
 
         if n_gen > 0:
             key, sub = jax.random.split(key)
-            first = _select_token(logits, sub, temp)
+            first = _select_token(logits, sub, temp, *filt)
             first_host = int(jax.device_get(first)[0])
             ttft_s = time.perf_counter() - t0
             emitted.append(first_host)
@@ -354,6 +369,7 @@ class Engine:
                     sub,
                     temp,
                     bucket,
+                    *filt,
                 )
                 toks_host = np.asarray(jax.device_get(toks_dev))[:steps, 0]
                 for t in toks_host:
@@ -371,7 +387,8 @@ class Engine:
                 for _ in range(n_gen - 1):
                     key, sub = jax.random.split(key)
                     token, _, state = self._decode(
-                        self.params, token, state, jnp.int32(pos), sub, temp
+                        self.params, token, state, jnp.int32(pos), sub, temp,
+                        *filt
                     )
                     pos += 1
                     if pending is not None:

@@ -49,6 +49,8 @@ from tpu_llm.ops.paged_kv import (
     scale_pool_width,
 )
 from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
+from tpu_llm.ops.sampling import filtered_sample
+from tpu_llm.runtime.batching import _sample_rows
 from tpu_llm.runtime.engine import _next_bucket, _select_token
 
 __all__ = ["PagedEngine", "Request"]
@@ -179,7 +181,8 @@ class PagedEngine(BatchEngine):
             "lengths": lengths,
         }
 
-    def _step_impl(self, params, tokens, state, offsets, keys, temps):
+    def _step_impl(self, params, tokens, state, offsets, keys, temps,
+                   topks=None, topps=None):
         from tpu_llm.models import llama as M
 
         cache = self._layer_caches(state, state["table"], state["lengths"])
@@ -187,12 +190,12 @@ class PagedEngine(BatchEngine):
                                offsets, update_fn=_paged_update_fn,
                                attn_fn=_paged_attn_fn)
         logits = M.lm_head(params, self.cfg, hidden)[:, 0, :]
-        sampled = jax.vmap(_select_token)(logits, keys, temps)
+        sampled = _sample_rows(logits, keys, temps, topks, topps)
         return sampled, self._repack(state, nc, state["table"],
                                      nc["k"][0].lengths)
 
     def _prefill_impl(self, params, tokens, state, slot, pos0, last_idx,
-                      key, temp):
+                      key, temp, topk=None, topp=None):
         """Forward the prompt TAIL (tokens past the shared prefix) at
         positions [pos0, pos0+Tpad) through the slot's block-table row.
         Shared prefix blocks are already mapped, so attention sees the
@@ -207,12 +210,16 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
         logits = M.lm_head(params, self.cfg, last)[:, 0, :]
-        sampled = _select_token(logits, key, temp)[0]
+        if topk is None:
+            sampled = _select_token(logits, key, temp)[0]
+        else:
+            sampled = filtered_sample(logits[0], key, temp, topk, topp)
         lengths = jax.lax.dynamic_update_slice(
             state["lengths"], nc["k"][0].lengths, (slot,))
         return sampled, self._repack(state, nc, state["table"], lengths)
 
-    def _verify_impl(self, params, tokens, state, offsets, keys, temps):
+    def _verify_impl(self, params, tokens, state, offsets, keys, temps,
+                     topks=None, topps=None):
         """Speculative verify over the paged cache (see BatchEngine).
         Growth in _pre_dispatch maps blocks for every position a draft
         could be ACCEPTED at; rejected/padded window rows beyond the
@@ -227,7 +234,7 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         logits = M.lm_head(params, self.cfg, hidden)        # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        sampled0 = jax.vmap(_select_token)(logits[:, 0], keys, temps)
+        sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
         return chain, sampled0, self._repack(state, nc, state["table"],
                                              nc["k"][0].lengths)
 
@@ -388,29 +395,44 @@ class PagedEngine(BatchEngine):
             # identity search: _Slot is a dataclass whose == would compare
             # jax-array fields elementwise
             idx = next(i for i, s in enumerate(self.slots) if s is slot)
-            if self.prefix is not None:
-                # register the COMPLETED sequence's full blocks (not just
-                # the prompt's): a follow-up whose prompt extends this
-                # conversation (prompt + completion + ...) reuses the
-                # whole turn's KV — the multi-turn/agent case. The final
-                # sampled token was never forwarded, so its KV is absent:
-                # register only blocks fully inside the written region.
-                bos = [self.bos_id] if self.bos_id >= 0 else []
-                seq = bos + req.prompt + req.tokens
-                self.prefix.insert(seq[:-1], self.block_size,
-                                   self._slot_blocks[idx])
-            self.allocator.release(self._slot_blocks[idx])
-            self._slot_blocks[idx] = []
-            self.allocator.unreserve(self._slot_reserved[idx])
-            self._slot_reserved[idx] = 0
-            # Point the dead slot's whole row at the null block: dead
-            # rows keep decoding garbage at offset 0 every step (fixed-
-            # shape dispatch), and with the stale mapping those writes
-            # would land in released — possibly prefix-cached or
-            # reallocated — blocks. In the trash block they're inert.
-            self.state = self._set_slot_meta(
-                self.state, jnp.int32(idx),
-                jnp.zeros((self.max_blocks,), jnp.int32), jnp.int32(0))
+            self._release_slot(idx, req)
+
+    def cancel(self, req) -> bool:
+        """Retire a paged request immediately, releasing its blocks (and
+        registering the KV written so far with the prefix cache — it is
+        valid even for a cut-short generation)."""
+        for idx, slot in enumerate(self.slots):
+            if slot.req is req and not req.done:
+                req.done = True
+                slot.req = None
+                self._release_slot(idx, req)
+                return True
+        return super().cancel(req)
+
+    def _release_slot(self, idx: int, req) -> None:
+        if self.prefix is not None:
+            # register the COMPLETED sequence's full blocks (not just
+            # the prompt's): a follow-up whose prompt extends this
+            # conversation (prompt + completion + ...) reuses the
+            # whole turn's KV — the multi-turn/agent case. The final
+            # sampled token was never forwarded, so its KV is absent:
+            # register only blocks fully inside the written region.
+            bos = [self.bos_id] if self.bos_id >= 0 else []
+            seq = bos + req.prompt + req.tokens
+            self.prefix.insert(seq[:-1], self.block_size,
+                               self._slot_blocks[idx])
+        self.allocator.release(self._slot_blocks[idx])
+        self._slot_blocks[idx] = []
+        self.allocator.unreserve(self._slot_reserved[idx])
+        self._slot_reserved[idx] = 0
+        # Point the dead slot's whole row at the null block: dead
+        # rows keep decoding garbage at offset 0 every step (fixed-
+        # shape dispatch), and with the stale mapping those writes
+        # would land in released — possibly prefix-cached or
+        # reallocated — blocks. In the trash block they're inert.
+        self.state = self._set_slot_meta(
+            self.state, jnp.int32(idx),
+            jnp.zeros((self.max_blocks,), jnp.int32), jnp.int32(0))
 
     # -- introspection ----------------------------------------------------
 

@@ -80,6 +80,13 @@ def render_chat(messages, template: str = "zephyr") -> str:
     raise ValueError(f"unknown chat template {template!r}")
 
 
+def _decode_toks(tokenizer, toks) -> str:
+    out = tokenizer.decode(toks)
+    if isinstance(out, bytes):
+        out = out.decode("utf-8", errors="replace")
+    return out
+
+
 class _Tracker:
     """Handler<->loop handshake for one request."""
 
@@ -90,11 +97,25 @@ class _Tracker:
         self.t_enqueue = time.monotonic()
         self.t_first: Optional[float] = None
         self.t_admit: Optional[float] = None
+        # stop-string state (OpenAI `stop`): the scanner runs on the LOOP
+        # thread per token; a match records the char offset of the
+        # earliest stop occurrence and asks the loop to cancel the request
+        self.stop: list = []
+        self._scanner = None         # () -> Optional[int] over decoded text
+        self.stop_cut: Optional[int] = None
+        self.want_cancel = False
 
     # called on the LOOP thread (from Request.stream)
     def on_token(self, tok: int) -> None:
         if self.t_first is None:
             self.t_first = time.monotonic()
+        # scan BEFORE publishing the token, so a streaming consumer that
+        # dequeues it observes stop_cut no later than the matching token
+        if self._scanner is not None and self.stop_cut is None:
+            cut = self._scanner()
+            if cut is not None:
+                self.stop_cut = cut
+                self.want_cancel = True
         if self.events is not None:
             self.events.put(tok)
 
@@ -185,6 +206,11 @@ class ServingLoop(threading.Thread):
                     tr.finish(error=str(e))
                     continue
                 self._tracked[req.rid] = (req, tr)
+            # stop-string matches recorded by the token callbacks: cancel
+            # between steps (the engine is only touched from this thread)
+            for rid, (req, tr) in list(self._tracked.items()):
+                if tr.want_cancel and not req.done:
+                    eng.cancel(req)
             if eng._queue or eng.n_active:
                 try:
                     eng.step()
@@ -272,6 +298,10 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
             from tpu_llm.runtime.batching import Request
 
             want_stream = bool(body.get("stream", False))
+            stop = body.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
+            stop = [s for s in stop if isinstance(s, str) and s][:4]
             tracker = _Tracker(want_stream)
             req = Request(
                 prompt=tokenizer.encode(prompt),
@@ -280,8 +310,23 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 seed=int(body.get("seed", 0)),
                 # chat replies should stop at </s> like any chat server
                 stop_at_eos=bool(body.get("stop_at_eos", chat)),
+                top_k=int(body.get("top_k", 0)),
+                top_p=float(body.get("top_p", 1.0)),
                 stream=tracker.on_token,
             )
+            if stop:
+                tracker.stop = stop
+
+                def _scan(req=req, stop=stop):
+                    text = _decode_toks(tokenizer, req.tokens)
+                    best = None
+                    for s in stop:
+                        i = text.find(s)
+                        if i >= 0 and (best is None or i < best):
+                            best = i
+                    return best
+
+                tracker._scanner = _scan
             if not loop.enqueue(req, tracker):
                 self._json(503, {"error": "server at capacity"})
                 return
@@ -330,6 +375,16 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
             vis = self._visible_tokens(req)
             text = self._decode(vis)
             finish = self._finish_reason(req)
+            if tracker.stop_cut is not None:
+                # cut at the earliest stop-string match: text at the char
+                # offset, tokens at the smallest prefix covering it
+                finish = "stop"
+                cut = tracker.stop_cut
+                n = 0
+                while n < len(vis) and len(self._decode(vis[:n])) < cut:
+                    n += 1
+                vis = vis[:n]
+                text = self._decode(vis)[:cut]
             if chat:
                 choice = {"index": 0, "finish_reason": finish,
                           "message": {"role": "assistant", "content": text}}
@@ -368,9 +423,32 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 self.wfile.flush()
 
             deadline = time.monotonic() + request_timeout_s
-            sent = 0
+            sent = 0        # tokens consumed from the queue
+            epos = 0        # chars of decoded text already emitted
             first = True
+            stop_hit = False
             eos_id = getattr(loop.engine, "eos_id", -1)
+            stops = tracker.stop
+
+            def emit(tok, delta):
+                nonlocal first
+                if chat:
+                    # OpenAI SDKs expect role in the first chat delta
+                    d = ({"role": "assistant", "content": delta}
+                         if first else {"content": delta})
+                    choice = {"index": 0, "finish_reason": None, "delta": d}
+                else:
+                    choice = {"index": 0, "finish_reason": None,
+                              "text": delta}
+                first = False
+                ev = {"token": tok, "text": delta,
+                      "id": f"{'chatcmpl' if chat else 'cmpl'}-{req.rid}",
+                      "model": model_name,
+                      "object": ("chat.completion.chunk" if chat
+                                 else "text_completion"),
+                      "choices": [choice]}
+                chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+
             try:
                 while True:
                     try:
@@ -386,30 +464,48 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                         continue  # stop token is not content (ADVICE r2)
                     # decode incrementally against the full prefix so
                     # multi-token UTF-8/whitespace merges stay byte-exact
-                    text = self._decode(req.tokens[:sent])
-                    prev = self._decode(req.tokens[:sent - 1])
-                    delta = text[len(prev):]
-                    if chat:
-                        # OpenAI SDKs expect role in the first chat delta
-                        d = ({"role": "assistant", "content": delta}
-                             if first else {"content": delta})
-                        choice = {"index": 0, "finish_reason": None,
-                                  "delta": d}
-                    else:
-                        choice = {"index": 0, "finish_reason": None,
-                                  "text": delta}
-                    first = False
-                    ev = {"token": tok, "text": delta,
-                          "id": f"{'chatcmpl' if chat else 'cmpl'}-{req.rid}",
-                          "model": model_name,
-                          "object": ("chat.completion.chunk" if chat
-                                     else "text_completion"),
-                          "choices": [choice]}
-                    chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+                    full = self._decode(req.tokens[:sent])
+                    # stop strings: emit up to the earliest match and end
+                    cut = None
+                    for s in stops:
+                        i = full.find(s)
+                        if i >= 0 and (cut is None or i < cut):
+                            cut = i
+                    if cut is not None:
+                        stop_hit = True
+                        if cut > epos:
+                            emit(tok, full[epos:cut])
+                            epos = cut
+                        break
+                    # hold back any suffix that could grow into a stop
+                    # match with the next token
+                    hold = 0
+                    for s in stops:
+                        m = min(len(s) - 1, len(full))
+                        for k in range(m, 0, -1):
+                            if full.endswith(s[:k]):
+                                hold = max(hold, k)
+                                break
+                    new_end = max(epos, len(full) - hold)
+                    delta = full[epos:new_end]
+                    if delta or first:
+                        emit(tok, delta)
+                        epos = new_end
+                if not stop_hit and tracker.stop_cut is None:
+                    # flush text the holdback withheld (generation ended
+                    # without the potential match completing)
+                    full = self._decode(self._visible_tokens(req))
+                    if len(full) > epos:
+                        emit(None, full[epos:])
+                n_vis = len(self._visible_tokens(req))
+                finish = self._finish_reason(req)
+                if stop_hit or tracker.stop_cut is not None:
+                    finish = "stop"
+                    n_vis = min(n_vis, sent)
                 fin = {"done": True,
-                       "n_tokens": len(self._visible_tokens(req)),
+                       "n_tokens": n_vis,
                        "choices": [{"index": 0,
-                                    "finish_reason": self._finish_reason(req),
+                                    "finish_reason": finish,
                                     **({"delta": {}} if chat
                                        else {"text": ""})}]}
                 if tracker.error is not None:
