@@ -381,12 +381,13 @@ def _paged_decode_q_kernel(
     q_ref,              # (1, H, D)
     k_hbm,              # ANY/HBM (N, BS, Hkv*D) int8 pool
     v_hbm,
-    ks_hbm,             # ANY/HBM (N, Hkv, BS) f32 scale pool
-    vs_hbm,
+    ks_hbm,             # ANY/HBM (N*HP, SP) f32 2D scale pool — block b's
+    vs_hbm,             #   scales are rows [b*HP, b*HP+Hkv) (see
+                        #   paged_kv.scale_rows_per_block for why 2D)
     o_ref,              # (1, H, D)
     k_buf,              # VMEM (2, chunk, Hkv*D) int8
     v_buf,
-    ks_buf,             # VMEM (2, cb, Hkv, SP) f32 — per-block planes
+    ks_buf,             # VMEM (2, cb, HP, SP) f32 — per-block planes
     vs_buf,             #   (concatenated along lanes in-kernel; a column
                         #   offset j*BS into one (Hkv, chunk) buffer would
                         #   not be a lane-aligned DMA destination, and the
@@ -400,6 +401,7 @@ def _paged_decode_q_kernel(
     chunk: int,
     n_chunks: int,
     hkv: int,
+    hp: int,
     group: int,
     d: int,
     sm_scale: float,
@@ -425,8 +427,8 @@ def _paged_decode_q_kernel(
             for i, (hbm, buf) in enumerate(((ks_hbm, ks_buf),
                                             (vs_hbm, vs_buf))):
                 out.append(pltpu.make_async_copy(
-                    hbm.at[pl.ds(bid, 1)],
-                    buf.at[pl.ds(slot, 1), j],
+                    hbm.at[pl.ds(bid * hp, hp)],
+                    buf.at[slot, j],
                     sems.at[slot, j, 2 + i]))
         return out
 
@@ -466,10 +468,10 @@ def _paged_decode_q_kernel(
             q_bd, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale                                     # (H, chunk) f32
-        # (cb, Hkv, SP) block scale planes -> (H, chunk) row scales
-        # ([:, :bs] drops the lane padding past the block size)
+        # (cb, HP, SP) block scale planes -> (H, chunk) row scales
+        # ([:hkv, :bs] drops the sublane/lane padding)
         ks = jnp.concatenate(
-            [ks_buf[slot, j][:, :bs] for j in range(cb)], axis=1)
+            [ks_buf[slot, j][:hkv, :bs] for j in range(cb)], axis=1)
         s = s * jnp.repeat(ks, group, axis=0)
         s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * chunk
         s = jnp.where(s_idx <= pos, s, NEG_INF)
@@ -484,7 +486,7 @@ def _paged_decode_q_kernel(
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
 
         vs = jnp.concatenate(
-            [vs_buf[slot, j][:, :bs] for j in range(cb)], axis=1)
+            [vs_buf[slot, j][:hkv, :bs] for j in range(cb)], axis=1)
         pv = (p * jnp.repeat(vs, group, axis=0)).astype(jnp.bfloat16)
         full = jax.lax.dot_general(
             pv, v_buf[slot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
@@ -509,8 +511,10 @@ def paged_flash_decode_q(
     q: jax.Array,            # (B, 1, H, D)
     k_pool: jax.Array,       # (N, BS, Hkv*D) int8
     v_pool: jax.Array,
-    k_scale: jax.Array,      # (N, Hkv, SP) f32 — SP = scale_pool_width(BS),
-    v_scale: jax.Array,      #   lane-padded; only the first BS cols are live
+    k_scale: jax.Array,      # (N*HP, SP) f32 2D pool — SP =
+    v_scale: jax.Array,      #   scale_pool_width(BS), HP = scale_rows_per_
+                             #   block(Hkv); only [:Hkv, :BS] of each
+                             #   block's (HP, SP) tile is live
     block_table: jax.Array,  # (B, MB) int32
     positions: jax.Array,    # (B,) int32
     *,
@@ -523,10 +527,15 @@ def paged_flash_decode_q(
     G = H // Hkv
     MB = block_table.shape[1]
     sp = k_scale.shape[-1]
+    hp = k_scale.shape[0] // N
     assert T == 1 and D in (64, 128) and kvd % LANES == 0
     assert sp % LANES == 0 and sp >= bs, (
         f"scale pools must be lane-padded (paged_kv.scale_pool_width): "
         f"got minor dim {sp} for block_size {bs}")
+    assert hp * N == k_scale.shape[0] and hp >= Hkv and hp % 8 == 0, (
+        f"scale pools must be 2D (N*HP, SP), HP = "
+        f"scale_rows_per_block(Hkv): got {k_scale.shape} for N={N}, "
+        f"Hkv={Hkv}")
     sm_scale = 1.0 / (D ** 0.5)
     cb = _chunk_blocks(bs, MB)
     chunk = cb * bs
@@ -538,8 +547,8 @@ def paged_flash_decode_q(
     out = pl.pallas_call(
         functools.partial(
             _paged_decode_q_kernel,
-            bs=bs, cb=cb, chunk=chunk, n_chunks=n_chunks, hkv=Hkv, group=G,
-            d=D, sm_scale=sm_scale,
+            bs=bs, cb=cb, chunk=chunk, n_chunks=n_chunks, hkv=Hkv, hp=hp,
+            group=G, d=D, sm_scale=sm_scale,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -556,8 +565,8 @@ def paged_flash_decode_q(
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, kvd), k_pool.dtype),
                 pltpu.VMEM((2, chunk, kvd), v_pool.dtype),
-                pltpu.VMEM((2, cb, Hkv, sp), jnp.float32),
-                pltpu.VMEM((2, cb, Hkv, sp), jnp.float32),
+                pltpu.VMEM((2, cb, hp, sp), jnp.float32),
+                pltpu.VMEM((2, cb, hp, sp), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, cb, 4)),
                 pltpu.VMEM((H, LANES), jnp.float32),
                 pltpu.VMEM((H, LANES), jnp.float32),

@@ -46,25 +46,43 @@ def scale_pool_width(block_size: int) -> int:
     return -(-block_size // 128) * 128
 
 
+def scale_rows_per_block(n_kv_heads: int) -> int:
+    """Sublane-padded rows one block's scales occupy in the 2D pool:
+    Hkv rounded up to the f32 sublane tile (8). The pool is 2D
+    (n_blocks * HP, SP) rather than 3D (n_blocks, Hkv, SP) because the
+    3D form made XLA fight over layouts: the append scatter wanted
+    {2,1,0:T(4,128)} while the Pallas kernel's ANY operand wanted
+    {1,2,0:T(8,128)}, inserting TWO full-pool relayout copies per layer
+    per pool — 5.06 ms/step at TinyLlama b8/bs64, measured
+    (experiments/r3_int8_step_trace.py, r3_scale_layout.py: 24 -> 2 HLO
+    copies). 2D row-major has one sane layout for both, and the padding
+    costs nothing the 3D tile padding wasn't already paying."""
+    return -(-n_kv_heads // 8) * 8
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKV:
     """One layer's paged KV state (a pytree; flows through jit/scan).
 
     int8 pools (``k_scale``/``v_scale`` not None) store one f32 scale
-    per (token, kv-head) vector in kv-head-major (n_blocks, Hkv, SP)
-    pools — the same factorization as the flat dense QuantKV (attention
-    applies scales to the score matrix, never dequantizing the plane).
-    SP = block_size rounded up to 128 (``scale_pool_width``): the paged
-    decode kernel DMAs whole (1, Hkv, SP) scale blocks from ANY memory,
-    and Mosaic requires the minor (lane) extent of a manual-copy source
-    to be tile-aligned; columns past block_size are dead padding."""
+    per (token, kv-head) vector in 2D row-major pools
+    (n_blocks * HP, SP): block b's scales live in rows
+    [b*HP, b*HP + Hkv), HP = ``scale_rows_per_block`` (Hkv padded to the
+    f32 sublane tile — see that function's docstring for why 2D).
+    Attention applies the scales to the score matrix, never
+    dequantizing the plane — the same factorization as the flat dense
+    QuantKV. SP = block_size rounded up to 128 (``scale_pool_width``):
+    the paged decode kernel DMAs whole (HP, SP) scale blocks from ANY
+    memory, and Mosaic requires the minor (lane) extent of a
+    manual-copy source to be tile-aligned; columns past block_size are
+    dead padding."""
 
     k_pool: jax.Array       # (n_blocks, block_size, Hkv*D)
     v_pool: jax.Array
     block_table: jax.Array  # (B, max_blocks) int32 pool indices
     lengths: jax.Array      # (B,) int32 valid token count per sequence
-    k_scale: Optional[jax.Array] = None   # (n_blocks, Hkv, SP) f32
+    k_scale: Optional[jax.Array] = None   # (n_blocks*HP, SP) f32
     v_scale: Optional[jax.Array] = None
 
     def tree_flatten(self):
@@ -97,7 +115,8 @@ class PagedKV:
         mk = lambda: jnp.zeros((n_blocks, block_size, kv_dim),
                                jnp.int8 if quant else dtype)
         sc = (lambda: jnp.zeros(
-            (n_blocks, n_kv_heads, scale_pool_width(block_size)),
+            (n_blocks * scale_rows_per_block(n_kv_heads),
+             scale_pool_width(block_size)),
             jnp.float32)) if quant else (lambda: None)
         return cls(
             k_pool=mk(), v_pool=mk(),
@@ -159,14 +178,19 @@ def paged_update_tokens(
 
         kq, ks = quantize_kv(k_new)          # (B,T,Hkv,D) int8, (B,T,Hkv)
         vq, vs = quantize_kv(v_new)
-        # advanced indices (B,T) separated by the head slice -> the
-        # indexed dims lead: result/operand shape (B, T, Hkv)
+        hkv = k_new.shape[2]
+        hp = kv.k_scale.shape[0] // kv.k_pool.shape[0]
+        # 2D scale pool: token (block, off) head h -> row block*HP+h,
+        # lane off (see scale_rows_per_block for why 2D)
+        rows = (block_ids[..., None] * hp
+                + jnp.arange(hkv, dtype=jnp.int32))      # (B, T, Hkv)
+        cols = offs[..., None]                            # (B, T, 1)
         return PagedKV(
             kv.k_pool.at[block_ids, offs].set(kq.reshape(B, T, kvd)),
             kv.v_pool.at[block_ids, offs].set(vq.reshape(B, T, kvd)),
             kv.block_table, lengths,
-            kv.k_scale.at[block_ids, :, offs].set(ks),
-            kv.v_scale.at[block_ids, :, offs].set(vs),
+            kv.k_scale.at[rows, cols].set(ks),
+            kv.v_scale.at[rows, cols].set(vs),
         )
 
     kf = k_new.reshape(B, T, kvd).astype(kv.k_pool.dtype)
@@ -176,12 +200,13 @@ def paged_update_tokens(
     return PagedKV(k_pool, v_pool, kv.block_table, lengths)
 
 
-def paged_gather(kv: PagedKV):
+def paged_gather(kv: PagedKV, n_kv_heads: Optional[int] = None):
     """Materialize each sequence's logical KV view:
     (B, max_blocks*block_size, Hkv*D) — for int8 pools, a flat-layout
-    QuantKV pair (scales gathered to kv-head-major (B, Hkv, MB*bs)).
-    Entries past ``lengths`` are whatever the mapped (possibly garbage)
-    blocks hold — callers MUST mask with ``lengths``."""
+    QuantKV pair (scales gathered to kv-head-major (B, Hkv, MB*bs);
+    ``n_kv_heads`` is required to slice the sublane-padded 2D scale
+    pool). Entries past ``lengths`` are whatever the mapped (possibly
+    garbage) blocks hold — callers MUST mask with ``lengths``."""
     k = jnp.take(kv.k_pool, kv.block_table, axis=0)   # (B, MB, bs, kvd)
     v = jnp.take(kv.v_pool, kv.block_table, axis=0)
     B, MB, bs, kvd = k.shape
@@ -190,9 +215,13 @@ def paged_gather(kv: PagedKV):
         return k, v
     from tpu_llm.ops.kv_cache import QuantKV
 
-    def scales(pool):                                  # (N, Hkv, SP)
-        s = jnp.take(pool, kv.block_table, axis=0)     # (B, MB, Hkv, SP)
-        s = s[..., :bs]                                # drop lane padding
+    assert n_kv_heads, "int8 paged_gather needs n_kv_heads"
+    hp = kv.k_scale.shape[0] // kv.k_pool.shape[0]
+
+    def scales(pool):                                  # (N*HP, SP)
+        s = pool.reshape(kv.k_pool.shape[0], hp, -1)   # free: row-major
+        s = jnp.take(s, kv.block_table, axis=0)        # (B, MB, HP, SP)
+        s = s[..., :n_kv_heads, :bs]
         return s.transpose(0, 2, 1, 3).reshape(B, -1, MB * bs)
 
     return (QuantKV(q=k, s=scales(kv.k_scale)),
@@ -240,7 +269,8 @@ def paged_gqa_attention(
             return paged_flash_decode_attention(
                 q, kv.k_pool, kv.v_pool, kv.block_table, pos)
 
-    k, v = paged_gather(kv)
+    kvd = kv.k_pool.shape[-1]
+    k, v = paged_gather(kv, n_kv_heads=kvd // D)
     if kv.quantized:
         # flat QuantKV pair — gqa_attention's int8 paths contract the
         # int8 plane directly with scales on the score matrix

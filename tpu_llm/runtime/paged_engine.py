@@ -47,6 +47,7 @@ from tpu_llm.ops.paged_kv import (
     paged_gqa_attention,
     paged_update_tokens,
     scale_pool_width,
+    scale_rows_per_block,
 )
 from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
 from tpu_llm.ops.sampling import filtered_sample
@@ -92,6 +93,21 @@ class PagedEngine(BatchEngine):
         self.params = params
         self.cfg = cfg
         self.batch = batch
+        quantized = cache_dtype == "int8" or cache_dtype == jnp.int8
+        if quantized and block_size < 32:
+            # int8 tiles are 32 sublanes: a <32-row block is PADDED to 32
+            # in HBM (no capacity win) and falls off the paged int8 decode
+            # kernel (full-gather fallback, ~5x slower). Bump to 32 and
+            # shrink the pool so the HBM budget the caller asked for holds.
+            import warnings
+
+            new_blocks = max(1, n_blocks * block_size // 32)
+            warnings.warn(
+                f"int8 pools: block_size {block_size} padded to 32-row "
+                f"tiles anyway; using block_size=32, n_blocks "
+                f"{n_blocks}->{new_blocks} (same HBM budget)",
+                stacklevel=2)
+            block_size, n_blocks = 32, new_blocks
         self.block_size = block_size
         self.n_layers = len(params["layers"])
         mb = ((max_seq or cfg.seq_len) + block_size - 1) // block_size
@@ -111,27 +127,20 @@ class PagedEngine(BatchEngine):
         self._slot_span: List[int] = [0] * batch
 
         kvd = cfg.kv_dim
-        self.quantized = cache_dtype == "int8" or cache_dtype == jnp.int8
-        if self.quantized and block_size % 32 and \
-                jax.default_backend() not in ("cpu", "gpu"):
-            import warnings
-
-            warnings.warn(
-                f"int8 pools with block_size={block_size}: the paged int8 "
-                f"decode kernel needs 32-row tiles, so decode falls back "
-                f"to full-gather attention — use block_size % 32 == 0",
-                stacklevel=2)
+        self.quantized = quantized
         pool_dtype = jnp.int8 if self.quantized else cache_dtype
         self.state: Dict[str, Any] = {
             "k": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
                   for _ in range(self.n_layers)],
             "v": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
                   for _ in range(self.n_layers)],
-            "ks": [jnp.zeros((n_blocks, cfg.n_kv_heads,
+            "ks": [jnp.zeros((n_blocks * scale_rows_per_block(
+                                  cfg.n_kv_heads),
                               scale_pool_width(block_size)),
                              jnp.float32) for _ in range(self.n_layers)]
             if self.quantized else None,
-            "vs": [jnp.zeros((n_blocks, cfg.n_kv_heads,
+            "vs": [jnp.zeros((n_blocks * scale_rows_per_block(
+                                  cfg.n_kv_heads),
                               scale_pool_width(block_size)),
                              jnp.float32) for _ in range(self.n_layers)]
             if self.quantized else None,

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative drafts per step (greedy slots)")
     p.add_argument("--stop-at-eos", action="store_true")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="per-request top-k filter (0 = off)")
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="per-request nucleus filter (1.0 = off)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -183,6 +187,8 @@ def main(argv=None) -> int:
             prompt=ids, max_new=args.num_tokens,
             temperature=args.temperature, seed=args.seed + i,
             stop_at_eos=args.stop_at_eos, stream=_mark_first(i),
+            top_k=getattr(args, "top_k", 0),
+            top_p=getattr(args, "top_p", 1.0),
         )))
 
     steps = 0
