@@ -367,3 +367,49 @@ def test_cancel_queued_request():
     assert be.cancel(r2) is True and r2.done
     be.run()
     assert r1.done and len(r1.tokens) == 4 and r2.tokens == []
+
+
+def test_logprobs_recorded_and_consistent():
+    """logprobs=True records one raw-distribution log P per generated
+    token; greedy logprobs match a direct forward's log_softmax."""
+    import jax
+    import jax.numpy as jnp
+
+    params, cfg, adapter, be, se = setup()
+    r = be.submit(Request(prompt=[5, 11], max_new=5, logprobs=True))
+    be.run()
+    assert len(r.token_logprobs) == len(r.tokens) == 5
+    assert all(lp <= 0.0 for lp in r.token_logprobs)
+
+    # independent check: teacher-force the sequence through the model
+    # forward and compare every generated token's logprob
+    from tpu_llm.models import llama as M
+
+    ids = [1, 5, 11] + r.tokens        # BOS + prompt + generated
+    cache = M.init_cache(cfg, 1, CFG["seq_len"])
+    hidden, _ = M.forward(params, cfg, jnp.asarray([ids[:-1]], jnp.int32),
+                          cache, jnp.int32(0))
+    logits = M.lm_head(params, cfg, hidden)[0]          # (T, V)
+    lp_all = jax.nn.log_softmax(
+        logits[-len(r.tokens):].astype(jnp.float32), -1)
+    want = [float(lp_all[i, t]) for i, t in enumerate(r.tokens)]
+    np.testing.assert_allclose(r.token_logprobs, want, rtol=2e-4, atol=2e-4)
+
+
+def test_logprobs_speculative_matches_plain():
+    """Speculative decoding must emit the same (token, logprob) stream
+    as the plain engine."""
+    params, cfg, adapter, _, _ = setup()
+    from tpu_llm.runtime.batching import BatchEngine
+
+    plain = BatchEngine(params, adapter, batch=2, max_seq=CFG["seq_len"])
+    spec = BatchEngine(params, adapter, batch=2, max_seq=CFG["seq_len"],
+                       speculative_k=3)
+    prompt = [5, 11, 5, 11]
+    r1 = plain.submit(Request(prompt=prompt, max_new=6, logprobs=True))
+    plain.run()
+    r2 = spec.submit(Request(prompt=prompt, max_new=6, logprobs=True))
+    spec.run()
+    assert r1.tokens == r2.tokens
+    np.testing.assert_allclose(r1.token_logprobs, r2.token_logprobs,
+                               rtol=1e-5, atol=1e-5)

@@ -419,3 +419,19 @@ def test_top_k_param_passthrough(server):
                    {"prompt": "abc", "max_tokens": 5, "temperature": 0.9,
                     "seed": 9, "top_k": 1})
     assert out["tokens"] == greedy["tokens"]
+
+
+def test_logprobs_response(server):
+    """logprobs=true returns OpenAI-style per-token logprobs aligned
+    with the visible tokens."""
+    port, _, tokenizer = server
+    _, out = _post(port, "/v1/completions",
+                   {"prompt": "abc", "max_tokens": 5, "logprobs": True})
+    lp = out["choices"][0]["logprobs"]
+    assert len(lp["token_logprobs"]) == len(lp["tokens"]) == out["n_tokens"]
+    assert all(x <= 0.0 for x in lp["token_logprobs"])
+    assert "".join(lp["tokens"]) == out["completion"]
+    # absent unless requested
+    _, out2 = _post(port, "/v1/completions",
+                    {"prompt": "abc", "max_tokens": 3})
+    assert "logprobs" not in out2["choices"][0]

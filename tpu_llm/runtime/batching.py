@@ -51,9 +51,11 @@ class Request:
     stop_at_eos: bool = False
     top_k: int = 0               # 0 = no top-k filter
     top_p: float = 1.0           # 1.0 = no nucleus filter
+    logprobs: bool = False       # record log P(token) per generated token
     # filled by the engine:
     rid: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)  # generated only
+    token_logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -73,6 +75,16 @@ def _sample_rows(logits, keys, temps, topks, topps):
     if topks is None:
         return jax.vmap(_select_token)(logits, keys, temps)
     return jax.vmap(filtered_sample)(logits, keys, temps, topks, topps)
+
+
+def _token_logprob(logits, toks):
+    """log P(tok) under the raw (untempered, unfiltered) distribution —
+    what OpenAI's ``logprobs`` reports. logits (..., V), toks (...)."""
+    x = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(x, axis=-1)
+    chosen = jnp.take_along_axis(
+        x, toks[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return chosen - lse
 
 
 @dataclasses.dataclass
@@ -125,6 +137,7 @@ class BatchEngine:
         # device-resident sampled tokens: decode feeds on these directly,
         # the host only reads them one step behind
         self._token_dev = jnp.zeros((batch,), jnp.int32)
+        self._lp_dev = jnp.zeros((batch,), jnp.float32)
         self._inflight = None        # (token_dev snapshot, [(slot_idx, req)])
         # observability: speculative acceptance (tokens emitted per
         # verify forward; 1.0 would mean zero accepted drafts)
@@ -139,7 +152,7 @@ class BatchEngine:
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
         sampled = _sample_rows(logits, keys, temps, topks, topps)
-        return sampled, state
+        return sampled, _token_logprob(logits, sampled), state
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
                      topks=None, topps=None):
@@ -153,7 +166,8 @@ class BatchEngine:
         logits = self.adapter.lm_head(params, hidden=hidden)  # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
-        return chain, sampled0, state
+        return (chain, _token_logprob(logits, chain),
+                sampled0, _token_logprob(logits[:, 0], sampled0), state)
 
     def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp,
                       topk=None, topp=None):
@@ -175,12 +189,13 @@ class BatchEngine:
             sampled = _select_token(logits, key, temp)[0]
         else:
             sampled = filtered_sample(logits[0], key, temp, topk, topp)
+        lp = _token_logprob(logits[0], sampled)
         state = jax.tree_util.tree_map(
             lambda a, b: jax.lax.dynamic_update_slice_in_dim(
                 a, b.astype(a.dtype), slot, axis=ax),
             state, sub,
         )
-        return sampled, state
+        return sampled, lp, state
 
     # -- public API -------------------------------------------------------
 
@@ -214,27 +229,30 @@ class BatchEngine:
                 toks[0, :n_in] = np.asarray(input_ids, np.int32)
 
                 slot.key, sub = jax.random.split(slot.key)
-                sampled, self.state = self._prefill(
+                sampled, lp_d, self.state = self._prefill(
                     self.params, jnp.asarray(toks), self.state,
                     jnp.int32(idx), jnp.int32(n_in - 1), sub,
                     jnp.float32(req.temperature), *_req_filters(req),
                 )
                 # one host fetch per REQUEST (not per token): the prefill
                 # token is the request's first generated token
-                tok = int(jax.device_get(sampled))
+                tok, lp = jax.device_get((sampled, lp_d))
+                tok = int(tok)
                 slot.pos = n_in
                 self._token_dev = self._set_lane(
                     self._token_dev, jnp.int32(idx), jnp.int32(tok)
                 )
-                self._record(slot, tok)
+                self._record(slot, tok, float(lp))
 
-    def _record(self, slot: _Slot, tok: int):
+    def _record(self, slot: _Slot, tok: int, lp: Optional[float] = None):
         """Append a fetched token to the slot's request; retire on EOS /
         budget / context exhaustion."""
         req = slot.req
         if req is None or req.done:
             return
         req.tokens.append(tok)
+        if req.logprobs and lp is not None:
+            req.token_logprobs.append(lp)
         if req.stream:
             req.stream(tok)
         ends = len(req.tokens) >= req.max_new or (
@@ -282,13 +300,14 @@ class BatchEngine:
             inflight, self._inflight = self._inflight, None
         if inflight is None:
             return
-        token_snapshot, metas = inflight
-        fetched = np.asarray(jax.device_get(token_snapshot))
+        (token_snapshot, lp_snapshot), metas = inflight
+        fetched, lps = jax.device_get((token_snapshot, lp_snapshot))
+        fetched, lps = np.asarray(fetched), np.asarray(lps)
         for idx, req in metas:
             slot = self.slots[idx]
             if slot.req is not req or req.done:
                 continue            # slot was retired/reused after dispatch
-            self._record(slot, int(fetched[idx]))
+            self._record(slot, int(fetched[idx]), float(lps[idx]))
 
     def _pre_dispatch(self, live) -> None:
         """Hook between admission and dispatch (PagedEngine grows block
@@ -321,12 +340,14 @@ class BatchEngine:
             slot.key, sub = jax.random.split(slot.key)
             keys.append(sub)
 
-        chain_d, sampled0_d, self.state = self._verify(
+        chain_d, chain_lp_d, sampled0_d, s0lp_d, self.state = self._verify(
             self.params, jnp.asarray(toks), self.state,
             jnp.asarray(offsets), jnp.stack(keys), jnp.asarray(temps),
             *self._filter_vecs(live))
-        chain = np.asarray(jax.device_get(chain_d))
-        sampled0 = np.asarray(jax.device_get(sampled0_d))
+        chain, chain_lp, sampled0, s0lp = jax.device_get(
+            (chain_d, chain_lp_d, sampled0_d, s0lp_d))
+        chain, chain_lp = np.asarray(chain), np.asarray(chain_lp)
+        sampled0, s0lp = np.asarray(sampled0), np.asarray(s0lp)
 
         lanes, vals = [], []
         for i, req in live:
@@ -334,16 +355,20 @@ class BatchEngine:
             drafts = drafts_by_slot[i]
             if req.temperature > 0:
                 new = [int(sampled0[i])]
+                lps = [float(s0lp[i])]
             else:
                 acc = 0
                 while acc < len(drafts) and drafts[acc] == int(chain[i, acc]):
                     acc += 1
+                # emitted tokens ARE chain[:acc+1] (accepted drafts match
+                # the greedy chain), so their logprobs line up with it
                 new = drafts[:acc] + [int(chain[i, acc])]
+                lps = [float(x) for x in chain_lp[i, : acc + 1]]
             slot.pos += len(new)
             self.stats["spec_forwards"] += 1
             self.stats["spec_tokens"] += len(new)
-            for t in new:
-                self._record(slot, t)
+            for t, lp in zip(new, lps):
+                self._record(slot, t, lp)
                 if slot.req is not req or req.done:
                     break
             lanes.append(i)
@@ -392,7 +417,7 @@ class BatchEngine:
             keys.append(sub)
             slot.pos += 1
 
-        self._token_dev, self.state = self._step(
+        self._token_dev, self._lp_dev, self.state = self._step(
             self.params,
             self._token_dev,
             self.state,
@@ -402,7 +427,7 @@ class BatchEngine:
             *self._filter_vecs(live),
         )
         prev = self._inflight
-        self._inflight = (self._token_dev, live)
+        self._inflight = ((self._token_dev, self._lp_dev), live)
         self._collect(prev)
         return len(live)
 

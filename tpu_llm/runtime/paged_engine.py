@@ -51,7 +51,8 @@ from tpu_llm.ops.paged_kv import (
 )
 from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
 from tpu_llm.ops.sampling import filtered_sample
-from tpu_llm.runtime.batching import _sample_rows
+from tpu_llm.runtime.batching import (_req_filters, _sample_rows,
+                                      _token_logprob)
 from tpu_llm.runtime.engine import _next_bucket, _select_token
 
 __all__ = ["PagedEngine", "Request"]
@@ -200,8 +201,8 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         logits = M.lm_head(params, self.cfg, hidden)[:, 0, :]
         sampled = _sample_rows(logits, keys, temps, topks, topps)
-        return sampled, self._repack(state, nc, state["table"],
-                                     nc["k"][0].lengths)
+        return sampled, _token_logprob(logits, sampled), \
+            self._repack(state, nc, state["table"], nc["k"][0].lengths)
 
     def _prefill_impl(self, params, tokens, state, slot, pos0, last_idx,
                       key, temp, topk=None, topp=None):
@@ -225,7 +226,8 @@ class PagedEngine(BatchEngine):
             sampled = filtered_sample(logits[0], key, temp, topk, topp)
         lengths = jax.lax.dynamic_update_slice(
             state["lengths"], nc["k"][0].lengths, (slot,))
-        return sampled, self._repack(state, nc, state["table"], lengths)
+        return sampled, _token_logprob(logits[0], sampled), \
+            self._repack(state, nc, state["table"], lengths)
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
                      topks=None, topps=None):
@@ -244,8 +246,10 @@ class PagedEngine(BatchEngine):
         logits = M.lm_head(params, self.cfg, hidden)        # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
-        return chain, sampled0, self._repack(state, nc, state["table"],
-                                             nc["k"][0].lengths)
+        return (chain, _token_logprob(logits, chain),
+                sampled0, _token_logprob(logits[:, 0], sampled0),
+                self._repack(state, nc, state["table"],
+                             nc["k"][0].lengths))
 
     def _prefill_part_impl(self, params, tokens, state, slot, pos0):
         """One non-final CHUNK of a chunked prefill: forward + paged
@@ -351,18 +355,19 @@ class PagedEngine(BatchEngine):
             toks[0, : len(tail)] = np.asarray(tail, np.int32)
 
             slot.key, sub = jax.random.split(slot.key)
-            sampled, self.state = self._prefill(
+            sampled, lp_d, self.state = self._prefill(
                 self.params, jnp.asarray(toks), self.state, jnp.int32(idx),
                 jnp.int32(n_shared), jnp.int32(len(tail) - 1), sub,
-                jnp.float32(req.temperature),
+                jnp.float32(req.temperature), *_req_filters(req),
             )
             if self.prefix is not None:
                 self.prefix.insert(input_ids, bs, blocks, digests=digs)
-            tok = int(jax.device_get(sampled))
+            tok, lp = jax.device_get((sampled, lp_d))
+            tok = int(tok)
             slot.pos = n_in
             self._token_dev = self._set_lane(
                 self._token_dev, jnp.int32(idx), jnp.int32(tok))
-            self._record(slot, tok)
+            self._record(slot, tok, float(lp))
 
     def _pre_dispatch(self, live) -> None:
         """Map a fresh block for any slot whose next write position
@@ -397,9 +402,9 @@ class PagedEngine(BatchEngine):
                     jnp.asarray(vals, jnp.int32)),
             )
 
-    def _record(self, slot: _Slot, tok: int):
+    def _record(self, slot: _Slot, tok: int, lp=None):
         req = slot.req
-        super()._record(slot, tok)
+        super()._record(slot, tok, lp)
         if req is not None and req.done and slot.req is None:
             # identity search: _Slot is a dataclass whose == would compare
             # jax-array fields elementwise

@@ -312,6 +312,7 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 stop_at_eos=bool(body.get("stop_at_eos", chat)),
                 top_k=int(body.get("top_k", 0)),
                 top_p=float(body.get("top_p", 1.0)),
+                logprobs=bool(body.get("logprobs", False)),
                 stream=tracker.on_token,
             )
             if stop:
@@ -390,6 +391,12 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                           "message": {"role": "assistant", "content": text}}
             else:
                 choice = {"index": 0, "finish_reason": finish, "text": text}
+            if req.logprobs:
+                lps = req.token_logprobs[:len(vis)]
+                choice["logprobs"] = {
+                    "tokens": [self._decode([t]) for t in vis],
+                    "token_logprobs": [round(x, 6) for x in lps],
+                }
             self._json(200, {
                 # native fields (tests, llm-serve parity)
                 "completion": text,
