@@ -501,10 +501,17 @@ def _paged_decode_q_kernel(
         o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
 
 
-def _chunk_blocks(bs: int, mb: int, target_rows: int = 256) -> int:
-    """Pool blocks per grid step: cover ~target_rows logical rows per
-    step (the dense kernel's chunk) without overshooting the table."""
-    return max(1, min(mb, target_rows // bs))
+def _chunk_blocks(bs: int, mb: int, kvd: int = 256,
+                  itemsize: float = 2.0) -> int:
+    """Pool blocks per grid step. Bigger chunks mean fewer grid steps
+    and bigger DMAs — the b32/bs64 sweep (r3_chunk_rows_kernel.py) cut
+    the int8 kernel 24% going 256 -> 512 rows (bf16 -11%); past 512 the
+    return is marginal while short sequences pay more pinned-duplicate
+    DMA. The double-buffered k+v windows are capped at ~4MB VMEM so
+    large-kvd models (7B MHA: kvd 4096) keep the 256-row chunk."""
+    budget_rows = int(4 * 1024 * 1024 / (4 * kvd * itemsize))
+    target = max(256, min(512, budget_rows))
+    return max(1, min(mb, target // bs))
 
 
 def paged_flash_decode_q(
@@ -537,7 +544,7 @@ def paged_flash_decode_q(
         f"scale_rows_per_block(Hkv): got {k_scale.shape} for N={N}, "
         f"Hkv={Hkv}")
     sm_scale = 1.0 / (D ** 0.5)
-    cb = _chunk_blocks(bs, MB)
+    cb = _chunk_blocks(bs, MB, kvd=kvd, itemsize=1.0)
     chunk = cb * bs
     n_chunks = -(-MB // cb)
 
@@ -624,7 +631,8 @@ def paged_flash_decode_attention(
     MB = block_table.shape[1]
     assert paged_flash_decode_ok(q, k_pool, bs)
     sm_scale = 1.0 / (D ** 0.5)
-    cb = _chunk_blocks(bs, MB)
+    cb = _chunk_blocks(bs, MB, kvd=kvd,
+                       itemsize=float(jnp.dtype(k_pool.dtype).itemsize))
     chunk = cb * bs
     n_chunks = -(-MB // cb)
 
