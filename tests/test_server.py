@@ -435,3 +435,40 @@ def test_logprobs_response(server):
     _, out2 = _post(port, "/v1/completions",
                     {"prompt": "abc", "max_tokens": 3})
     assert "logprobs" not in out2["choices"][0]
+
+
+def test_n_choices(server):
+    """n > 1 returns n choices; temperature 0 makes them identical, and
+    each choice carries its own index."""
+    port, _, _ = server
+    _, out = _post(port, "/v1/completions",
+                   {"prompt": "abc", "max_tokens": 4, "n": 3})
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    assert all(c["text"] == out["choices"][0]["text"]
+               for c in out["choices"])
+    assert out["usage"]["completion_tokens"] == 12
+    # n>1 with stream is rejected
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/v1/completions",
+              {"prompt": "abc", "max_tokens": 4, "n": 2, "stream": True})
+    assert e.value.code == 400
+
+
+def test_echo_prepends_prompt(server):
+    port, _, _ = server
+    _, out = _post(port, "/v1/completions",
+                   {"prompt": "abc", "max_tokens": 3, "echo": True})
+    assert out["choices"][0]["text"].startswith("abc")
+    assert out["choices"][0]["text"] == "abc" + out["completion"]
+
+
+def test_llama2_chat_template():
+    from tpu_llm.runtime.server import render_chat
+
+    msgs = [{"role": "system", "content": "Be terse."},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+            {"role": "user", "content": "bye"}]
+    out = render_chat(msgs, "llama2")
+    assert out == ("[INST] <<SYS>>\nBe terse.\n<</SYS>>\n\nhi [/INST]"
+                   " hello [INST] bye [/INST]")

@@ -77,6 +77,27 @@ def render_chat(messages, template: str = "zephyr") -> str:
         out = "".join(
             f"{m.get('role', 'user')}: {m['content']}\n" for m in messages)
         return out + "assistant:"
+    if template == "llama2":
+        # Llama-2-chat: [INST] ... [/INST] turns, system folded into the
+        # first user turn inside <<SYS>> markers (BOS comes from the
+        # engine, not the template)
+        sys_txt = None
+        out = ""
+        first_user = True
+        for m in messages:
+            role = m.get("role", "user")
+            if role == "system":
+                sys_txt = m["content"]
+                continue
+            if role == "assistant":
+                out += f" {m['content']} "
+                continue
+            body = m["content"]
+            if first_user and sys_txt:
+                body = f"<<SYS>>\n{sys_txt}\n<</SYS>>\n\n{body}"
+            out += f"[INST] {body} [/INST]"
+            first_user = False
+        return out
     raise ValueError(f"unknown chat template {template!r}")
 
 
@@ -298,43 +319,58 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
             from tpu_llm.runtime.batching import Request
 
             want_stream = bool(body.get("stream", False))
+            n_choices = max(1, min(int(body.get("n", 1)), 8))
+            if want_stream and n_choices > 1:
+                self._json(400, {"error": "n > 1 with stream=true is "
+                                          "not supported"})
+                return
             stop = body.get("stop") or []
             if isinstance(stop, str):
                 stop = [stop]
             stop = [s for s in stop if isinstance(s, str) and s][:4]
-            tracker = _Tracker(want_stream)
-            req = Request(
-                prompt=tokenizer.encode(prompt),
-                max_new=min(int(body.get("max_tokens", 64)), max_new_cap),
-                temperature=float(body.get("temperature", 0.0)),
-                seed=int(body.get("seed", 0)),
-                # chat replies should stop at </s> like any chat server
-                stop_at_eos=bool(body.get("stop_at_eos", chat)),
-                top_k=int(body.get("top_k", 0)),
-                top_p=float(body.get("top_p", 1.0)),
-                logprobs=bool(body.get("logprobs", False)),
-                stream=tracker.on_token,
-            )
-            if stop:
-                tracker.stop = stop
+            prompt_ids = tokenizer.encode(prompt)
+            pairs = []
+            for ci in range(n_choices):
+                tracker = _Tracker(want_stream)
+                req = Request(
+                    prompt=prompt_ids,
+                    max_new=min(int(body.get("max_tokens", 64)),
+                                max_new_cap),
+                    temperature=float(body.get("temperature", 0.0)),
+                    # n identical greedy choices would be pointless; each
+                    # extra choice gets its own sampling stream
+                    seed=int(body.get("seed", 0)) + ci,
+                    # chat replies should stop at </s> like any chat server
+                    stop_at_eos=bool(body.get("stop_at_eos", chat)),
+                    top_k=int(body.get("top_k", 0)),
+                    top_p=float(body.get("top_p", 1.0)),
+                    logprobs=bool(body.get("logprobs", False)),
+                    stream=tracker.on_token,
+                )
+                if stop:
+                    tracker.stop = stop
 
-                def _scan(req=req, stop=stop):
-                    text = _decode_toks(tokenizer, req.tokens)
-                    best = None
-                    for s in stop:
-                        i = text.find(s)
-                        if i >= 0 and (best is None or i < best):
-                            best = i
-                    return best
+                    def _scan(req=req, stop=stop):
+                        text = _decode_toks(tokenizer, req.tokens)
+                        best = None
+                        for s in stop:
+                            i = text.find(s)
+                            if i >= 0 and (best is None or i < best):
+                                best = i
+                        return best
 
-                tracker._scanner = _scan
-            if not loop.enqueue(req, tracker):
-                self._json(503, {"error": "server at capacity"})
-                return
+                    tracker._scanner = _scan
+                pairs.append((req, tracker))
+            for req, tracker in pairs:
+                if not loop.enqueue(req, tracker):
+                    self._json(503, {"error": "server at capacity"})
+                    return
             if want_stream:
-                self._stream_response(req, tracker, chat)
+                self._stream_response(pairs[0][0], pairs[0][1], chat)
             else:
-                self._block_response(req, tracker, chat)
+                self._block_response(pairs, chat,
+                                     echo=bool(body.get("echo", False)),
+                                     prompt_text=prompt)
 
         def _finish_reason(self, req) -> str:
             if (req.stop_at_eos and req.tokens
@@ -363,16 +399,9 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 out = out.decode("utf-8", errors="replace")
             return out
 
-        def _block_response(self, req, tracker: _Tracker,
-                            chat: bool = False) -> None:
-            if not tracker.done.wait(timeout=request_timeout_s):
-                self._json(504, {"error": "generation timed out"})
-                return
-            if tracker.error is not None:
-                self._json(400, {"error": tracker.error})
-                return
-            ttft = ((tracker.t_first or time.monotonic())
-                    - tracker.t_enqueue)
+        def _finish_one(self, req, tracker: _Tracker):
+            """Visible tokens / text / finish_reason for one completed
+            request, stop-string truncation applied."""
             vis = self._visible_tokens(req)
             text = self._decode(vis)
             finish = self._finish_reason(req)
@@ -386,32 +415,63 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     n += 1
                 vis = vis[:n]
                 text = self._decode(vis)[:cut]
-            if chat:
-                choice = {"index": 0, "finish_reason": finish,
-                          "message": {"role": "assistant", "content": text}}
-            else:
-                choice = {"index": 0, "finish_reason": finish, "text": text}
-            if req.logprobs:
-                lps = req.token_logprobs[:len(vis)]
-                choice["logprobs"] = {
-                    "tokens": [self._decode([t]) for t in vis],
-                    "token_logprobs": [round(x, 6) for x in lps],
-                }
+            return vis, text, finish
+
+        def _block_response(self, pairs, chat: bool = False,
+                            echo: bool = False,
+                            prompt_text: str = "") -> None:
+            deadline = time.monotonic() + request_timeout_s
+            for req, tracker in pairs:
+                left = max(0.0, deadline - time.monotonic())
+                if not tracker.done.wait(timeout=left):
+                    self._json(504, {"error": "generation timed out"})
+                    return
+                if tracker.error is not None:
+                    self._json(400, {"error": tracker.error})
+                    return
+            req0, tracker0 = pairs[0]
+            ttft = ((tracker0.t_first or time.monotonic())
+                    - tracker0.t_enqueue)
+            choices = []
+            total_completion = 0
+            vis0 = text0 = None
+            for i, (req, tracker) in enumerate(pairs):
+                vis, text, finish = self._finish_one(req, tracker)
+                if i == 0:
+                    vis0, text0 = vis, text
+                total_completion += len(vis)
+                if echo and not chat:
+                    text = prompt_text + text
+                if chat:
+                    choice = {"index": i, "finish_reason": finish,
+                              "message": {"role": "assistant",
+                                          "content": text}}
+                else:
+                    choice = {"index": i, "finish_reason": finish,
+                              "text": text}
+                if req.logprobs:
+                    lps = req.token_logprobs[:len(vis)]
+                    choice["logprobs"] = {
+                        "tokens": [self._decode([t]) for t in vis],
+                        "token_logprobs": [round(x, 6) for x in lps],
+                    }
+                choices.append(choice)
             self._json(200, {
-                # native fields (tests, llm-serve parity)
-                "completion": text,
-                "tokens": vis,
-                "n_tokens": len(vis),
+                # native fields (tests, llm-serve parity): first choice
+                "completion": text0,
+                "tokens": vis0,
+                "n_tokens": len(vis0),
                 "ttft_s": round(ttft, 4),
                 # OpenAI-compatible superset
-                "id": f"{'chatcmpl' if chat else 'cmpl'}-{req.rid}",
+                "id": f"{'chatcmpl' if chat else 'cmpl'}-{req0.rid}",
                 "object": ("chat.completion" if chat else "text_completion"),
                 "created": int(time.time()),
                 "model": model_name,
-                "choices": [choice],
-                "usage": {"prompt_tokens": self._n_prompt(req),
-                          "completion_tokens": len(vis),
-                          "total_tokens": self._n_prompt(req) + len(vis)},
+                "choices": choices,
+                "usage": {"prompt_tokens": self._n_prompt(req0),
+                          "completion_tokens": total_completion,
+                          "total_tokens": (self._n_prompt(req0)
+                                           + total_completion)},
             })
 
         def _stream_response(self, req, tracker: _Tracker,
@@ -541,8 +601,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timeout", type=float, default=600.0,
                    help="per-request generation timeout (s)")
     p.add_argument("--chat-template", default="zephyr",
-                   choices=["zephyr", "plain"],
-                   help="messages rendering for /v1/chat/completions")
+                   choices=["zephyr", "plain", "llama2"],
+                   help="messages rendering for /v1/chat/completions "
+                        "(zephyr = TinyLlama-chat, llama2 = [INST] turns)")
     p.add_argument("--served-model-name", default=None,
                    help="model id reported by /v1/models and responses "
                         "(default: the model file's basename)")
