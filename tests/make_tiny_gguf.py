@@ -112,9 +112,59 @@ def build_mid(path: str, seed: int = 7):
     print(f"wrote {path}")
 
 
+def build_kq(path: str, seed: int = 9):
+    """K-quant-eligible llama (every matmul K dim % 256 == 0), written
+    with the llama.cpp Q4_K_M-style mix: q4_K everywhere, q6_K for
+    ffn_down and the classifier. Exercises the K-quant loader + fused
+    affine kernel end-to-end."""
+    rng = np.random.default_rng(seed)
+    dim, hidden, L, H, KVH, V = 256, 512, 4, 4, 2, 512
+    kv = dim // H * KVH
+    s = lambda *sh: (rng.standard_normal(sh) * 0.05).astype(np.float32)
+
+    tokens = ["<unk>", "<s>", "</s>"] + [f"▁w{i}" for i in range(V - 3)]
+    meta = {
+        "general.architecture": "llama",
+        "llama.block_count": L,
+        "llama.embedding_length": dim,
+        "llama.feed_forward_length": hidden,
+        "llama.attention.head_count": H,
+        "llama.attention.head_count_kv": KVH,
+        "llama.context_length": 512,
+        "llama.rope.freq_base": 10000.0,
+        "llama.attention.layer_norm_rms_epsilon": 1e-5,
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": np.zeros((V,), np.float32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    emb = s(V, dim)
+    q4k = lambda a: (a, gg.GGML_Q4_K)
+    q6k = lambda a: (a, gg.GGML_Q6_K)
+    tensors = {
+        "token_embd.weight": emb,
+        "output_norm.weight": 1.0 + 0.1 * s(dim),
+        "output.weight": q6k((8.0 * emb + s(V, dim)).astype(np.float32)),
+    }
+    for i in range(L):
+        tensors[f"blk.{i}.attn_norm.weight"] = 1.0 + 0.1 * s(dim)
+        tensors[f"blk.{i}.ffn_norm.weight"] = 1.0 + 0.1 * s(dim)
+        tensors[f"blk.{i}.attn_q.weight"] = q4k(s(dim, dim))
+        tensors[f"blk.{i}.attn_k.weight"] = q4k(s(kv, dim))
+        tensors[f"blk.{i}.attn_v.weight"] = q4k(s(kv, dim))
+        tensors[f"blk.{i}.attn_output.weight"] = q4k(s(dim, dim))
+        tensors[f"blk.{i}.ffn_gate.weight"] = q4k(s(hidden, dim))
+        tensors[f"blk.{i}.ffn_up.weight"] = q4k(s(hidden, dim))
+        tensors[f"blk.{i}.ffn_down.weight"] = q6k(s(dim, hidden))
+    gg.write_gguf(path, meta, tensors)
+    print(f"wrote {path}")
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tiny.gguf"
     if "--mid" in sys.argv:
         build_mid(out)
+    elif "--kq" in sys.argv:
+        build_kq(out)
     else:
         build(out, quant="--q4" in sys.argv)

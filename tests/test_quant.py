@@ -410,3 +410,191 @@ def test_unpack_pads_awkward_7b_k():
     s5 = jnp.ones((5632 // 32, 2048), jnp.float32)
     out5 = jax.jit(unpack_params_int4)({"w2": QTensor(q5, s5, "q4_0")})
     assert out5["w2"].shape == (5632, 2048)
+
+
+# -- K-quants (256-weight superblocks, SURVEY addition: the de-facto GGUF
+# distribution formats llama.cpp ships) ---------------------------------------
+
+_K_KINDS = ("q2_k", "q3_k", "q4_k", "q5_k", "q6_k")
+_K_RMS_TOL = {"q2_k": 0.45, "q3_k": 0.25, "q4_k": 0.09,
+              "q5_k": 0.05, "q6_k": 0.03}
+
+
+@pytest.mark.parametrize("kind", _K_KINDS)
+def test_kquant_codec_roundtrip_error_bounded(kind):
+    from tpu_llm.quant import blocks as B
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=16 * 256).astype(np.float32)
+    quant = getattr(B, f"quantize_{kind}")
+    deq = getattr(B, f"dequantize_{kind}")
+    y = deq(quant(x), x.size)
+    rel = np.sqrt(((y - x) ** 2).mean()) / x.std()
+    assert rel < _K_RMS_TOL[kind], (kind, rel)
+
+
+def test_q4_k_golden_block():
+    """Pin the ggml q4_K bit layout with a hand-built superblock:
+    d=1.0, dmin=2.0, sub-scales sc=[1..8], sub-mins m=[0..7],
+    qs chosen so weight w[64j+l] = lo nibble, w[64j+32+l] = hi nibble.
+    value = d*sc*q - dmin*m (dequantize_row_q4_K)."""
+    from tpu_llm.quant import blocks as B
+
+    sc = np.arange(1, 9, dtype=np.uint8)[None, :]
+    m = np.arange(0, 8, dtype=np.uint8)[None, :]
+    blk = np.zeros((1, B.Q4_K_BLOCK_BYTES), np.uint8)
+    blk[0, 0:2] = np.frombuffer(np.float16(1.0).tobytes(), np.uint8)
+    blk[0, 2:4] = np.frombuffer(np.float16(2.0).tobytes(), np.uint8)
+    blk[0, 4:16] = B._pack_scale_min_k4(sc, m)
+    qs = np.arange(128, dtype=np.uint8)
+    blk[0, 16:144] = (qs & 0x0F) | (((qs + 3) & 0x0F) << 4)
+    y = B.dequantize_q4_k(blk.tobytes(), 256).reshape(8, 32)
+    for j in range(4):
+        lo_sub, hi_sub = 2 * j, 2 * j + 1
+        for el in range(32):
+            q_lo = (32 * j + el) & 0x0F
+            q_hi = (32 * j + el + 3) & 0x0F
+            assert y[lo_sub, el] == pytest.approx(
+                1.0 * sc[0, lo_sub] * q_lo - 2.0 * m[0, lo_sub])
+            assert y[hi_sub, el] == pytest.approx(
+                1.0 * sc[0, hi_sub] * q_hi - 2.0 * m[0, hi_sub])
+
+
+def test_q6_k_golden_block():
+    """Pin the ggml q6_K layout: ql low/high nibbles + qh 2-bit planes,
+    16 int8 sub-scales, value = d * sc[i//16] * (q6 - 32)."""
+    from tpu_llm.quant import blocks as B
+
+    blk = np.zeros((1, B.Q6_K_BLOCK_BYTES), np.uint8)
+    blk[0, 208:210] = np.frombuffer(np.float16(0.5).tobytes(), np.uint8)
+    scales = (np.arange(16, dtype=np.int8) - 4)
+    blk[0, 192:208] = scales.view(np.uint8)
+    # q6 value v = 0..63 cycling by weight index, packed per the spec
+    v = (np.arange(256) * 5 % 64).astype(np.uint8)
+    for half in range(2):
+        c = [v[128 * half + 32 * k: 128 * half + 32 * (k + 1)] for k in range(4)]
+        blk[0, 64 * half: 64 * half + 32] = (c[0] & 0xF) | ((c[2] & 0xF) << 4)
+        blk[0, 64 * half + 32: 64 * half + 64] = (c[1] & 0xF) | ((c[3] & 0xF) << 4)
+        blk[0, 128 + 32 * half: 128 + 32 * half + 32] = (
+            (c[0] >> 4) | ((c[1] >> 4) << 2) | ((c[2] >> 4) << 4) | ((c[3] >> 4) << 6))
+    y = B.dequantize_q6_k(blk.tobytes(), 256)
+    expect = 0.5 * np.repeat(scales, 16).astype(np.float32) * (
+        v.astype(np.float32) - 32)
+    np.testing.assert_allclose(y, expect, rtol=1e-6)
+
+
+def test_q3_k_scale_pack_roundtrip():
+    from tpu_llm.quant import blocks as B
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(-32, 32, (7, 16)).astype(np.int8)
+    assert (B._unpack_q3_scales(B._pack_q3_scales(v)) == v).all()
+
+
+@pytest.mark.parametrize("kind", _K_KINDS)
+def test_kquant_qtensor_matches_host_dequant(kind):
+    """Device QTensor (folded flat scale planes) dequantizes to exactly
+    the host codec's values — the fold is lossless."""
+    from tpu_llm.quant import blocks as B
+    from tpu_llm.quant.qtensor import dequantize, quantize_tensor
+
+    rng = np.random.default_rng(7)
+    K, N = 512, 64
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    qt = quantize_tensor(w, kind)
+    wd = np.asarray(dequantize(qt, jnp.float32))
+    quant = getattr(B, f"quantize_{kind}")
+    deq = getattr(B, f"dequantize_{kind}")
+    host = deq(quant(np.ascontiguousarray(w.T).reshape(-1)), w.size)
+    np.testing.assert_allclose(wd, host.reshape(N, K).T, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind", _K_KINDS + ("q4_1", "q5_1"))
+def test_kquant_pallas_kernel_interpret(kind):
+    """The generalized fused kernel (affine mins plane, per-16 scale
+    blocks) matches the XLA dequant matmul in interpret mode."""
+    from tpu_llm.quant.pallas_matmul import pallas_tiles_ok, qmatmul_pallas
+    from tpu_llm.quant.qtensor import dequantize, quantize_tensor
+
+    rng = np.random.default_rng(9)
+    K, N = 512, 128
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = rng.normal(size=(3, K)).astype(np.float32)
+    qt = quantize_tensor(w, kind)
+    assert pallas_tiles_ok(qt, 3)
+    ref = x @ np.asarray(dequantize(qt, jnp.float32))
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)
+
+
+def test_kquant_gguf_roundtrip_and_native_load():
+    """write_gguf(q4_k/q6_k) -> GGUFFile.dequantized matches the codec,
+    and the native loader path builds device QTensors with the right
+    kinds (q4_K folds to the q4_1 device layout)."""
+    import tempfile
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.quant import blocks as B
+    from tpu_llm.quant.qtensor import QTensor, qtensor_from_ggml
+
+    rng = np.random.default_rng(11)
+    arr = rng.normal(size=(64, 512)).astype(np.float32)   # (rows, row_len)
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/t.gguf"
+        gg.write_gguf(path, {"general.name": "kq"}, {
+            "a.weight": (arr, gg.GGML_Q4_K),
+            "b.weight": (arr, gg.GGML_Q6_K),
+        })
+        f = gg.GGUFFile(path)
+        ya = f.dequantized("a.weight")
+        expect = B.dequantize_q4_k(
+            np.frombuffer(B.quantize_q4_k(arr.reshape(-1)), np.uint8),
+            arr.size).reshape(arr.shape)
+        np.testing.assert_allclose(ya, expect, atol=1e-6)
+
+        ta = f.tensors["a.weight"]
+        qa = qtensor_from_ggml(gg.GGML_Q4_K, f.raw("a.weight"),
+                               ta.shape[0], ta.dims[0])
+        assert isinstance(qa, QTensor) and qa.kind == "q4_1"
+        assert qa.mins is not None and qa.shape == (512, 64)
+        tb = f.tensors["b.weight"]
+        qb = qtensor_from_ggml(gg.GGML_Q6_K, f.raw("b.weight"),
+                               tb.shape[0], tb.dims[0])
+        assert qb.kind == "q6_k" and qb.scales.shape == (512 // 16, 64)
+
+
+def test_kquant_linear_matmul_dispatch():
+    """linear.matmul over K-quant QTensors (XLA fallback on CPU) agrees
+    with the dequantized dense matmul."""
+    from tpu_llm.quant.linear import matmul
+    from tpu_llm.quant.qtensor import dequantize, quantize_tensor
+
+    rng = np.random.default_rng(13)
+    K, N = 256, 96
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = rng.normal(size=(2, K)).astype(np.float32)
+    for kind in _K_KINDS:
+        qt = quantize_tensor(w, kind)
+        ref = x @ np.asarray(dequantize(qt, jnp.float32))
+        got = np.asarray(matmul(jnp.asarray(x), qt, out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4), kind
+
+
+def test_kquant_pad_k_affine():
+    """pad_k on an affine QTensor pads mins too and stays an identity."""
+    from tpu_llm.quant.linear import matmul
+    from tpu_llm.quant.qtensor import dequantize, pad_k, quantize_tensor
+
+    rng = np.random.default_rng(15)
+    K, N = 768, 64
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = rng.normal(size=(2, K)).astype(np.float32)
+    qt = quantize_tensor(w, "q4_k")
+    qp = pad_k(qt, 1024)
+    assert qp.shape == (1024, N) and qp.mins is not None
+    deq = np.asarray(dequantize(qp, jnp.float32))
+    np.testing.assert_array_equal(deq[K:], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(matmul(jnp.asarray(x), qp, out_dtype=jnp.float32)),
+        np.asarray(matmul(jnp.asarray(x), qt, out_dtype=jnp.float32)),
+        rtol=1e-5, atol=1e-5)

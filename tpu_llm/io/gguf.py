@@ -43,6 +43,7 @@ _SCALAR_NP = {
 # -- GGML tensor dtypes ------------------------------------------------------
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1 = 0, 1, 2, 3
 GGML_Q5_0, GGML_Q5_1, GGML_Q8_0, GGML_Q8_1 = 6, 7, 8, 9
+GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 10, 11, 12, 13, 14
 GGML_I8, GGML_I16, GGML_I32 = 24, 25, 26
 GGML_F64 = 28
 GGML_BF16 = 30
@@ -51,6 +52,8 @@ GGML_TYPE_NAMES = {
     GGML_F32: "f32", GGML_F16: "f16", GGML_BF16: "bf16", GGML_F64: "f64",
     GGML_Q4_0: "q4_0", GGML_Q4_1: "q4_1", GGML_Q8_0: "q8_0",
     GGML_Q5_0: "q5_0", GGML_Q5_1: "q5_1",
+    GGML_Q2_K: "q2_k", GGML_Q3_K: "q3_k", GGML_Q4_K: "q4_k",
+    GGML_Q5_K: "q5_k", GGML_Q6_K: "q6_k",
     GGML_I8: "i8", GGML_I16: "i16", GGML_I32: "i32",
 }
 
@@ -63,6 +66,11 @@ _TYPE_TRAITS = {
     GGML_Q5_0: (qblocks.QK5_0, qblocks.Q5_0_BLOCK_BYTES),
     GGML_Q5_1: (qblocks.QK5_1, qblocks.Q5_1_BLOCK_BYTES),
     GGML_Q8_0: (qblocks.QK8_0, qblocks.Q8_0_BLOCK_BYTES),
+    GGML_Q2_K: (qblocks.QK_K, qblocks.Q2_K_BLOCK_BYTES),
+    GGML_Q3_K: (qblocks.QK_K, qblocks.Q3_K_BLOCK_BYTES),
+    GGML_Q4_K: (qblocks.QK_K, qblocks.Q4_K_BLOCK_BYTES),
+    GGML_Q5_K: (qblocks.QK_K, qblocks.Q5_K_BLOCK_BYTES),
+    GGML_Q6_K: (qblocks.QK_K, qblocks.Q6_K_BLOCK_BYTES),
 }
 
 
@@ -237,6 +245,16 @@ class GGUFFile:
             return qblocks.dequantize_q5_1(raw, t.n_elems).reshape(t.shape).astype(dtype)
         if t.ggml_type == GGML_Q8_0:
             return qblocks.dequantize_q8_0(raw, t.n_elems).reshape(t.shape).astype(dtype)
+        if t.ggml_type == GGML_Q2_K:
+            return qblocks.dequantize_q2_k(raw, t.n_elems).reshape(t.shape).astype(dtype)
+        if t.ggml_type == GGML_Q3_K:
+            return qblocks.dequantize_q3_k(raw, t.n_elems).reshape(t.shape).astype(dtype)
+        if t.ggml_type == GGML_Q4_K:
+            return qblocks.dequantize_q4_k(raw, t.n_elems).reshape(t.shape).astype(dtype)
+        if t.ggml_type == GGML_Q5_K:
+            return qblocks.dequantize_q5_k(raw, t.n_elems).reshape(t.shape).astype(dtype)
+        if t.ggml_type == GGML_Q6_K:
+            return qblocks.dequantize_q6_k(raw, t.n_elems).reshape(t.shape).astype(dtype)
         raise ValueError(
             f"unsupported ggml type {t.ggml_type} for tensor {name!r}"
         )
@@ -325,6 +343,16 @@ def _encode_tensor(data: np.ndarray, ggml_type: int) -> bytes:
         return qblocks.quantize_q5_1(flat.reshape(-1))
     if ggml_type == GGML_Q8_0:
         return qblocks.quantize_q8_0(flat.reshape(-1))
+    if ggml_type == GGML_Q2_K:
+        return qblocks.quantize_q2_k(flat.reshape(-1))
+    if ggml_type == GGML_Q3_K:
+        return qblocks.quantize_q3_k(flat.reshape(-1))
+    if ggml_type == GGML_Q4_K:
+        return qblocks.quantize_q4_k(flat.reshape(-1))
+    if ggml_type == GGML_Q5_K:
+        return qblocks.quantize_q5_k(flat.reshape(-1))
+    if ggml_type == GGML_Q6_K:
+        return qblocks.quantize_q6_k(flat.reshape(-1))
     if ggml_type == GGML_I32:
         return flat.astype(np.int32).tobytes()
     raise ValueError(f"writer: unsupported ggml type {ggml_type}")

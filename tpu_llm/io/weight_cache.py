@@ -48,6 +48,8 @@ def _flatten(prefix: str, node: Any, out: Dict[str, Any], meta: Dict[str, Any]):
         meta.setdefault("qtensors", {})[key] = node.kind
         _store(f"{key}.q", node.q, out, meta)
         _store(f"{key}.scales", node.scales, out, meta)
+        if node.mins is not None:
+            _store(f"{key}.mins", node.mins, out, meta)
         return
     _store(key, node, out, meta)
 
@@ -109,7 +111,8 @@ def _build_tree(z, path: str = "<npz>") -> Tuple[Any, LlamaConfig]:
     done = set()
     for name in names:
         owner = next((q for q in qprefixes
-                      if name == f"{q}.q" or name == f"{q}.scales"), None)
+                      if name in (f"{q}.q", f"{q}.scales", f"{q}.mins")),
+                     None)
         if owner is not None:
             if owner in done:
                 continue
@@ -118,6 +121,8 @@ def _build_tree(z, path: str = "<npz>") -> Tuple[Any, LlamaConfig]:
                 q=load_arr(f"{owner}.q"),
                 scales=load_arr(f"{owner}.scales"),
                 kind=qkinds[owner],
+                mins=(load_arr(f"{owner}.mins")
+                      if f"{owner}.mins" in names else None),
             ))
         else:
             insert(name, load_arr(name))

@@ -613,7 +613,8 @@ def _load_weight(gguf, name: str, dtype_policy: str, transpose: bool = True):
 
     t = gguf.tensors[name]
     if dtype_policy == "native" and t.ggml_type in (
-        gg.GGML_Q4_0, gg.GGML_Q4_1, gg.GGML_Q5_0, gg.GGML_Q5_1, gg.GGML_Q8_0
+        gg.GGML_Q4_0, gg.GGML_Q4_1, gg.GGML_Q5_0, gg.GGML_Q5_1, gg.GGML_Q8_0,
+        gg.GGML_Q2_K, gg.GGML_Q3_K, gg.GGML_Q4_K, gg.GGML_Q5_K, gg.GGML_Q6_K,
     ):
         rows, row_len = t.shape[0], t.dims[0]
         return qtensor_from_ggml(t.ggml_type, gguf.raw(name), rows, row_len)

@@ -48,7 +48,8 @@ from tpu_llm.quant.qtensor import QTensor
 def _gather_cols(w, idx: np.ndarray):
     """Permute the output (N) axis of a dense or QTensor weight."""
     if isinstance(w, QTensor):
-        return QTensor(q=w.q[..., idx], scales=w.scales[..., idx], kind=w.kind)
+        from tpu_llm.quant.qtensor import qmap
+        return qmap(lambda p: p[..., idx], w)
     return w[..., idx]
 
 
@@ -208,8 +209,8 @@ def shard_tp_params(params, cfg: LlamaConfig, mesh: Mesh, fused: bool = False):
     def put(leaf, spec):
         sh = NamedSharding(mesh, spec)
         if isinstance(leaf, QTensor):
-            return QTensor(q=jax.device_put(leaf.q, sh),
-                           scales=jax.device_put(leaf.scales, sh), kind=leaf.kind)
+            from tpu_llm.quant.qtensor import qmap
+            return qmap(lambda p: jax.device_put(p, sh), leaf)
         return jax.device_put(leaf, sh)
 
     out = {

@@ -38,20 +38,7 @@ def _pick_tile(dim: int, candidates) -> Optional[int]:
     return None
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_dtype):
-    k_step = pl.program_id(2)
-    if kind == "q4_0":
-        # nibble math in int32: Mosaic has no int8 vector sub/shift
-        blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
-        lo = (blocks & 0x0F) - 8
-        hi = ((blocks >> 4) & 0x0F) - 8
-        vals = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn)
-    else:  # q8_0 / q4_0i4: values in natural order, hardware widening
-        vals = q_ref[:]
-    # Dequant stays 2D the whole way (the 3D reshape-broadcast multiply
-    # cost a sublane relayout per tile — 35.6 -> 18.9 us on the w13 shape,
-    # experiments/q4_vpu_variants.py): expand scales with a sublane repeat
-    # and multiply in f32.
+def _scale_f32(s_ref) -> jax.Array:
     if s_ref.dtype == jnp.int16:
         # f16 scale BITS (pack_scales_f16): exact half->float rebuild —
         # Mosaic has no f16 type. Shift exponent+mantissa into f32
@@ -60,16 +47,42 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, *, tk: int, tn: int, kind: str, acc_
         # normal/subnormal range and scale through the multiply).
         h = s_ref[:].astype(jnp.int32)
         bits = ((h & 0x7FFF) << 13) | ((h & 0x8000) << 16)
-        s_f32 = jax.lax.bitcast_convert_type(bits, jnp.float32) * jnp.float32(
+        return jax.lax.bitcast_convert_type(bits, jnp.float32) * jnp.float32(
             2.0 ** 112
         )
-    else:
-        # f32 scales: no-op. bf16 scales (pack_scales_bf16): one cheap
-        # upcast on the (tk/32, tn) plane — 1/32 of the weight values.
-        s_f32 = s_ref[:].astype(jnp.float32)
+    # f32 scales: no-op. bf16 scales (pack_scales_bf16): one cheap
+    # upcast on the (tk/block, tn) plane — <= 1/16 of the weight values.
+    return s_ref[:].astype(jnp.float32)
+
+
+def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
+                acc_dtype):
+    # rest = (m_ref, o_ref) for affine kinds, (o_ref,) otherwise
+    m_ref = rest[0] if len(rest) == 2 else None
+    o_ref = rest[-1]
+    k_step = pl.program_id(2)
+    if kind == "q4_0":
+        # nibble math in int32: Mosaic has no int8 vector sub/shift
+        blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
+        lo = (blocks & 0x0F) - 8
+        hi = ((blocks >> 4) & 0x0F) - 8
+        vals = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn)
+    elif kind == "q4_1":
+        # unsigned affine nibbles (q4_1 and loaded-as-q4_1 q4_K)
+        blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
+        vals = jnp.concatenate(
+            [blocks & 0x0F, (blocks >> 4) & 0x0F], axis=1).reshape(tk, tn)
+    else:  # int8/int4 value planes in natural order, hardware widening
+        vals = q_ref[:]
+    # Dequant stays 2D the whole way (the 3D reshape-broadcast multiply
+    # cost a sublane relayout per tile — 35.6 -> 18.9 us on the w13 shape,
+    # experiments/q4_vpu_variants.py): expand scales with a sublane repeat
+    # and multiply in f32.
     nb = s_ref.shape[0]
-    s = jnp.repeat(s_f32, tk // nb, axis=0)             # (tk, tn) f32
+    s = jnp.repeat(_scale_f32(s_ref), tk // nb, axis=0)  # (tk, tn) f32
     w = vals.astype(jnp.float32) * s
+    if m_ref is not None:
+        w = w + jnp.repeat(_scale_f32(m_ref), tk // nb, axis=0)
     if acc_dtype == jnp.float32:
         # f32 mode (reference-parity): HIGHEST so dequantized values
         # aren't silently rounded to bf16 in the MXU — 6 passes, exact.
@@ -205,11 +218,23 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
     return None, tn
 
 
+_PALLAS_KINDS = ("q4_0", "q8_0", "q4_0i4", "q4_1", "q5_0", "q5_1",
+                 "q2_k", "q3_k", "q6_k")
+
+
 def _tile_params(qt: QTensor) -> dict:
-    """Per-kind byte weights for the VMEM tile budget."""
+    """Per-kind byte weights for the VMEM tile budget.
+
+    ``scale_itemsize`` is normalized to bytes-per-32-weights so the
+    budget formula's (tk//32) term stays valid for per-16 scale blocks
+    (folded q2/q3/q6_K) and for affine kinds' extra mins plane."""
+    K = qt.shape[-2]
+    block = K // qt.scales.shape[-2]
+    planes = 1 if qt.mins is None else 2
     return {
-        "packed_itemsize": 1.0 if qt.kind == "q8_0" else 0.5,
-        "scale_itemsize": float(jnp.dtype(qt.scales.dtype).itemsize),
+        "packed_itemsize": 0.5 if qt.kind in ("q4_0", "q4_1") else 1.0,
+        "scale_itemsize": float(jnp.dtype(qt.scales.dtype).itemsize)
+        * planes * (32.0 / block),
     }
 
 
@@ -220,8 +245,8 @@ def pallas_tiles_ok(qt: QTensor, rows: int = 1, x_itemsize: float = 4.0) -> bool
     the gate and ``qmatmul_pallas`` evaluate the same VMEM budget, so a
     mismatch (e.g. modelling bf16 prefill activations as f32) can gate a
     compilable shape off to the slower XLA dequant path."""
-    if qt.kind not in ("q4_0", "q8_0", "q4_0i4"):
-        return False  # q4_1 (affine) has no fused kernel yet -> XLA path
+    if qt.kind not in _PALLAS_KINDS:
+        return False
     if qt.q.ndim != 2:
         return False
     K, N = qt.shape[-2], qt.shape[-1]
@@ -267,23 +292,32 @@ def qmatmul_pallas(
                          **_tile_params(qt))
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")
-    qrow = tk // 2 if qt.kind == "q4_0" else tk
+    qrow = tk // 2 if qt.kind in ("q4_0", "q4_1") else tk
     qbytes = qt.q.size // 2 if qt.kind == "q4_0i4" else qt.q.size
+    block = K // qt.scales.shape[-2]
+    scale_spec = pl.BlockSpec((tk // block, tn), lambda b, n, k: (k, n),
+                              memory_space=pltpu.VMEM)
+    operands = [x2, qt.q, qt.scales]
+    in_specs = [
+        pl.BlockSpec((tb, tk), lambda b, n, k: (b, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((qrow, tn), lambda b, n, k: (k, n), memory_space=pltpu.VMEM),
+        scale_spec,
+    ]
+    scale_bytes = qt.scales.size * qt.scales.dtype.itemsize
+    if qt.mins is not None:
+        operands.append(qt.mins)
+        in_specs.append(scale_spec)
+        scale_bytes *= 2
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind, acc_dtype=acc_dtype),
         grid=(-(-rows // tb), -(-N // tn), K // tk),
         out_shape=jax.ShapeDtypeStruct((rows, N), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((tb, tk), lambda b, n, k: (b, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qrow, tn), lambda b, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 32, tn), lambda b, n, k: (k, n), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tb, tn), lambda b, n, k: (b, n), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * K * N,
-            bytes_accessed=qbytes + qt.scales.size * qt.scales.dtype.itemsize
-            + rows * (K + N) * 4,
+            bytes_accessed=qbytes + scale_bytes + rows * (K + N) * 4,
             transcendentals=0,
         ),
         # b/n blocks are independent; only k accumulates. Telling Mosaic so
@@ -292,6 +326,6 @@ def qmatmul_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(x2, qt.q, qt.scales)
+    )(*operands)
 
     return out.reshape(*lead, N).astype(out_dtype)

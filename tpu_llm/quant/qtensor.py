@@ -39,10 +39,14 @@ from tpu_llm.quant import blocks as qblocks
 @dataclasses.dataclass
 class QTensor:
     q: jax.Array          # packed quants, see module docstring
-    scales: jax.Array     # (..., K//32, N)
-    kind: str             # "q4_0" | "q8_0" | "q4_0i4" | "q4_1"
-    # q4_1 only: per-block affine offset m (value = q*scale + m), same
-    # (..., K//32, N) plane layout as scales
+    scales: jax.Array     # (..., K//block, N); block = 32 (_0/_1 kinds and
+    #                       folded q4_K/q5_K) or 16 (folded q2/q3/q6_K)
+    kind: str             # "q4_0" | "q8_0" | "q4_0i4" | "q4_1" | "q5_0" |
+    #                       "q5_1" | "q2_k" | "q3_k" | "q6_k"
+    #                       (q4_K loads AS q4_1, q5_K AS q5_1 — the 2-level
+    #                       superblock scales fold into flat planes at load)
+    # affine kinds only: per-block offset m (value = q*scale + m), same
+    # plane layout as scales
     mins: Optional[jax.Array] = None
 
     @property
@@ -161,6 +165,86 @@ def _split_ggml_q8_0(raw: np.ndarray, rows: int, row_len: int):
     return np.ascontiguousarray(q.T), np.ascontiguousarray(d.T)
 
 
+def _pack_q4_unsigned(vals: np.ndarray) -> np.ndarray:
+    """(K, N) u8 values in [0, 15] -> (K//2, N) packed uint8 in the device
+    block-local layout (byte 16b+j holds W[32b+j] low / W[32b+16+j] high)."""
+    k, n = vals.shape
+    blk = vals.reshape(k // 32, 32, n)
+    return (blk[:, :16, :] | (blk[:, 16:, :] << 4)).reshape(k // 2, n)
+
+
+def _split_ggml_q4_k(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q4_K superblocks -> device planes: (packed (row_len//2, rows) u8,
+    scales (row_len//32, rows) f32, mins (row_len//32, rows) f32).
+
+    The two-level scale scheme (f16 super d/dmin x 6-bit sub multipliers)
+    is FOLDED into flat per-32 planes at load: scale = d*sc, min = -dmin*m,
+    so on device the tensor is exactly a q4_1 (value = q*scale + min) and
+    shares its kernels. Bit layout follows ggml's dequantize_row_q4_K."""
+    nb = row_len // qblocks.QK_K
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q4_K_BLOCK_BYTES)
+    q, sc, m, d, dmin = qblocks._q4k_split(raw.reshape(rows * nb, -1))
+    scales = (d * sc).reshape(rows, nb * 8)          # per-32 effective scale
+    mins = (-dmin * m).reshape(rows, nb * 8)
+    vals = q.reshape(rows, row_len)                  # u8 in [0, 15]
+    packed = _pack_q4_unsigned(np.ascontiguousarray(vals.T))
+    return (packed,
+            np.ascontiguousarray(scales.T.astype(np.float32)),
+            np.ascontiguousarray(mins.T.astype(np.float32)))
+
+
+def _split_ggml_q5_k(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q5_K -> (values (row_len, rows) int8 in [0, 31], scales, mins
+    per-32 f32 planes) — the q5_1 device layout with folded scales."""
+    nb = row_len // qblocks.QK_K
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q5_K_BLOCK_BYTES)
+    q, sc, m, d, dmin = qblocks._q5k_split(raw.reshape(rows * nb, -1))
+    scales = (d * sc).reshape(rows, nb * 8)
+    mins = (-dmin * m).reshape(rows, nb * 8)
+    vals = q.reshape(rows, row_len).astype(np.int8)
+    return (np.ascontiguousarray(vals.T),
+            np.ascontiguousarray(scales.T.astype(np.float32)),
+            np.ascontiguousarray(mins.T.astype(np.float32)))
+
+
+def _split_ggml_q6_k(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q6_K -> (values (row_len, rows) int8 in [-32, 31],
+    scales (row_len//16, rows) f32) — int8-plane kind with per-16 blocks."""
+    nb = row_len // qblocks.QK_K
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q6_K_BLOCK_BYTES)
+    q, sc, d = qblocks._q6k_split(raw.reshape(rows * nb, -1))
+    scales = (d * sc).reshape(rows, nb * 16)         # per-16 effective scale
+    vals = q.reshape(rows, row_len)
+    return (np.ascontiguousarray(vals.T),
+            np.ascontiguousarray(scales.T.astype(np.float32)))
+
+
+def _split_ggml_q3_k(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q3_K -> (values (row_len, rows) int8 in [-4, 3],
+    scales (row_len//16, rows) f32)."""
+    nb = row_len // qblocks.QK_K
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q3_K_BLOCK_BYTES)
+    q, sc, d = qblocks._q3k_split(raw.reshape(rows * nb, -1))
+    scales = (d * sc).reshape(rows, nb * 16)
+    vals = q.reshape(rows, row_len)
+    return (np.ascontiguousarray(vals.T),
+            np.ascontiguousarray(scales.T.astype(np.float32)))
+
+
+def _split_ggml_q2_k(raw: np.ndarray, rows: int, row_len: int):
+    """ggml q2_K -> (values (row_len, rows) int8 in [0, 3], scales + mins
+    (row_len//16, rows) f32 planes)."""
+    nb = row_len // qblocks.QK_K
+    raw = np.asarray(raw, np.uint8).reshape(rows, nb, qblocks.Q2_K_BLOCK_BYTES)
+    q, sc, m, d, dmin = qblocks._q2k_split(raw.reshape(rows * nb, -1))
+    scales = (d * sc).reshape(rows, nb * 16)
+    mins = (-dmin * m).reshape(rows, nb * 16)
+    vals = q.reshape(rows, row_len).astype(np.int8)
+    return (np.ascontiguousarray(vals.T),
+            np.ascontiguousarray(scales.T.astype(np.float32)),
+            np.ascontiguousarray(mins.T.astype(np.float32)))
+
+
 def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) -> QTensor:
     """Build a device QTensor from on-disk ggml block bytes of a (rows,
     row_len) tensor, representing the transposed (row_len, rows) weight."""
@@ -182,6 +266,27 @@ def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) 
     if ggml_type == gg.GGML_Q5_1:
         q, scales, mins = _split_ggml_q5_1(raw, rows, row_len)
         return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_1",
+                       mins=jnp.asarray(mins))
+    # K-quants: the 2-level superblock scales are folded into flat per-sub-
+    # block planes at load, so on device q4_K IS a q4_1 and q5_K a q5_1;
+    # q2/q3/q6_K become int8-plane kinds with per-16 scale blocks.
+    if ggml_type == gg.GGML_Q4_K:
+        packed, scales, mins = _split_ggml_q4_k(raw, rows, row_len)
+        return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_1",
+                       mins=jnp.asarray(mins))
+    if ggml_type == gg.GGML_Q5_K:
+        q, scales, mins = _split_ggml_q5_k(raw, rows, row_len)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_1",
+                       mins=jnp.asarray(mins))
+    if ggml_type == gg.GGML_Q6_K:
+        q, scales = _split_ggml_q6_k(raw, rows, row_len)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q6_k")
+    if ggml_type == gg.GGML_Q3_K:
+        q, scales = _split_ggml_q3_k(raw, rows, row_len)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q3_k")
+    if ggml_type == gg.GGML_Q2_K:
+        q, scales, mins = _split_ggml_q2_k(raw, rows, row_len)
+        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q2_k",
                        mins=jnp.asarray(mins))
     raise ValueError(f"unsupported ggml type for QTensor: {ggml_type}")
 
@@ -212,6 +317,16 @@ def quantize_tensor(w: np.ndarray, kind: str = "q4_0") -> QTensor:
         q, scales, mins = _split_ggml_q5_1(raw, rows=n, row_len=k)
         return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_1",
                        mins=jnp.asarray(mins))
+    if kind in ("q2_k", "q3_k", "q4_k", "q5_k", "q6_k"):
+        from tpu_llm.io import gguf as gg
+        ttype = {"q2_k": gg.GGML_Q2_K, "q3_k": gg.GGML_Q3_K,
+                 "q4_k": gg.GGML_Q4_K, "q5_k": gg.GGML_Q5_K,
+                 "q6_k": gg.GGML_Q6_K}[kind]
+        quant = {"q2_k": qblocks.quantize_q2_k, "q3_k": qblocks.quantize_q3_k,
+                 "q4_k": qblocks.quantize_q4_k, "q5_k": qblocks.quantize_q5_k,
+                 "q6_k": qblocks.quantize_q6_k}[kind]
+        raw = np.frombuffer(quant(flat), np.uint8)
+        return qtensor_from_ggml(ttype, raw, rows=n, row_len=k)
     raise ValueError(kind)
 
 
@@ -295,12 +410,19 @@ def unpack_q4_unsigned(q: jax.Array) -> jax.Array:
 
 
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Materialize the logical (.., K, N) weight (XLA ops, any backend)."""
+    """Materialize the logical (.., K, N) weight (XLA ops, any backend).
+
+    Structure-driven: packed-nibble kinds unpack (signed for q4_0,
+    unsigned for the affine q4_1/q4_K layout); everything else is an int8
+    value plane. The scale block size is K // scales_rows (32 for the
+    _0/_1 kinds and folded q4_K/q5_K, 16 for folded q2/q3/q6_K), and a
+    ``mins`` plane — when present — adds the affine offset."""
     if qt.kind == "q4_0":
         vals = unpack_q4(qt.q).astype(dtype)
     elif qt.kind == "q4_1":
         vals = unpack_q4_unsigned(qt.q).astype(dtype)
-    elif qt.kind in ("q8_0", "q4_0i4", "q5_0", "q5_1"):
+    elif qt.kind in ("q8_0", "q4_0i4", "q5_0", "q5_1",
+                     "q2_k", "q3_k", "q6_k"):
         vals = qt.q.astype(dtype)
     else:
         raise ValueError(qt.kind)
@@ -309,7 +431,7 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     rep = lambda p: jnp.repeat(unpack_scales_f16(p, dtype), k // nblocks,
                                axis=-2)
     out = vals * rep(qt.scales)
-    if qt.kind in ("q4_1", "q5_1"):
+    if qt.mins is not None:
         out = out + rep(qt.mins)
     return out
 
@@ -329,14 +451,15 @@ def pad_k(qt: QTensor, k_multiple: int = 1024) -> QTensor:
     Kp = -(-K // k_multiple) * k_multiple
     if Kp == K:
         return qt
-    if qt.kind not in ("q4_0", "q8_0", "q4_0i4"):
-        return qt                      # affine kinds: no fused kernel
     extra = Kp - K
-    rows = extra // 2 if qt.kind == "q4_0" else extra
+    rows = extra // 2 if qt.kind in ("q4_0", "q4_1") else extra
+    block = K // qt.scales.shape[-2]
     pad_rows = [(0, 0)] * len(lead) + [(0, rows), (0, 0)]
-    pad_scales = [(0, 0)] * len(lead) + [(0, extra // 32), (0, 0)]
+    pad_scales = [(0, 0)] * len(lead) + [(0, extra // block), (0, 0)]
     return QTensor(
         q=jnp.pad(qt.q, pad_rows),
         scales=jnp.pad(qt.scales, pad_scales),
         kind=qt.kind,
+        # zero-padded mins rows dequantize to q*0 + 0 — still identity
+        mins=None if qt.mins is None else jnp.pad(qt.mins, pad_scales),
     )

@@ -141,7 +141,10 @@ def dtype_table(
     fmt_ids = {"f32": gg.GGML_F32, "f16": gg.GGML_F16, "bf16": gg.GGML_BF16,
                "q8_0": gg.GGML_Q8_0, "q5_0": gg.GGML_Q5_0,
                "q5_1": gg.GGML_Q5_1, "q4_0": gg.GGML_Q4_0,
-               "q4_1": gg.GGML_Q4_1}
+               "q4_1": gg.GGML_Q4_1,
+               "q2_k": gg.GGML_Q2_K, "q3_k": gg.GGML_Q3_K,
+               "q4_k": gg.GGML_Q4_K, "q5_k": gg.GGML_Q5_K,
+               "q6_k": gg.GGML_Q6_K}
 
     def variant(fmt: str, out_path: str):
         ttype = fmt_ids[fmt]
@@ -149,8 +152,12 @@ def dtype_table(
         for name, t in base.tensors.items():
             arr = base.dequantized(name, np.float32)
             # norms stay f32 (llama.cpp convention; the reference keeps
-            # them f32 on every branch)
-            quantize = arr.ndim == 2 and "norm" not in name
+            # them f32 on every branch); rows that don't fill a whole
+            # block (K-quant superblocks are 256 wide) also stay f32,
+            # matching llama.cpp's per-tensor fallback behavior
+            block = gg._TYPE_TRAITS[ttype][0]
+            quantize = (arr.ndim == 2 and "norm" not in name
+                        and arr.shape[-1] % block == 0)
             tensors[name] = (arr, ttype) if quantize else arr
         write_gguf(out_path, dict(base.metadata), tensors)
 
