@@ -598,3 +598,27 @@ def test_kquant_pad_k_affine():
         np.asarray(matmul(jnp.asarray(x), qp, out_dtype=jnp.float32)),
         np.asarray(matmul(jnp.asarray(x), qt, out_dtype=jnp.float32)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_to_int4_affine_recenter():
+    """q4_1 (and loaded-as-q4_1 q4_K) -> int4 plane: q*s+m == (q-8)*s +
+    (m+8s) exactly; scale packing converts the mins plane too."""
+    import jax
+
+    from tpu_llm.quant.qtensor import (dequantize, pack_scales_bf16,
+                                       pack_scales_f16, quantize_tensor,
+                                       to_int4)
+
+    rng = np.random.default_rng(21)
+    w = rng.normal(size=(512, 64)).astype(np.float32)
+    qt = quantize_tensor(w, "q4_k")
+    ref = np.asarray(dequantize(qt, jnp.float32))
+    q4 = jax.jit(to_int4)(qt)
+    assert q4.kind == "q4_0i4" and q4.mins is not None
+    np.testing.assert_allclose(np.asarray(dequantize(q4, jnp.float32)),
+                               ref, rtol=1e-5, atol=1e-5)
+    for packer, tol in ((pack_scales_f16, 5e-4), (pack_scales_bf16, 5e-3)):
+        qp = jax.jit(packer)(q4)
+        assert qp.mins is not None and qp.mins.dtype == qp.scales.dtype
+        dp = np.asarray(dequantize(qp, jnp.float32))
+        assert np.abs(dp - ref).max() / np.abs(ref).max() < tol

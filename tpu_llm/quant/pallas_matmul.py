@@ -232,7 +232,8 @@ def _tile_params(qt: QTensor) -> dict:
     block = K // qt.scales.shape[-2]
     planes = 1 if qt.mins is None else 2
     return {
-        "packed_itemsize": 0.5 if qt.kind in ("q4_0", "q4_1") else 1.0,
+        # int4 planes (q4_0i4) stay 2-per-byte in VMEM (E(4) layout)
+        "packed_itemsize": 0.5 if qt.kind in ("q4_0", "q4_1", "q4_0i4") else 1.0,
         "scale_itemsize": float(jnp.dtype(qt.scales.dtype).itemsize)
         * planes * (32.0 / block),
     }

@@ -342,7 +342,7 @@ def unpack_q4(q: jax.Array) -> jax.Array:
 
 
 def to_int4(qt: QTensor) -> QTensor:
-    """q4_0 (packed uint8) -> int4 value planes, jit-traceable.
+    """q4_0/q4_1 (packed uint8) -> int4 value planes, jit-traceable.
 
     Same logical weights and scales; ``q`` becomes a (.., K, N) jnp.int4
     array. XLA keeps int4 packed 2-per-byte in HBM, so the at-rest and
@@ -352,7 +352,19 @@ def to_int4(qt: QTensor) -> QTensor:
     boundary on some backends (axon device_put bug), so call this INSIDE
     the jitted program — once, ahead of the decode scan, where it hoists
     to a single conversion pass.
+
+    q4_1 (and loaded-as-q4_1 q4_K) recenters into the signed int4 range:
+    q*s + m == (q-8)*s + (m + 8*s), so the mins plane absorbs the shift
+    exactly and the value plane becomes a plain int4 like q4_0's.
     """
+    if qt.kind == "q4_1":
+        s_f32 = unpack_scales_f16(qt.scales)
+        return QTensor(
+            q=(unpack_q4_unsigned(qt.q).astype(jnp.int16) - 8).astype(jnp.int4),
+            scales=qt.scales,
+            kind="q4_0i4",
+            mins=qt.mins + 8.0 * s_f32,
+        )
     if qt.kind != "q4_0":
         return qt
     return QTensor(
@@ -371,10 +383,12 @@ def pack_scales_f16(qt: QTensor) -> QTensor:
     inside the decode program ahead of the token scan."""
     if qt.scales.dtype == jnp.int16:
         return qt
-    bits = jax.lax.bitcast_convert_type(
-        qt.scales.astype(jnp.float16), jnp.int16
-    )
-    return QTensor(q=qt.q, scales=bits, kind=qt.kind, mins=qt.mins)
+    pack = lambda p: jax.lax.bitcast_convert_type(
+        p.astype(jnp.float16), jnp.int16)
+    # mins packed the same way; exact for q4_1-origin mins (on-disk f16),
+    # rounds folded K-quant products (d*sc needs up to 17 mantissa bits)
+    return QTensor(q=qt.q, scales=pack(qt.scales), kind=qt.kind,
+                   mins=None if qt.mins is None else pack(qt.mins))
 
 
 def pack_scales_bf16(qt: QTensor) -> QTensor:
@@ -389,7 +403,9 @@ def pack_scales_bf16(qt: QTensor) -> QTensor:
     if qt.scales.dtype in (jnp.bfloat16, jnp.int16):
         return qt
     return QTensor(q=qt.q, scales=qt.scales.astype(jnp.bfloat16),
-                   kind=qt.kind, mins=qt.mins)
+                   kind=qt.kind,
+                   mins=None if qt.mins is None
+                   else qt.mins.astype(jnp.bfloat16))
 
 
 def unpack_scales_f16(scales: jax.Array, dtype=jnp.float32) -> jax.Array:

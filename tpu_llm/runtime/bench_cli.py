@@ -100,6 +100,21 @@ def _synth_qtensor(key, K, N, kind):
     from tpu_llm.quant.qtensor import QTensor
 
     kq, ks = jax.random.split(key)
+    if kind in ("q4_k", "q6_k"):
+        # device layouts the K-quant loader produces (folded flat planes):
+        # q4_K -> q4_1 packed-affine per-32; q6_K -> int8 per-16 scales
+        km = jax.random.fold_in(ks, 1)
+        if kind == "q4_k":
+            q = jax.random.randint(kq, (K // 2, N), 0, 256,
+                                   jnp.int32).astype(jnp.uint8)
+            scales = jax.random.uniform(ks, (K // 32, N), jnp.float32,
+                                        0.001, 0.01)
+            mins = -8.0 * scales + 0.001 * jax.random.uniform(
+                km, (K // 32, N), jnp.float32)
+            return QTensor(q=q, scales=scales, kind="q4_1", mins=mins)
+        q = jax.random.randint(kq, (K, N), -32, 32, jnp.int32).astype(jnp.int8)
+        scales = jax.random.uniform(ks, (K // 16, N), jnp.float32, 0.001, 0.01)
+        return QTensor(q=q, scales=scales, kind="q6_k")
     if kind == "q4_0":
         q = jax.random.randint(kq, (K // 2, N), 0, 256,
                                jnp.int32).astype(jnp.uint8)
@@ -678,7 +693,11 @@ def main(argv=None) -> int:
                 "vs_baseline": round(tok_s / 6.237, 2),  # ssm/README.md:77
             }), flush=True)
             continue
-        params = _build(name)
+        if name in ("q4_k", "q6_k"):
+            # K-quant rows: device-synth in the loader's folded layouts
+            params = synth_quant_llama(cfg, kind=name)
+        else:
+            params = _build(name)
         import jax.numpy as jnp
 
         cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
