@@ -413,3 +413,64 @@ def test_logprobs_speculative_matches_plain():
     assert r1.tokens == r2.tokens
     np.testing.assert_allclose(r1.token_logprobs, r2.token_logprobs,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_frequency_penalty_bans_repeats():
+    """A huge frequency penalty makes every token of the text-so-far
+    unsampleable: the generated stream has no repeats (and avoids the
+    prompt/BOS tokens) for n << vocab."""
+    _, _, _, be, _ = setup()
+    prompt = [5, 11, 7]
+    req = be.submit(Request(prompt=prompt, max_new=10,
+                            frequency_penalty=1e9))
+    be.run()
+    assert req.done and len(req.tokens) == 10
+    seen = set([1] + prompt)        # BOS + prompt counted too
+    for t in req.tokens:
+        assert t not in seen, (t, req.tokens)
+        seen.add(t)
+
+
+def test_penalized_and_plain_slots_do_not_interact():
+    """Mixed batch: the unpenalized slot's stream must equal its solo
+    greedy run; the penalized slot must differ from ITS plain run once
+    the penalty forces a divergence."""
+    _, _, _, be, se = setup(batch=2)
+    plain = be.submit(Request(prompt=[9, 2, 40], max_new=8))
+    pen = be.submit(Request(prompt=[5, 11], max_new=8,
+                            frequency_penalty=1e9))
+    be.run()
+    assert plain.tokens == single_stream_tokens(se, [9, 2, 40], 8)
+    base = single_stream_tokens(se, [5, 11], 8)
+    assert pen.tokens != base       # random-weight greedy repeats quickly
+    assert len(set(pen.tokens)) == 8
+
+
+def test_penalty_after_unpenalized_phase():
+    """Counts activate lazily: a penalized request admitted AFTER plain
+    ones ran (and into a reused slot) still bans repeats, and the plain
+    request finishing later is unaffected."""
+    _, _, _, be, se = setup(batch=2)
+    first = be.submit(Request(prompt=[3], max_new=3))
+    be.run()
+    assert first.done
+    long_plain = be.submit(Request(prompt=[9, 2, 40], max_new=10))
+    pen = be.submit(Request(prompt=[5, 11], max_new=6,
+                            presence_penalty=1e9))
+    be.run()
+    assert len(set(pen.tokens)) == 6
+    assert long_plain.tokens == single_stream_tokens(se, [9, 2, 40], 10)
+
+
+def test_repetition_penalty_changes_stream():
+    """HF-style repetition penalty (divide positive logits of seen
+    tokens) must alter a repetitive greedy stream but keep determinism."""
+    _, _, _, be, _ = setup()
+    a = be.submit(Request(prompt=[5, 11], max_new=8,
+                          repetition_penalty=5.0))
+    be.run()
+    _, _, _, be2, _ = setup()
+    b = be2.submit(Request(prompt=[5, 11], max_new=8,
+                           repetition_penalty=5.0))
+    be2.run()
+    assert a.tokens == b.tokens     # deterministic

@@ -401,3 +401,28 @@ def test_exactly_fitting_request_admits():
     r = pe.submit(Request(prompt=prompt, max_new=4))
     pe.run()
     assert r.done and r.tokens == single_stream_tokens(se, prompt, 4)
+
+
+def test_paged_penalties_match_dense_engine():
+    """Frequency/presence penalties over the paged engine: same no-repeat
+    guarantee and the same stream as the dense BatchEngine."""
+    import tpu_llm.runtime.batching as B
+    from tests.test_llama import CFG, make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.runtime.engine import ModelAdapter
+
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    pe = PagedEngine(params, cfg, batch=2, n_blocks=64, block_size=16,
+                     max_seq=CFG["seq_len"])
+    r_p = pe.submit(Request(prompt=[5, 11], max_new=8,
+                            frequency_penalty=1e9))
+    pe.run()
+    assert len(set(r_p.tokens)) == 8 and 1 not in r_p.tokens
+
+    be = B.BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1), batch=2,
+                       max_seq=CFG["seq_len"])
+    r_d = be.submit(B.Request(prompt=[5, 11], max_new=8,
+                              frequency_penalty=1e9))
+    be.run()
+    assert r_p.tokens == r_d.tokens

@@ -52,11 +52,37 @@ class Request:
     top_k: int = 0               # 0 = no top-k filter
     top_p: float = 1.0           # 1.0 = no nucleus filter
     logprobs: bool = False       # record log P(token) per generated token
+    # OpenAI-style penalties over the text so far (prompt + generated):
+    # logits -= frequency_penalty*count + presence_penalty*(count > 0);
+    # repetition_penalty (HF convention, 1.0 = off) divides positive /
+    # multiplies negative logits of seen tokens first
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    repetition_penalty: float = 1.0
     # filled by the engine:
     rid: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)  # generated only
     token_logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
+
+
+def _penalized(req: Request) -> bool:
+    return (req.frequency_penalty != 0.0 or req.presence_penalty != 0.0
+            or req.repetition_penalty != 1.0)
+
+
+def _apply_penalties(logits, counts, fps, pps, rps):
+    """Penalty-adjusted logits for SAMPLING (reported logprobs stay raw).
+
+    logits (..., V) f32; counts (..., V) int32 token counts over the text
+    so far; fps/pps/rps broadcastable penalty knobs ((B,) vectors for the
+    batch step, scalars for prefill rows)."""
+    c = counts.astype(jnp.float32)
+    seen = c > 0
+    x = logits.astype(jnp.float32)
+    rp = jnp.where(seen, rps[..., None], 1.0)
+    x = jnp.where(x > 0, x / rp, x * rp)
+    return x - fps[..., None] * c - pps[..., None] * seen
 
 
 def _req_filters(req: Request):
@@ -75,6 +101,19 @@ def _sample_rows(logits, keys, temps, topks, topps):
     if topks is None:
         return jax.vmap(_select_token)(logits, keys, temps)
     return jax.vmap(filtered_sample)(logits, keys, temps, topks, topps)
+
+
+def _sample_step(logits, keys, temps, topks, topps, counts, fps, pps, rps):
+    """Batched decode-step sampling with optional penalties: sample from
+    penalty-adjusted logits, then bump the device-side per-slot token
+    counts (no host sync in the loop). ``counts is None`` keeps the plain
+    path's compiled variant untouched."""
+    slog = (logits if counts is None
+            else _apply_penalties(logits, counts, fps, pps, rps))
+    sampled = _sample_rows(slog, keys, temps, topks, topps)
+    if counts is not None:
+        counts = counts.at[jnp.arange(counts.shape[0]), sampled].add(1)
+    return sampled, counts
 
 
 def _token_logprob(logits, toks):
@@ -123,6 +162,7 @@ class BatchEngine:
         self.spec_k = (speculative_k
                        if getattr(adapter, "positional_state", True) else 0)
         self.bos_id = adapter.bos_id
+        self._vocab = adapter.vocab_size
         self.slots = [_Slot() for _ in range(batch)]
         self.state = adapter.init_state(batch, max_seq)
         self._baxis = adapter.state_batch_axis
@@ -139,6 +179,10 @@ class BatchEngine:
         self._token_dev = jnp.zeros((batch,), jnp.int32)
         self._lp_dev = jnp.zeros((batch,), jnp.float32)
         self._inflight = None        # (token_dev snapshot, [(slot_idx, req)])
+        # penalty token counts (B, V) int32, device-resident while any
+        # live request penalizes; rebuilt from host context on admission
+        self._counts = None
+        self._counts_dirty = False
         # observability: speculative acceptance (tokens emitted per
         # verify forward; 1.0 would mean zero accepted drafts)
         self.stats = {"spec_forwards": 0, "spec_tokens": 0}
@@ -146,13 +190,15 @@ class BatchEngine:
     # -- jitted bodies ----------------------------------------------------
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
-                   topks=None, topps=None):
+                   topks=None, topps=None, counts=None, fps=None, pps=None,
+                   rps=None):
         hidden, state = self.adapter.apply(
             params, tokens=tokens[:, None], state=state, offset=offsets
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
-        sampled = _sample_rows(logits, keys, temps, topks, topps)
-        return sampled, _token_logprob(logits, sampled), state
+        sampled, counts = _sample_step(logits, keys, temps, topks, topps,
+                                       counts, fps, pps, rps)
+        return sampled, _token_logprob(logits, sampled), state, counts
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
                      topks=None, topps=None):
@@ -170,7 +216,8 @@ class BatchEngine:
                 sampled0, _token_logprob(logits[:, 0], sampled0), state)
 
     def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp,
-                      topk=None, topp=None):
+                      topk=None, topp=None, crow=None, fp=None, pp=None,
+                      rp=None):
         """Prefill ``tokens`` (1, Tpad) into fresh batch-1 state rows, then
         scatter them into the batch state at ``slot``. Returns the first
         sampled token and the updated state."""
@@ -185,10 +232,12 @@ class BatchEngine:
         )
         last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
         logits = self.adapter.lm_head(params, hidden=last)[:, 0, :]
+        slog = (logits if crow is None
+                else _apply_penalties(logits[0], crow, fp, pp, rp)[None])
         if topk is None:
-            sampled = _select_token(logits, key, temp)[0]
+            sampled = _select_token(slog, key, temp)[0]
         else:
-            sampled = filtered_sample(logits[0], key, temp, topk, topp)
+            sampled = filtered_sample(slog[0], key, temp, topk, topp)
         lp = _token_logprob(logits[0], sampled)
         state = jax.tree_util.tree_map(
             lambda a, b: jax.lax.dynamic_update_slice_in_dim(
@@ -204,6 +253,9 @@ class BatchEngine:
         self._next_rid += 1
         if not req.prompt:
             raise ValueError("empty prompt")
+        if _penalized(req) and self._vocab <= 0:
+            raise ValueError(
+                "penalties need adapter.vocab_size for the count buffer")
         n_bos = 1 if self.bos_id >= 0 else 0
         if len(req.prompt) + n_bos + req.max_new > self.max_seq:
             raise ValueError("prompt (+BOS) + max_new exceeds max_seq")
@@ -229,10 +281,21 @@ class BatchEngine:
                 toks[0, :n_in] = np.asarray(input_ids, np.int32)
 
                 slot.key, sub = jax.random.split(slot.key)
+                pen = ()
+                if _penalized(req):
+                    # prompt-count row so the FIRST sampled token is
+                    # penalized too; the (B, V) batch counts rebuild lazily
+                    row = np.bincount(input_ids, minlength=self._vocab)
+                    pen = (jnp.asarray(row.astype(np.int32)),
+                           jnp.float32(req.frequency_penalty),
+                           jnp.float32(req.presence_penalty),
+                           jnp.float32(req.repetition_penalty))
+                if pen or self._counts is not None:
+                    self._counts_dirty = True
                 sampled, lp_d, self.state = self._prefill(
                     self.params, jnp.asarray(toks), self.state,
                     jnp.int32(idx), jnp.int32(n_in - 1), sub,
-                    jnp.float32(req.temperature), *_req_filters(req),
+                    jnp.float32(req.temperature), *_req_filters(req), *pen,
                 )
                 # one host fetch per REQUEST (not per token): the prefill
                 # token is the request's first generated token
@@ -273,6 +336,37 @@ class BatchEngine:
             topks[i] = r.top_k
             topps[i] = r.top_p
         return jnp.asarray(topks), jnp.asarray(topps)
+
+    def _penalty_args(self, live):
+        """(counts, fps, pps, rps) for the step dispatch — all None while
+        no live request penalizes (the plain compiled variant). Counts
+        rebuild from host context on admission events; between rebuilds
+        the jitted step maintains them on device."""
+        if not any(_penalized(r) for _, r in live):
+            self._counts = None
+            return None, None, None, None
+        if self._counts is None or self._counts_dirty:
+            # drain the pipelined fetch first: the in-flight token is not
+            # in req.tokens yet and would be missed by the rebuild
+            self._collect()
+            v = self._vocab
+            rows = np.zeros((self.batch, v), np.int32)
+            bos = [self.bos_id] if self.bos_id >= 0 else []
+            for i, r in live:
+                ctx = bos + r.prompt + r.tokens
+                rows[i] = np.bincount(
+                    np.asarray(ctx, np.int64), minlength=v)
+            self._counts = jnp.asarray(rows)
+            self._counts_dirty = False
+        fps = np.zeros((self.batch,), np.float32)
+        pps = np.zeros((self.batch,), np.float32)
+        rps = np.ones((self.batch,), np.float32)
+        for i, r in live:
+            fps[i] = r.frequency_penalty
+            pps[i] = r.presence_penalty
+            rps[i] = r.repetition_penalty
+        return (self._counts, jnp.asarray(fps), jnp.asarray(pps),
+                jnp.asarray(rps))
 
     def cancel(self, req: Request) -> bool:
         """Retire ``req`` immediately (client disconnect, stop-string
@@ -396,12 +490,14 @@ class BatchEngine:
         if not live:
             self._collect()
             return 0
-        if self.spec_k and all(
+        if self.spec_k and not any(_penalized(r) for _, r in live) and all(
             self.slots[i].pos + self.spec_k + 1 <= self.max_seq
             for i, _ in live
         ):
             # near-cache-boundary batches fall through to the plain step
-            # — a padded verify window would write past the cache
+            # — a padded verify window would write past the cache.
+            # Penalized slots also fall through: the greedy chain inside
+            # verify would need per-position evolving counts
             return self._step_spec(live)
 
         offsets = np.zeros((self.batch,), np.int32)
@@ -417,7 +513,7 @@ class BatchEngine:
             keys.append(sub)
             slot.pos += 1
 
-        self._token_dev, self._lp_dev, self.state = self._step(
+        self._token_dev, self._lp_dev, self.state, self._counts = self._step(
             self.params,
             self._token_dev,
             self.state,
@@ -425,6 +521,7 @@ class BatchEngine:
             jnp.stack(keys),
             jnp.asarray(temps),
             *self._filter_vecs(live),
+            *self._penalty_args(live),
         )
         prev = self._inflight
         self._inflight = ((self._token_dev, self._lp_dev), live)

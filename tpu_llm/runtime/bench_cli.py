@@ -264,7 +264,7 @@ def _decode_tok_s_mamba(params, cfg, steps, batch):
 
 
 def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
-                  cache_dtype=None):
+                  cache_dtype=None, pack_scales=False):
     import jax
     import jax.numpy as jnp
 
@@ -282,11 +282,13 @@ def _decode_tok_s(params, cfg, steps, batch, max_seq, prompt_len,
         @jax.jit
         def decode_n(params, token, cache, pos0):
             if on_tpu:  # int4 planes, hoisted ahead of the scan.
-                # Scales stay f32 here: bf16 scale planes WIN on
-                # TinyLlama shapes (bench.py's headline config) but LOSE
-                # on 7B (153.1 -> 147.5 tok/s) and q8_0 — pack only
-                # where measured (r3 A/Bs, 2026-08-19).
-                params = unpack_params_int4(params)
+                # Scale packing is per-MODEL measured: TinyLlama keeps
+                # f32 here (bench.py's headline config packs bf16 on its
+                # own path), q8_0 keeps f32 (packing lost 16%, r3 A/B);
+                # Llama-2 7B passes "f16" — the round-2 loss reversed
+                # with the round-3 kernel (164.0 -> 171.7 tok/s,
+                # experiments/r3b_7b_scales.py 2026-08-20).
+                params = unpack_params_int4(params, pack_scales=pack_scales)
 
             def body(carry, _):
                 token, cache, pos = carry
@@ -657,7 +659,9 @@ def main(argv=None) -> int:
             lparams, lcfg = _build_llama2_7b(quant)
             tok_s = _decode_tok_s(lparams, lcfg, args.steps, args.batch,
                                   min(args.max_seq, lcfg.seq_len),
-                                  args.prompt_len)
+                                  args.prompt_len,
+                                  pack_scales="f16" if quant == "q4_0"
+                                  else False)
             print(json.dumps({
                 "metric": f"llama2_7b_{quant}_decode_tokens_per_s_per_chip",
                 "value": round(tok_s, 2),

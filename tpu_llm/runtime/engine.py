@@ -58,6 +58,8 @@ class ModelAdapter:
     # verify can over-write ahead and partially accept. False for
     # recurrent state (Mamba) — a rejected draft would need rollback.
     positional_state: bool = True
+    # vocab size (token-count buffers for repetition/frequency penalties)
+    vocab_size: int = 0
 
     @classmethod
     def llama(cls, cfg, cache_dtype=jnp.float32, bos_id: int = 1,
@@ -76,6 +78,7 @@ class ModelAdapter:
             ),
             bos_id=bos_id,
             state_batch_axis=1 if stacked else 0,
+            vocab_size=cfg.vocab_size,
         )
 
     @classmethod
@@ -96,6 +99,7 @@ class ModelAdapter:
             bos_id=bos_id if bos_id is not None else -1,  # Mamba: no BOS (mamba.f90:406)
             state_batch_axis=1 if stacked else 0,
             positional_state=False,
+            vocab_size=cfg.vocab_size,
         )
 
 

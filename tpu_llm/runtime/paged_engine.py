@@ -51,8 +51,9 @@ from tpu_llm.ops.paged_kv import (
 )
 from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
 from tpu_llm.ops.sampling import filtered_sample
-from tpu_llm.runtime.batching import (_req_filters, _sample_rows,
-                                      _token_logprob)
+from tpu_llm.runtime.batching import (_apply_penalties, _penalized,
+                                      _req_filters, _sample_rows,
+                                      _sample_step, _token_logprob)
 from tpu_llm.runtime.engine import _next_bucket, _select_token
 
 __all__ = ["PagedEngine", "Request"]
@@ -116,6 +117,9 @@ class PagedEngine(BatchEngine):
         self.max_seq = mb * block_size
         self.eos_id = eos_id
         self.bos_id = bos_id
+        self._vocab = cfg.vocab_size
+        self._counts = None
+        self._counts_dirty = False
 
         self.allocator = BlockAllocator(n_blocks)
         self.prefix = PrefixCache(self.allocator) if prefix_caching else None
@@ -192,7 +196,8 @@ class PagedEngine(BatchEngine):
         }
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
-                   topks=None, topps=None):
+                   topks=None, topps=None, counts=None, fps=None, pps=None,
+                   rps=None):
         from tpu_llm.models import llama as M
 
         cache = self._layer_caches(state, state["table"], state["lengths"])
@@ -200,12 +205,15 @@ class PagedEngine(BatchEngine):
                                offsets, update_fn=_paged_update_fn,
                                attn_fn=_paged_attn_fn)
         logits = M.lm_head(params, self.cfg, hidden)[:, 0, :]
-        sampled = _sample_rows(logits, keys, temps, topks, topps)
+        sampled, counts = _sample_step(logits, keys, temps, topks, topps,
+                                       counts, fps, pps, rps)
         return sampled, _token_logprob(logits, sampled), \
-            self._repack(state, nc, state["table"], nc["k"][0].lengths)
+            self._repack(state, nc, state["table"], nc["k"][0].lengths), \
+            counts
 
     def _prefill_impl(self, params, tokens, state, slot, pos0, last_idx,
-                      key, temp, topk=None, topp=None):
+                      key, temp, topk=None, topp=None, crow=None, fp=None,
+                      pp=None, rp=None):
         """Forward the prompt TAIL (tokens past the shared prefix) at
         positions [pos0, pos0+Tpad) through the slot's block-table row.
         Shared prefix blocks are already mapped, so attention sees the
@@ -220,10 +228,12 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
         logits = M.lm_head(params, self.cfg, last)[:, 0, :]
+        slog = (logits if crow is None
+                else _apply_penalties(logits[0], crow, fp, pp, rp)[None])
         if topk is None:
-            sampled = _select_token(logits, key, temp)[0]
+            sampled = _select_token(slog, key, temp)[0]
         else:
-            sampled = filtered_sample(logits[0], key, temp, topk, topp)
+            sampled = filtered_sample(slog[0], key, temp, topk, topp)
         lengths = jax.lax.dynamic_update_slice(
             state["lengths"], nc["k"][0].lengths, (slot,))
         return sampled, _token_logprob(logits[0], sampled), \
@@ -355,10 +365,19 @@ class PagedEngine(BatchEngine):
             toks[0, : len(tail)] = np.asarray(tail, np.int32)
 
             slot.key, sub = jax.random.split(slot.key)
+            pen = ()
+            if _penalized(req):
+                crow = np.bincount(input_ids, minlength=self._vocab)
+                pen = (jnp.asarray(crow.astype(np.int32)),
+                       jnp.float32(req.frequency_penalty),
+                       jnp.float32(req.presence_penalty),
+                       jnp.float32(req.repetition_penalty))
+            if pen or self._counts is not None:
+                self._counts_dirty = True
             sampled, lp_d, self.state = self._prefill(
                 self.params, jnp.asarray(toks), self.state, jnp.int32(idx),
                 jnp.int32(n_shared), jnp.int32(len(tail) - 1), sub,
-                jnp.float32(req.temperature), *_req_filters(req),
+                jnp.float32(req.temperature), *_req_filters(req), *pen,
             )
             if self.prefix is not None:
                 self.prefix.insert(input_ids, bs, blocks, digests=digs)

@@ -344,6 +344,12 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     stop_at_eos=bool(body.get("stop_at_eos", chat)),
                     top_k=int(body.get("top_k", 0)),
                     top_p=float(body.get("top_p", 1.0)),
+                    # OpenAI penalty fields (+ HF-style repetition_penalty
+                    # as an extension)
+                    frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+                    presence_penalty=float(body.get("presence_penalty", 0.0)),
+                    repetition_penalty=float(
+                        body.get("repetition_penalty", 1.0)),
                     logprobs=bool(body.get("logprobs", False)),
                     stream=tracker.on_token,
                 )
