@@ -657,11 +657,14 @@ def main(argv=None) -> int:
         if name.startswith("7b"):
             quant = name[3:] or "q4_0"    # 7b | 7b_q4_0 | 7b_q8_0 | 7b_bf16
             lparams, lcfg = _build_llama2_7b(quant)
+            # pack_scales stays off: f16-bit scale planes WIN in the
+            # shallow-position fori regime (164.0 -> 171.7 tok/s,
+            # r3b_7b_scales.py) but LOSE in this scan harness's deeper
+            # regime (150.3 -> 141.7, twice) — regime-dependent, so the
+            # shipped row keeps the config that wins where it measures
             tok_s = _decode_tok_s(lparams, lcfg, args.steps, args.batch,
                                   min(args.max_seq, lcfg.seq_len),
-                                  args.prompt_len,
-                                  pack_scales="f16" if quant == "q4_0"
-                                  else False)
+                                  args.prompt_len)
             print(json.dumps({
                 "metric": f"llama2_7b_{quant}_decode_tokens_per_s_per_chip",
                 "value": round(tok_s, 2),
