@@ -474,3 +474,21 @@ def test_repetition_penalty_changes_stream():
                            repetition_penalty=5.0))
     be2.run()
     assert a.tokens == b.tokens     # deterministic
+
+
+def test_logit_bias_bans_and_forces():
+    """OpenAI logit_bias: -100 bans a token the greedy stream would have
+    picked; +100 on a rare token forces it every step."""
+    _, _, _, be, se = setup()
+    base = single_stream_tokens(se, [5, 11], 6)
+    banned = base[0]
+    req = be.submit(Request(prompt=[5, 11], max_new=6,
+                            logit_bias={banned: -100}))
+    # +100 forcing, admitted alongside (mixed batch)
+    forced = be.submit(Request(prompt=[3], max_new=4,
+                               logit_bias={str(17): 100.0}))
+    plain = be.submit(Request(prompt=[9, 2, 40], max_new=5))
+    be.run()
+    assert banned not in req.tokens
+    assert forced.tokens == [17, 17, 17, 17]
+    assert plain.tokens == single_stream_tokens(se, [9, 2, 40], 5)

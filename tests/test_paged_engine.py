@@ -426,3 +426,17 @@ def test_paged_penalties_match_dense_engine():
                               frequency_penalty=1e9))
     be.run()
     assert r_p.tokens == r_d.tokens
+
+
+def test_paged_logit_bias():
+    from tests.test_llama import CFG, make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    pe = PagedEngine(params, cfg, batch=2, n_blocks=64, block_size=16,
+                     max_seq=CFG["seq_len"])
+    forced = pe.submit(Request(prompt=[3], max_new=4,
+                               logit_bias={"17": 100.0}))
+    pe.run()
+    assert forced.tokens == [17, 17, 17, 17]

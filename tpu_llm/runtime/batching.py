@@ -59,11 +59,25 @@ class Request:
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    # OpenAI logit_bias: {token_id: bias} added to logits before
+    # penalties/temperature (-100 effectively bans, +100 forces)
+    logit_bias: Optional[dict] = None
     # filled by the engine:
     rid: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)  # generated only
     token_logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
+
+
+def _bias_row(req: Request, vocab: int) -> np.ndarray:
+    """Dense f32 bias row from the sparse OpenAI logit_bias mapping
+    (keys may be int or str token ids; values clamped to +/-100)."""
+    row = np.zeros((vocab,), np.float32)
+    for k, v in (req.logit_bias or {}).items():
+        t = int(k)
+        if 0 <= t < vocab:
+            row[t] = float(np.clip(float(v), -100.0, 100.0))
+    return row
 
 
 def _penalized(req: Request) -> bool:
@@ -103,13 +117,16 @@ def _sample_rows(logits, keys, temps, topks, topps):
     return jax.vmap(filtered_sample)(logits, keys, temps, topks, topps)
 
 
-def _sample_step(logits, keys, temps, topks, topps, counts, fps, pps, rps):
-    """Batched decode-step sampling with optional penalties: sample from
-    penalty-adjusted logits, then bump the device-side per-slot token
-    counts (no host sync in the loop). ``counts is None`` keeps the plain
-    path's compiled variant untouched."""
-    slog = (logits if counts is None
-            else _apply_penalties(logits, counts, fps, pps, rps))
+def _sample_step(logits, keys, temps, topks, topps, counts, fps, pps, rps,
+                 biases=None):
+    """Batched decode-step sampling with optional logit biases and
+    penalties: sample from adjusted logits, then bump the device-side
+    per-slot token counts (no host sync in the loop). ``counts is None``
+    / ``biases is None`` keep the plain path's compiled variant
+    untouched."""
+    slog = logits if biases is None else logits + biases
+    if counts is not None:
+        slog = _apply_penalties(slog, counts, fps, pps, rps)
     sampled = _sample_rows(slog, keys, temps, topks, topps)
     if counts is not None:
         counts = counts.at[jnp.arange(counts.shape[0]), sampled].add(1)
@@ -183,6 +200,10 @@ class BatchEngine:
         # live request penalizes; rebuilt from host context on admission
         self._counts = None
         self._counts_dirty = False
+        # static per-slot logit-bias rows (B, V) f32 while any live
+        # request biases (OpenAI logit_bias); rebuilt on admission
+        self._bias = None
+        self._bias_dirty = False
         # observability: speculative acceptance (tokens emitted per
         # verify forward; 1.0 would mean zero accepted drafts)
         self.stats = {"spec_forwards": 0, "spec_tokens": 0}
@@ -191,13 +212,13 @@ class BatchEngine:
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
                    topks=None, topps=None, counts=None, fps=None, pps=None,
-                   rps=None):
+                   rps=None, biases=None):
         hidden, state = self.adapter.apply(
             params, tokens=tokens[:, None], state=state, offset=offsets
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
         sampled, counts = _sample_step(logits, keys, temps, topks, topps,
-                                       counts, fps, pps, rps)
+                                       counts, fps, pps, rps, biases)
         return sampled, _token_logprob(logits, sampled), state, counts
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
@@ -217,7 +238,7 @@ class BatchEngine:
 
     def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp,
                       topk=None, topp=None, crow=None, fp=None, pp=None,
-                      rp=None):
+                      rp=None, brow=None):
         """Prefill ``tokens`` (1, Tpad) into fresh batch-1 state rows, then
         scatter them into the batch state at ``slot``. Returns the first
         sampled token and the updated state."""
@@ -232,8 +253,9 @@ class BatchEngine:
         )
         last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
         logits = self.adapter.lm_head(params, hidden=last)[:, 0, :]
-        slog = (logits if crow is None
-                else _apply_penalties(logits[0], crow, fp, pp, rp)[None])
+        slog = logits if brow is None else logits + brow[None]
+        if crow is not None:
+            slog = _apply_penalties(slog[0], crow, fp, pp, rp)[None]
         if topk is None:
             sampled = _select_token(slog, key, temp)[0]
         else:
@@ -253,9 +275,10 @@ class BatchEngine:
         self._next_rid += 1
         if not req.prompt:
             raise ValueError("empty prompt")
-        if _penalized(req) and self._vocab <= 0:
+        if (_penalized(req) or req.logit_bias) and self._vocab <= 0:
             raise ValueError(
-                "penalties need adapter.vocab_size for the count buffer")
+                "penalties/logit_bias need adapter.vocab_size for the "
+                "count/bias buffers")
         n_bos = 1 if self.bos_id >= 0 else 0
         if len(req.prompt) + n_bos + req.max_new > self.max_seq:
             raise ValueError("prompt (+BOS) + max_new exceeds max_seq")
@@ -292,10 +315,19 @@ class BatchEngine:
                            jnp.float32(req.repetition_penalty))
                 if pen or self._counts is not None:
                     self._counts_dirty = True
+                bias = ()
+                if req.logit_bias:
+                    bias = (jnp.asarray(_bias_row(req, self._vocab)),)
+                    if not pen:
+                        # brow is positional after the penalty args
+                        pen = (None, None, None, None)
+                if bias or self._bias is not None:
+                    self._bias_dirty = True
                 sampled, lp_d, self.state = self._prefill(
                     self.params, jnp.asarray(toks), self.state,
                     jnp.int32(idx), jnp.int32(n_in - 1), sub,
                     jnp.float32(req.temperature), *_req_filters(req), *pen,
+                    *bias,
                 )
                 # one host fetch per REQUEST (not per token): the prefill
                 # token is the request's first generated token
@@ -367,6 +399,21 @@ class BatchEngine:
             rps[i] = r.repetition_penalty
         return (self._counts, jnp.asarray(fps), jnp.asarray(pps),
                 jnp.asarray(rps))
+
+    def _bias_args(self, live):
+        """(biases,) for the step dispatch — (None,) while no live request
+        biases. Static per request: rebuilt host-side on admission only."""
+        if not any(r.logit_bias for _, r in live):
+            self._bias = None
+            return (None,)
+        if self._bias is None or self._bias_dirty:
+            rows = np.zeros((self.batch, self._vocab), np.float32)
+            for i, r in live:
+                if r.logit_bias:
+                    rows[i] = _bias_row(r, self._vocab)
+            self._bias = jnp.asarray(rows)
+            self._bias_dirty = False
+        return (self._bias,)
 
     def cancel(self, req: Request) -> bool:
         """Retire ``req`` immediately (client disconnect, stop-string
@@ -490,7 +537,9 @@ class BatchEngine:
         if not live:
             self._collect()
             return 0
-        if self.spec_k and not any(_penalized(r) for _, r in live) and all(
+        if self.spec_k and not any(
+            _penalized(r) or r.logit_bias for _, r in live
+        ) and all(
             self.slots[i].pos + self.spec_k + 1 <= self.max_seq
             for i, _ in live
         ):
@@ -522,6 +571,7 @@ class BatchEngine:
             jnp.asarray(temps),
             *self._filter_vecs(live),
             *self._penalty_args(live),
+            *self._bias_args(live),
         )
         prev = self._inflight
         self._inflight = ((self._token_dev, self._lp_dev), live)

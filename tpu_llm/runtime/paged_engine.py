@@ -51,8 +51,8 @@ from tpu_llm.ops.paged_kv import (
 )
 from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
 from tpu_llm.ops.sampling import filtered_sample
-from tpu_llm.runtime.batching import (_apply_penalties, _penalized,
-                                      _req_filters, _sample_rows,
+from tpu_llm.runtime.batching import (_apply_penalties, _bias_row,
+                                      _penalized, _req_filters, _sample_rows,
                                       _sample_step, _token_logprob)
 from tpu_llm.runtime.engine import _next_bucket, _select_token
 
@@ -120,6 +120,8 @@ class PagedEngine(BatchEngine):
         self._vocab = cfg.vocab_size
         self._counts = None
         self._counts_dirty = False
+        self._bias = None
+        self._bias_dirty = False
 
         self.allocator = BlockAllocator(n_blocks)
         self.prefix = PrefixCache(self.allocator) if prefix_caching else None
@@ -197,7 +199,7 @@ class PagedEngine(BatchEngine):
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
                    topks=None, topps=None, counts=None, fps=None, pps=None,
-                   rps=None):
+                   rps=None, biases=None):
         from tpu_llm.models import llama as M
 
         cache = self._layer_caches(state, state["table"], state["lengths"])
@@ -206,14 +208,14 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         logits = M.lm_head(params, self.cfg, hidden)[:, 0, :]
         sampled, counts = _sample_step(logits, keys, temps, topks, topps,
-                                       counts, fps, pps, rps)
+                                       counts, fps, pps, rps, biases)
         return sampled, _token_logprob(logits, sampled), \
             self._repack(state, nc, state["table"], nc["k"][0].lengths), \
             counts
 
     def _prefill_impl(self, params, tokens, state, slot, pos0, last_idx,
                       key, temp, topk=None, topp=None, crow=None, fp=None,
-                      pp=None, rp=None):
+                      pp=None, rp=None, brow=None):
         """Forward the prompt TAIL (tokens past the shared prefix) at
         positions [pos0, pos0+Tpad) through the slot's block-table row.
         Shared prefix blocks are already mapped, so attention sees the
@@ -228,8 +230,9 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
         logits = M.lm_head(params, self.cfg, last)[:, 0, :]
-        slog = (logits if crow is None
-                else _apply_penalties(logits[0], crow, fp, pp, rp)[None])
+        slog = logits if brow is None else logits + brow[None]
+        if crow is not None:
+            slog = _apply_penalties(slog[0], crow, fp, pp, rp)[None]
         if topk is None:
             sampled = _select_token(slog, key, temp)[0]
         else:
@@ -374,10 +377,18 @@ class PagedEngine(BatchEngine):
                        jnp.float32(req.repetition_penalty))
             if pen or self._counts is not None:
                 self._counts_dirty = True
+            bias = ()
+            if req.logit_bias:
+                bias = (jnp.asarray(_bias_row(req, self._vocab)),)
+                if not pen:
+                    pen = (None, None, None, None)
+            if bias or self._bias is not None:
+                self._bias_dirty = True
             sampled, lp_d, self.state = self._prefill(
                 self.params, jnp.asarray(toks), self.state, jnp.int32(idx),
                 jnp.int32(n_shared), jnp.int32(len(tail) - 1), sub,
                 jnp.float32(req.temperature), *_req_filters(req), *pen,
+                *bias,
             )
             if self.prefix is not None:
                 self.prefix.insert(input_ids, bs, blocks, digests=digs)

@@ -350,6 +350,9 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     presence_penalty=float(body.get("presence_penalty", 0.0)),
                     repetition_penalty=float(
                         body.get("repetition_penalty", 1.0)),
+                    logit_bias=(body.get("logit_bias")
+                                if isinstance(body.get("logit_bias"), dict)
+                                else None),
                     logprobs=bool(body.get("logprobs", False)),
                     stream=tracker.on_token,
                 )
