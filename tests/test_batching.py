@@ -492,3 +492,20 @@ def test_logit_bias_bans_and_forces():
     assert banned not in req.tokens
     assert forced.tokens == [17, 17, 17, 17]
     assert plain.tokens == single_stream_tokens(se, [9, 2, 40], 5)
+
+
+def test_top_logprobs_recorded():
+    """top_logprobs=N records N (id, logprob) alternatives per generated
+    token; the chosen greedy token is always the argmax entry, and values
+    are proper log-softmax (<= 0, descending)."""
+    _, _, _, be, _ = setup()
+    req = be.submit(Request(prompt=[5, 11], max_new=5, top_logprobs=3))
+    mixed = be.submit(Request(prompt=[3], max_new=4))   # no-tops slot
+    be.run()
+    assert len(req.top_ids) == 5 and len(req.top_lps) == 5
+    assert len(req.token_logprobs) == 5
+    for tok, ids, lps in zip(req.tokens, req.top_ids, req.top_lps):
+        assert len(ids) == 3 and len(lps) == 3
+        assert ids[0] == tok                 # greedy = top-1
+        assert lps[0] <= 0 and sorted(lps, reverse=True) == lps
+    assert mixed.top_ids == []

@@ -472,3 +472,54 @@ def test_llama2_chat_template():
     out = render_chat(msgs, "llama2")
     assert out == ("[INST] <<SYS>>\nBe terse.\n<</SYS>>\n\nhi [/INST]"
                    " hello [INST] bye [/INST]")
+
+
+def test_completions_top_logprobs(server):
+    """OpenAI completions ``logprobs: N``: per-token top-N maps, chosen
+    token logprobs, and text offsets."""
+    port, _, _ = server
+    st, r = _post(port, "/v1/completions",
+                  {"prompt": "abc", "max_tokens": 4, "logprobs": 3})
+    assert st == 200
+    lp = r["choices"][0]["logprobs"]
+    n = len(r["tokens"])
+    assert len(lp["tokens"]) == n
+    assert len(lp["token_logprobs"]) == n
+    assert len(lp["top_logprobs"]) == n
+    assert all(len(m) == 3 for m in lp["top_logprobs"])
+    # chosen token's logprob equals its entry in the top map (greedy)
+    for tok_s, chosen, m in zip(lp["tokens"], lp["token_logprobs"],
+                                lp["top_logprobs"]):
+        assert tok_s in m and abs(m[tok_s] - chosen) < 1e-4
+    assert lp["text_offset"][0] == 0
+
+
+def test_chat_top_logprobs(server):
+    port, _, _ = server
+    st, r = _post(port, "/v1/chat/completions",
+                  {"messages": [{"role": "user", "content": "hi"}],
+                   "max_tokens": 4, "logprobs": True, "top_logprobs": 2})
+    assert st == 200
+    content = r["choices"][0]["logprobs"]["content"]
+    assert len(content) == len(r["tokens"])
+    for entry in content:
+        assert "token" in entry and entry["logprob"] <= 0
+        assert len(entry["top_logprobs"]) == 2
+
+
+def test_completions_logit_bias_http(server):
+    port, _, tok = server
+    st, r = _post(port, "/v1/completions",
+                  {"prompt": "abc", "max_tokens": 4,
+                   "logit_bias": {"4": 100}})
+    assert st == 200
+    assert r["tokens"] == [4, 4, 4, 4]
+
+
+def test_completions_penalties_http(server):
+    port, _, _ = server
+    st, r = _post(port, "/v1/completions",
+                  {"prompt": "abc", "max_tokens": 6,
+                   "frequency_penalty": 1e9})
+    assert st == 200
+    assert len(set(r["tokens"])) == len(r["tokens"])

@@ -52,6 +52,9 @@ class Request:
     top_k: int = 0               # 0 = no top-k filter
     top_p: float = 1.0           # 1.0 = no nucleus filter
     logprobs: bool = False       # record log P(token) per generated token
+    # also record the top-N alternatives per step (OpenAI completions
+    # ``logprobs: N`` / chat ``top_logprobs``); capped at _TOPN
+    top_logprobs: int = 0
     # OpenAI-style penalties over the text so far (prompt + generated):
     # logits -= frequency_penalty*count + presence_penalty*(count > 0);
     # repetition_penalty (HF convention, 1.0 = off) divides positive /
@@ -66,6 +69,10 @@ class Request:
     rid: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)  # generated only
     token_logprobs: List[float] = dataclasses.field(default_factory=list)
+    # per generated token, top-N alternative (ids, logprobs) — filled
+    # when top_logprobs > 0
+    top_ids: List[List[int]] = dataclasses.field(default_factory=list)
+    top_lps: List[List[float]] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -131,6 +138,19 @@ def _sample_step(logits, keys, temps, topks, topps, counts, fps, pps, rps,
     if counts is not None:
         counts = counts.at[jnp.arange(counts.shape[0]), sampled].add(1)
     return sampled, counts
+
+
+_TOPN = 8      # compiled top-k width for top_logprobs (host slices per
+#                request; OpenAI completions caps logprobs at 5)
+
+
+def _top_rows(logits):
+    """(..., V) logits -> (vals (..., _TOPN) log-softmax, ids) for the
+    OpenAI top_logprobs report."""
+    x = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(x, axis=-1, keepdims=True)
+    vals, ids = jax.lax.top_k(x - lse, _TOPN)
+    return vals, ids.astype(jnp.int32)
 
 
 def _token_logprob(logits, toks):
@@ -212,17 +232,18 @@ class BatchEngine:
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
                    topks=None, topps=None, counts=None, fps=None, pps=None,
-                   rps=None, biases=None):
+                   rps=None, biases=None, want_top=None):
         hidden, state = self.adapter.apply(
             params, tokens=tokens[:, None], state=state, offset=offsets
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
         sampled, counts = _sample_step(logits, keys, temps, topks, topps,
                                        counts, fps, pps, rps, biases)
-        return sampled, _token_logprob(logits, sampled), state, counts
+        tops = None if want_top is None else _top_rows(logits)
+        return sampled, _token_logprob(logits, sampled), state, counts, tops
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
-                     topks=None, topps=None):
+                     topks=None, topps=None, want_top=None):
         """Speculative verify (tokens (B, K+1) at per-slot offsets):
         greedy next-token chain for every window position, plus a sampled
         token from position 0 for temperature>0 slots (which accept no
@@ -233,12 +254,14 @@ class BatchEngine:
         logits = self.adapter.lm_head(params, hidden=hidden)  # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
+        tops = None if want_top is None else _top_rows(logits)
         return (chain, _token_logprob(logits, chain),
-                sampled0, _token_logprob(logits[:, 0], sampled0), state)
+                sampled0, _token_logprob(logits[:, 0], sampled0), state,
+                tops)
 
     def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp,
                       topk=None, topp=None, crow=None, fp=None, pp=None,
-                      rp=None, brow=None):
+                      rp=None, brow=None, want_top=None):
         """Prefill ``tokens`` (1, Tpad) into fresh batch-1 state rows, then
         scatter them into the batch state at ``slot``. Returns the first
         sampled token and the updated state."""
@@ -266,7 +289,8 @@ class BatchEngine:
                 a, b.astype(a.dtype), slot, axis=ax),
             state, sub,
         )
-        return sampled, lp, state
+        tops = None if want_top is None else _top_rows(logits[0])
+        return sampled, lp, state, tops
 
     # -- public API -------------------------------------------------------
 
@@ -323,31 +347,46 @@ class BatchEngine:
                         pen = (None, None, None, None)
                 if bias or self._bias is not None:
                     self._bias_dirty = True
-                sampled, lp_d, self.state = self._prefill(
+                want = ()
+                if req.top_logprobs > 0:
+                    want = (jnp.int32(1),)
+                    if not bias:
+                        bias = (None,)
+                        if not pen:
+                            pen = (None, None, None, None)
+                sampled, lp_d, self.state, tops_d = self._prefill(
                     self.params, jnp.asarray(toks), self.state,
                     jnp.int32(idx), jnp.int32(n_in - 1), sub,
                     jnp.float32(req.temperature), *_req_filters(req), *pen,
-                    *bias,
+                    *bias, *want,
                 )
                 # one host fetch per REQUEST (not per token): the prefill
                 # token is the request's first generated token
-                tok, lp = jax.device_get((sampled, lp_d))
+                tok, lp, tops = jax.device_get((sampled, lp_d, tops_d))
                 tok = int(tok)
                 slot.pos = n_in
                 self._token_dev = self._set_lane(
                     self._token_dev, jnp.int32(idx), jnp.int32(tok)
                 )
-                self._record(slot, tok, float(lp))
+                self._record(slot, tok, float(lp),
+                             top=None if tops is None
+                             else (tops[1], tops[0]))
 
-    def _record(self, slot: _Slot, tok: int, lp: Optional[float] = None):
+    def _record(self, slot: _Slot, tok: int, lp: Optional[float] = None,
+                top=None):
         """Append a fetched token to the slot's request; retire on EOS /
-        budget / context exhaustion."""
+        budget / context exhaustion. ``top`` is an optional
+        (ids (_TOPN,), logprobs (_TOPN,)) pair for top_logprobs."""
         req = slot.req
         if req is None or req.done:
             return
         req.tokens.append(tok)
-        if req.logprobs and lp is not None:
+        if (req.logprobs or req.top_logprobs > 0) and lp is not None:
             req.token_logprobs.append(lp)
+        if req.top_logprobs > 0 and top is not None:
+            n = min(req.top_logprobs, len(top[0]))
+            req.top_ids.append([int(t) for t in top[0][:n]])
+            req.top_lps.append([float(x) for x in top[1][:n]])
         if req.stream:
             req.stream(tok)
         ends = len(req.tokens) >= req.max_new or (
@@ -400,6 +439,10 @@ class BatchEngine:
         return (self._counts, jnp.asarray(fps), jnp.asarray(pps),
                 jnp.asarray(rps))
 
+    def _want_top(self, live):
+        return (jnp.int32(1),) if any(
+            r.top_logprobs > 0 for _, r in live) else (None,)
+
     def _bias_args(self, live):
         """(biases,) for the step dispatch — (None,) while no live request
         biases. Static per request: rebuilt host-side on admission only."""
@@ -441,14 +484,17 @@ class BatchEngine:
             inflight, self._inflight = self._inflight, None
         if inflight is None:
             return
-        (token_snapshot, lp_snapshot), metas = inflight
-        fetched, lps = jax.device_get((token_snapshot, lp_snapshot))
+        (token_snapshot, lp_snapshot, tops_snapshot), metas = inflight
+        fetched, lps, tops = jax.device_get(
+            (token_snapshot, lp_snapshot, tops_snapshot))
         fetched, lps = np.asarray(fetched), np.asarray(lps)
         for idx, req in metas:
             slot = self.slots[idx]
             if slot.req is not req or req.done:
                 continue            # slot was retired/reused after dispatch
-            self._record(slot, int(fetched[idx]), float(lps[idx]))
+            top = (None if tops is None
+                   else (tops[1][idx], tops[0][idx]))
+            self._record(slot, int(fetched[idx]), float(lps[idx]), top=top)
 
     def _pre_dispatch(self, live) -> None:
         """Hook between admission and dispatch (PagedEngine grows block
@@ -481,12 +527,13 @@ class BatchEngine:
             slot.key, sub = jax.random.split(slot.key)
             keys.append(sub)
 
-        chain_d, chain_lp_d, sampled0_d, s0lp_d, self.state = self._verify(
-            self.params, jnp.asarray(toks), self.state,
-            jnp.asarray(offsets), jnp.stack(keys), jnp.asarray(temps),
-            *self._filter_vecs(live))
-        chain, chain_lp, sampled0, s0lp = jax.device_get(
-            (chain_d, chain_lp_d, sampled0_d, s0lp_d))
+        chain_d, chain_lp_d, sampled0_d, s0lp_d, self.state, tops_d = \
+            self._verify(
+                self.params, jnp.asarray(toks), self.state,
+                jnp.asarray(offsets), jnp.stack(keys), jnp.asarray(temps),
+                *self._filter_vecs(live), *self._want_top(live))
+        chain, chain_lp, sampled0, s0lp, tops = jax.device_get(
+            (chain_d, chain_lp_d, sampled0_d, s0lp_d, tops_d))
         chain, chain_lp = np.asarray(chain), np.asarray(chain_lp)
         sampled0, s0lp = np.asarray(sampled0), np.asarray(s0lp)
 
@@ -508,8 +555,12 @@ class BatchEngine:
             slot.pos += len(new)
             self.stats["spec_forwards"] += 1
             self.stats["spec_tokens"] += len(new)
-            for t, lp in zip(new, lps):
-                self._record(slot, t, lp)
+            for j, (t, lp) in enumerate(zip(new, lps)):
+                # window position j's logits produced emitted token j
+                # (temperature>0 slots emit only position 0)
+                top = (None if tops is None
+                       else (tops[1][i, j], tops[0][i, j]))
+                self._record(slot, t, lp, top=top)
                 if slot.req is not req or req.done:
                     break
             lanes.append(i)
@@ -562,7 +613,8 @@ class BatchEngine:
             keys.append(sub)
             slot.pos += 1
 
-        self._token_dev, self._lp_dev, self.state, self._counts = self._step(
+        (self._token_dev, self._lp_dev, self.state, self._counts,
+         tops_dev) = self._step(
             self.params,
             self._token_dev,
             self.state,
@@ -572,9 +624,10 @@ class BatchEngine:
             *self._filter_vecs(live),
             *self._penalty_args(live),
             *self._bias_args(live),
+            *self._want_top(live),
         )
         prev = self._inflight
-        self._inflight = ((self._token_dev, self._lp_dev), live)
+        self._inflight = ((self._token_dev, self._lp_dev, tops_dev), live)
         self._collect(prev)
         return len(live)
 

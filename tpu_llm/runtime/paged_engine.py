@@ -53,7 +53,8 @@ from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
 from tpu_llm.ops.sampling import filtered_sample
 from tpu_llm.runtime.batching import (_apply_penalties, _bias_row,
                                       _penalized, _req_filters, _sample_rows,
-                                      _sample_step, _token_logprob)
+                                      _sample_step, _token_logprob,
+                                      _top_rows)
 from tpu_llm.runtime.engine import _next_bucket, _select_token
 
 __all__ = ["PagedEngine", "Request"]
@@ -199,7 +200,7 @@ class PagedEngine(BatchEngine):
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
                    topks=None, topps=None, counts=None, fps=None, pps=None,
-                   rps=None, biases=None):
+                   rps=None, biases=None, want_top=None):
         from tpu_llm.models import llama as M
 
         cache = self._layer_caches(state, state["table"], state["lengths"])
@@ -209,13 +210,14 @@ class PagedEngine(BatchEngine):
         logits = M.lm_head(params, self.cfg, hidden)[:, 0, :]
         sampled, counts = _sample_step(logits, keys, temps, topks, topps,
                                        counts, fps, pps, rps, biases)
+        tops = None if want_top is None else _top_rows(logits)
         return sampled, _token_logprob(logits, sampled), \
             self._repack(state, nc, state["table"], nc["k"][0].lengths), \
-            counts
+            counts, tops
 
     def _prefill_impl(self, params, tokens, state, slot, pos0, last_idx,
                       key, temp, topk=None, topp=None, crow=None, fp=None,
-                      pp=None, rp=None, brow=None):
+                      pp=None, rp=None, brow=None, want_top=None):
         """Forward the prompt TAIL (tokens past the shared prefix) at
         positions [pos0, pos0+Tpad) through the slot's block-table row.
         Shared prefix blocks are already mapped, so attention sees the
@@ -239,11 +241,12 @@ class PagedEngine(BatchEngine):
             sampled = filtered_sample(slog[0], key, temp, topk, topp)
         lengths = jax.lax.dynamic_update_slice(
             state["lengths"], nc["k"][0].lengths, (slot,))
+        tops = None if want_top is None else _top_rows(logits[0])
         return sampled, _token_logprob(logits[0], sampled), \
-            self._repack(state, nc, state["table"], lengths)
+            self._repack(state, nc, state["table"], lengths), tops
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
-                     topks=None, topps=None):
+                     topks=None, topps=None, want_top=None):
         """Speculative verify over the paged cache (see BatchEngine).
         Growth in _pre_dispatch maps blocks for every position a draft
         could be ACCEPTED at; rejected/padded window rows beyond the
@@ -259,10 +262,11 @@ class PagedEngine(BatchEngine):
         logits = M.lm_head(params, self.cfg, hidden)        # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
+        tops = None if want_top is None else _top_rows(logits)
         return (chain, _token_logprob(logits, chain),
                 sampled0, _token_logprob(logits[:, 0], sampled0),
                 self._repack(state, nc, state["table"],
-                             nc["k"][0].lengths))
+                             nc["k"][0].lengths), tops)
 
     def _prefill_part_impl(self, params, tokens, state, slot, pos0):
         """One non-final CHUNK of a chunked prefill: forward + paged
@@ -384,20 +388,28 @@ class PagedEngine(BatchEngine):
                     pen = (None, None, None, None)
             if bias or self._bias is not None:
                 self._bias_dirty = True
-            sampled, lp_d, self.state = self._prefill(
+            want = ()
+            if req.top_logprobs > 0:
+                want = (jnp.int32(1),)
+                if not bias:
+                    bias = (None,)
+                    if not pen:
+                        pen = (None, None, None, None)
+            sampled, lp_d, self.state, tops_d = self._prefill(
                 self.params, jnp.asarray(toks), self.state, jnp.int32(idx),
                 jnp.int32(n_shared), jnp.int32(len(tail) - 1), sub,
                 jnp.float32(req.temperature), *_req_filters(req), *pen,
-                *bias,
+                *bias, *want,
             )
             if self.prefix is not None:
                 self.prefix.insert(input_ids, bs, blocks, digests=digs)
-            tok, lp = jax.device_get((sampled, lp_d))
+            tok, lp, tops = jax.device_get((sampled, lp_d, tops_d))
             tok = int(tok)
             slot.pos = n_in
             self._token_dev = self._set_lane(
                 self._token_dev, jnp.int32(idx), jnp.int32(tok))
-            self._record(slot, tok, float(lp))
+            self._record(slot, tok, float(lp),
+                         top=None if tops is None else (tops[1], tops[0]))
 
     def _pre_dispatch(self, live) -> None:
         """Map a fresh block for any slot whose next write position
@@ -432,9 +444,9 @@ class PagedEngine(BatchEngine):
                     jnp.asarray(vals, jnp.int32)),
             )
 
-    def _record(self, slot: _Slot, tok: int, lp=None):
+    def _record(self, slot: _Slot, tok: int, lp=None, top=None):
         req = slot.req
-        super()._record(slot, tok, lp)
+        super()._record(slot, tok, lp, top=top)
         if req is not None and req.done and slot.req is None:
             # identity search: _Slot is a dataclass whose == would compare
             # jax-array fields elementwise

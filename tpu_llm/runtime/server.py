@@ -353,7 +353,14 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     logit_bias=(body.get("logit_bias")
                                 if isinstance(body.get("logit_bias"), dict)
                                 else None),
+                    # completions: logprobs is an int N (top-N per token;
+                    # bool true = chosen-token-only, a native extension).
+                    # chat: logprobs is the OpenAI bool + top_logprobs N.
                     logprobs=bool(body.get("logprobs", False)),
+                    top_logprobs=int(
+                        body.get("top_logprobs", 0) if chat
+                        else (body.get("logprobs") or 0)
+                        if not isinstance(body.get("logprobs"), bool) else 0),
                     stream=tracker.on_token,
                 )
                 if stop:
@@ -458,12 +465,39 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 else:
                     choice = {"index": i, "finish_reason": finish,
                               "text": text}
-                if req.logprobs:
+                if req.logprobs or req.top_logprobs > 0:
                     lps = req.token_logprobs[:len(vis)]
-                    choice["logprobs"] = {
-                        "tokens": [self._decode([t]) for t in vis],
-                        "token_logprobs": [round(x, 6) for x in lps],
-                    }
+                    tops = req.top_ids[:len(vis)]
+                    top_lps = req.top_lps[:len(vis)]
+                    if chat:
+                        content = []
+                        for j, t in enumerate(vis):
+                            entry = {"token": self._decode([t]),
+                                     "logprob": round(lps[j], 6)
+                                     if j < len(lps) else None}
+                            if j < len(tops):
+                                entry["top_logprobs"] = [
+                                    {"token": self._decode([ti]),
+                                     "logprob": round(tl, 6)}
+                                    for ti, tl in zip(tops[j], top_lps[j])]
+                            content.append(entry)
+                        choice["logprobs"] = {"content": content}
+                    else:
+                        lp_obj = {
+                            "tokens": [self._decode([t]) for t in vis],
+                            "token_logprobs": [round(x, 6) for x in lps],
+                        }
+                        if req.top_logprobs > 0:
+                            lp_obj["top_logprobs"] = [
+                                {self._decode([ti]): round(tl, 6)
+                                 for ti, tl in zip(ids, ls)}
+                                for ids, ls in zip(tops, top_lps)]
+                            offs, acc = [], 0
+                            for t in vis:
+                                offs.append(acc)
+                                acc += len(self._decode([t]))
+                            lp_obj["text_offset"] = offs
+                        choice["logprobs"] = lp_obj
                 choices.append(choice)
             self._json(200, {
                 # native fields (tests, llm-serve parity): first choice
