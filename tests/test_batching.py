@@ -509,3 +509,19 @@ def test_top_logprobs_recorded():
         assert ids[0] == tok                 # greedy = top-1
         assert lps[0] <= 0 and sorted(lps, reverse=True) == lps
     assert mixed.top_ids == []
+
+
+def test_single_stream_engine_penalties():
+    """Engine.generate penalties: huge frequency penalty -> all-distinct
+    stream; plain runs unchanged; matches the BatchEngine's penalized
+    stream for the same request."""
+    _, _, _, be, se = setup()
+    res = se.generate([5, 11], n_new=8, frequency_penalty=1e9)
+    gen = res.tokens[2:]
+    assert len(set(gen)) == 8
+    base = single_stream_tokens(se, [5, 11], 8)   # plain still greedy
+    assert gen != base
+    req = be.submit(Request(prompt=[5, 11], max_new=8,
+                            frequency_penalty=1e9))
+    be.run()
+    assert req.tokens == gen

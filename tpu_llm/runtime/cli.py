@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "extension, the reference has neither)")
     p.add_argument("--top-p", type=float, default=1.0,
                    help="nucleus sampling filter (1.0 = off)")
+    p.add_argument("--repeat-penalty", type=float, default=1.0,
+                   help="HF/llama.cpp-style repetition penalty over the "
+                        "text so far (1.0 = off)")
+    p.add_argument("--frequency-penalty", type=float, default=0.0,
+                   help="OpenAI frequency penalty (per-count logit "
+                        "subtraction; 0 = off)")
+    p.add_argument("--presence-penalty", type=float, default=0.0,
+                   help="OpenAI presence penalty (seen-token logit "
+                        "subtraction; 0 = off)")
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-based, like Fortran random_number)")
     p.add_argument("--scan", action="store_true",
@@ -227,6 +236,9 @@ def main(argv=None) -> int:
             speculative_k=args.spec,
             top_k=args.top_k,
             top_p=args.top_p,
+            repetition_penalty=args.repeat_penalty,
+            frequency_penalty=args.frequency_penalty,
+            presence_penalty=args.presence_penalty,
         )
     if args.scan:
         out.write(tokenizer.decode(res.tokens))

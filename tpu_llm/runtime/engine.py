@@ -190,13 +190,21 @@ class Engine:
         return logits, state
 
     def _decode_impl(self, params, token, state, pos, key, temperature,
-                     topk=None, topp=None):
+                     topk=None, topp=None, counts=None, fp=None, pp=None,
+                     rp=None):
         hidden, state = self.adapter.apply(
             params, tokens=token[:, None], state=state, offset=pos
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
-        next_tok = _select_token(logits, key, temperature, topk, topp)
-        return next_tok, logits, state
+        slog = logits
+        if counts is not None:
+            from tpu_llm.runtime.batching import _apply_penalties
+
+            slog = _apply_penalties(logits, counts, fp, pp, rp)
+        next_tok = _select_token(slog, key, temperature, topk, topp)
+        if counts is not None:
+            counts = counts.at[jnp.arange(counts.shape[0]), next_tok].add(1)
+        return next_tok, logits, state, counts
 
     def _verify_impl(self, params, tokens, state, pos):
         """Speculative verify: teacher-force ``tokens`` (B, K+1) at
@@ -228,7 +236,7 @@ class Engine:
         def body(carry, _):
             token, state, pos, key = carry
             key, sub = jax.random.split(key)
-            next_tok, _, state = self._decode_impl(
+            next_tok, _, state, _ = self._decode_impl(
                 params, token, state, pos, sub, temperature, topk, topp
             )
             return (next_tok, state, pos + 1, key), next_tok
@@ -253,6 +261,9 @@ class Engine:
         speculative_k: int = 0,
         top_k: int = 0,
         top_p: float = 1.0,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
+        repetition_penalty: float = 1.0,
     ) -> GenerationResult:
         """Single-stream generation with the reference's -n semantics:
         ``n_total`` counts prompt echo + generated tokens (llama2.f90:379);
@@ -301,12 +312,32 @@ class Engine:
         # (None, None) keeps the cheap sampler's jit cache entry
         filt = ((jnp.int32(top_k), jnp.float32(top_p))
                 if (top_k > 0 or top_p < 1.0) else (None, None))
+        penalized = (frequency_penalty != 0.0 or presence_penalty != 0.0
+                     or repetition_penalty != 1.0)
+        counts = pen = None
+        if penalized:
+            v = self.adapter.vocab_size
+            if v <= 0:
+                raise ValueError("penalties need adapter.vocab_size")
+            row = np.zeros((self.batch, v), np.int32)
+            row[:] = np.bincount(input_ids, minlength=v)
+            counts = jnp.asarray(row)
+            pen = (jnp.float32(frequency_penalty),
+                   jnp.float32(presence_penalty),
+                   jnp.float32(repetition_penalty))
         n_gen = n_total - len(emitted)
         ttft_s = None
 
         if n_gen > 0:
             key, sub = jax.random.split(key)
-            first = _select_token(logits, sub, temp, *filt)
+            slog = logits
+            if penalized:
+                from tpu_llm.runtime.batching import _apply_penalties
+
+                slog = _apply_penalties(logits, counts, *pen)
+            first = _select_token(slog, sub, temp, *filt)
+            if penalized:
+                counts = counts.at[jnp.arange(self.batch), first].add(1)
             first_host = int(jax.device_get(first)[0])
             ttft_s = time.perf_counter() - t0
             emitted.append(first_host)
@@ -316,7 +347,12 @@ class Engine:
         t_decode = time.perf_counter()
         pos = n_in  # next write position
         use_spec = (speculative_k > 0 and temperature == 0 and not use_scan
+                    and not penalized
                     and getattr(self.adapter, "positional_state", True))
+        if penalized and use_scan:
+            # the scan loop has no counts carry; penalties run the
+            # pipelined step loop (same output, same device-side feed)
+            use_scan = False
         if n_gen > 1:
             if use_spec:
                 k = speculative_k
@@ -351,7 +387,7 @@ class Engine:
                 token = jnp.full((self.batch,), emitted[-1], jnp.int32)
                 for _ in range(remaining):
                     key, sub = jax.random.split(key)
-                    token, _, state = self._decode(
+                    token, _, state, _ = self._decode(
                         self.params, token, state, jnp.int32(pos), sub, temp
                     )
                     pos += 1
@@ -388,12 +424,15 @@ class Engine:
                 # the host never sits on the critical path.
                 token = jnp.full((self.batch,), emitted[-1], jnp.int32)
                 pending = None
+                parg = (counts, *pen) if penalized else (None, None, None, None)
                 for _ in range(n_gen - 1):
                     key, sub = jax.random.split(key)
-                    token, _, state = self._decode(
+                    token, _, state, counts = self._decode(
                         self.params, token, state, jnp.int32(pos), sub, temp,
-                        *filt
+                        *filt, *parg
                     )
+                    if penalized:
+                        parg = (counts, *pen)
                     pos += 1
                     if pending is not None:
                         tid = int(jax.device_get(pending)[0])
