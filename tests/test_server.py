@@ -523,3 +523,45 @@ def test_completions_penalties_http(server):
                    "frequency_penalty": 1e9})
     assert st == 200
     assert len(set(r["tokens"])) == len(r["tokens"])
+
+
+def _stream(port, path, body, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(dict(body, stream=True)).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    events = []
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                events.append(json.loads(line[6:]))
+    return events
+
+
+def test_stream_logprobs(server):
+    port, _, _ = server
+    evs = _stream(port, "/v1/completions",
+                  {"prompt": "abc", "max_tokens": 4, "logprobs": 2})
+    content = [e for e in evs if e.get("choices")
+               and e["choices"][0].get("text")]
+    assert content, evs
+    for e in content:
+        lp = e["choices"][0].get("logprobs")
+        if lp is None:
+            continue
+        assert lp["token_logprobs"][0] <= 0
+        assert len(lp["top_logprobs"][0]) == 2
+    assert any(e["choices"][0].get("logprobs") for e in content)
+
+
+def test_stream_chat_logprobs(server):
+    port, _, _ = server
+    evs = _stream(port, "/v1/chat/completions",
+                  {"messages": [{"role": "user", "content": "hi"}],
+                   "max_tokens": 4, "logprobs": True, "top_logprobs": 2})
+    got = [e for e in evs if e.get("choices")
+           and e["choices"][0].get("logprobs")]
+    assert got
+    entry = got[0]["choices"][0]["logprobs"]["content"][0]
+    assert entry["logprob"] <= 0 and len(entry["top_logprobs"]) == 2

@@ -550,6 +550,30 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 else:
                     choice = {"index": 0, "finish_reason": None,
                               "text": delta}
+                if ((req.logprobs or req.top_logprobs > 0) and tok is not None
+                        and sent <= len(req.token_logprobs)):
+                    # per-chunk logprob of the token that produced this
+                    # delta (+ top alternatives when requested)
+                    j = sent - 1
+                    lp = round(req.token_logprobs[j], 6)
+                    tok_s = self._decode([tok])
+                    if chat:
+                        entry = {"token": tok_s, "logprob": lp}
+                        if j < len(req.top_ids):
+                            entry["top_logprobs"] = [
+                                {"token": self._decode([ti]),
+                                 "logprob": round(tl, 6)}
+                                for ti, tl in zip(req.top_ids[j],
+                                                  req.top_lps[j])]
+                        choice["logprobs"] = {"content": [entry]}
+                    else:
+                        lp_obj = {"tokens": [tok_s], "token_logprobs": [lp]}
+                        if j < len(req.top_ids):
+                            lp_obj["top_logprobs"] = [
+                                {self._decode([ti]): round(tl, 6)
+                                 for ti, tl in zip(req.top_ids[j],
+                                                   req.top_lps[j])}]
+                        choice["logprobs"] = lp_obj
                 first = False
                 ev = {"token": tok, "text": delta,
                       "id": f"{'chatcmpl' if chat else 'cmpl'}-{req.rid}",
