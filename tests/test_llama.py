@@ -350,3 +350,87 @@ def test_flat_unstacked_cache_matches_stacked(cache_dtype):
     h_u2, _ = M.forward(pu, cfg, nxt, c_u, jnp.int32(3))
     np.testing.assert_allclose(np.asarray(h_s2), np.asarray(h_u2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_qwen2_gguf_load_and_decode(tmp_path):
+    """Qwen2-family GGUF: NeoX rope, QKV bias tensors, tied embeddings
+    (no output.weight). The bias path is additive-only: a zero-bias
+    qwen2 file produces the exact logits of the same tensors without
+    bias entries."""
+    import numpy as np
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.models import llama as M
+
+    rng = np.random.default_rng(4)
+    dim, hidden, L, H, KVH, V = 64, 96, 2, 4, 2, 48
+    kv = dim // H * KVH
+    s = lambda *sh: (rng.standard_normal(sh) * 0.08).astype(np.float32)
+
+    def meta(arch):
+        return {
+            "general.architecture": arch,
+            f"{arch}.block_count": L,
+            f"{arch}.embedding_length": dim,
+            f"{arch}.feed_forward_length": hidden,
+            f"{arch}.attention.head_count": H,
+            f"{arch}.attention.head_count_kv": KVH,
+            f"{arch}.context_length": 128,
+            f"{arch}.rope.freq_base": 10000.0,
+            f"{arch}.attention.layer_norm_rms_epsilon": 1e-5,
+            "tokenizer.ggml.tokens": ["<unk>", "<s>", "</s>"]
+            + [f"t{i}" for i in range(V - 3)],
+            "tokenizer.ggml.scores": np.zeros((V,), np.float32),
+        }
+
+    def tensors(biases):
+        t = {"token_embd.weight": s(V, dim),
+             "output_norm.weight": 1.0 + 0.1 * s(dim)}
+        for i in range(L):
+            t[f"blk.{i}.attn_norm.weight"] = 1.0 + 0.1 * s(dim)
+            t[f"blk.{i}.ffn_norm.weight"] = 1.0 + 0.1 * s(dim)
+            t[f"blk.{i}.attn_q.weight"] = s(dim, dim)
+            t[f"blk.{i}.attn_k.weight"] = s(kv, dim)
+            t[f"blk.{i}.attn_v.weight"] = s(kv, dim)
+            t[f"blk.{i}.attn_output.weight"] = s(dim, dim)
+            t[f"blk.{i}.ffn_gate.weight"] = s(hidden, dim)
+            t[f"blk.{i}.ffn_up.weight"] = s(hidden, dim)
+            t[f"blk.{i}.ffn_down.weight"] = s(dim, hidden)
+            if biases == "zero":
+                t[f"blk.{i}.attn_q.bias"] = np.zeros((dim,), np.float32)
+                t[f"blk.{i}.attn_k.bias"] = np.zeros((kv,), np.float32)
+                t[f"blk.{i}.attn_v.bias"] = np.zeros((kv,), np.float32)
+            elif biases == "random":
+                t[f"blk.{i}.attn_q.bias"] = s(dim)
+                t[f"blk.{i}.attn_k.bias"] = s(kv)
+                t[f"blk.{i}.attn_v.bias"] = s(kv)
+        return t
+
+    rng = np.random.default_rng(4)
+    t_zero = tensors("zero")
+    rng = np.random.default_rng(4)
+    t_none = tensors("none")
+    rng = np.random.default_rng(4)
+    t_rand = tensors("random")
+
+    paths = {}
+    for name, t in (("zero", t_zero), ("none", t_none), ("rand", t_rand)):
+        p = str(tmp_path / f"q2_{name}.gguf")
+        gg.write_gguf(p, meta("qwen2"), t)
+        paths[name] = p
+
+    params, cfg = M.load_gguf(paths["rand"])
+    assert cfg.rope_variant == "neox" and cfg.use_bias and cfg.tie_embeddings
+    assert params["wcls"] is None and "bq" in params["layers"]
+
+    toks = jnp.asarray([[1, 5, 9]], jnp.int32)
+
+    def run(path):
+        p, c = M.load_gguf(path)
+        cache = M.init_cache(c, 1, 32)
+        h, _ = M.forward(p, c, toks, cache, jnp.int32(0))
+        return np.asarray(M.lm_head(p, c, h))
+
+    np.testing.assert_allclose(run(paths["zero"]), run(paths["none"]),
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(run(paths["rand"]) - run(paths["none"])).max() > 1e-3

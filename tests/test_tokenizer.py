@@ -114,3 +114,31 @@ def test_from_hf_tokenizer_json(tmp_path):
     tok2 = BPETokenizer.from_tokenizer_bin(str(out_bin))
     assert tok2.tokens == tok.tokens
     assert tok2.encode("hi hi") == [4, 5]
+
+
+def test_gpt2_style_gguf_tokenizer(tmp_path):
+    """GGUF with tokenizer.ggml.model == "gpt2" (qwen2/NeoX): merge ranks
+    become scores (ssm/convert_tokens.py convention) and byte-level
+    markers rewrite, so greedy score-merge reproduces the BPE merges."""
+    import numpy as np
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    path = str(tmp_path / "g2.gguf")
+    tokens = ["<unk>", "a", "b", "c", "Ġ", "ab", "abc", "Ġab"]
+    merges = ["a b", "ab c", "Ġ ab"]
+    gg.write_gguf(path, {
+        "general.architecture": "qwen2",
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.merges": merges,
+        "tokenizer.ggml.bos_token_id": 0,
+        "tokenizer.ggml.eos_token_id": 0,
+    }, {"dummy": np.zeros((4,), np.float32)})
+    tok = BPETokenizer.from_gguf(gg.GGUFFile(path))
+    assert tok.token_bytes(4) == b" " and tok.token_bytes(7) == b" ab"
+    # earlier merges score higher -> "abc" forms via a+b then ab+c
+    assert tok.encode("abc") == [6]
+    assert tok.encode(" ab") == [7]
+    assert tok.decode([7, 6]) == b" ababc"

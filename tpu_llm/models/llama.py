@@ -586,7 +586,13 @@ _LAYER_TENSORS = {
 
 def config_from_gguf(gguf) -> LlamaConfig:
     """Build the config from GGUF metadata — the reference's key set
-    (read_ggml.f90:133-152) plus rope.freq_base."""
+    (read_ggml.f90:133-152) plus rope.freq_base.
+
+    Handles the llama-family arches that share the blk.N.* tensor layout:
+    "llama" (the reference's scope) and "qwen2" (NeoX rope, QKV biases,
+    tied embeddings on the small models) — ggml rotates qwen2 with
+    ROPE_TYPE_NEOX while converted llama checkpoints use the pair-
+    interleaved NORM form."""
     arch = gguf.hparam("general.architecture", default="llama")
     g = lambda k, d=None: gguf.hparam(f"{arch}.{k}", default=d)
     n_heads = g("attention.head_count")
@@ -603,6 +609,9 @@ def config_from_gguf(gguf) -> LlamaConfig:
         norm_eps=float(
             g("attention.layer_norm_rms_epsilon", g("attention.layer_norm_epsilon", 1e-5))
         ),
+        rope_variant="neox" if arch == "qwen2" else "interleaved",
+        use_bias="blk.0.attn_q.bias" in gguf,
+        tie_embeddings="output.weight" not in gguf,
     )
 
 
@@ -694,6 +703,12 @@ def load_gguf(
         )
         for key, pat in _LAYER_TENSORS.items():
             layers[key].append(_load_weight(gguf, pat.format(i=i), dtype_policy))
+        # QKV biases (qwen2): 1D, dense f32, additive in the block
+        if f"blk.{i}.attn_q.bias" in gguf:
+            for bk, name in (("bq", "attn_q"), ("bk", "attn_k"),
+                             ("bv", "attn_v")):
+                layers.setdefault(bk, []).append(jnp.asarray(
+                    gguf.dequantized(f"blk.{i}.{name}.bias", np.float32)))
 
     params["layers"] = {k: _stack(v) for k, v in layers.items()}
     if fuse:

@@ -56,17 +56,38 @@ class BPETokenizer:
     @classmethod
     def from_gguf(cls, gguf, rewrite_leading_space: bool = True) -> "BPETokenizer":
         """Build from GGUF metadata (tokenizer.ggml.tokens / .scores),
-        applying the reference's leading-'▁' rewrite."""
+        applying the reference's leading-'▁' rewrite.
+
+        GPT-2-style vocabularies (tokenizer.ggml.model == "gpt2": qwen2,
+        GPT-NeoX — merge ranks instead of scores) are converted like the
+        reference's ssm/convert_tokens.py: score = #merges − rank, with
+        the byte-level Ġ/Ċ markers rewritten to space/newline."""
         raw_tokens = gguf.metadata["tokenizer.ggml.tokens"]
         scores = gguf.metadata.get("tokenizer.ggml.scores")
+        model = gguf.metadata.get("tokenizer.ggml.model", "llama")
+        merges = gguf.metadata.get("tokenizer.ggml.merges")
+        gpt2 = model == "gpt2" and merges is not None
         if scores is None:
             scores = np.zeros(len(raw_tokens), dtype=np.float32)
         tokens: List[bytes] = []
         for t in raw_tokens:
-            b = t.encode("utf-8") if isinstance(t, str) else bytes(t)
-            if rewrite_leading_space and b.startswith(_SPM_SPACE):
+            s = t if isinstance(t, str) else t.decode("utf-8", "replace")
+            if gpt2:
+                s = s.replace("Ġ", " ").replace("Ċ", "\n")
+            b = s.encode("utf-8")
+            if not gpt2 and rewrite_leading_space and b.startswith(_SPM_SPACE):
                 b = b" " + b[len(_SPM_SPACE):]
             tokens.append(b)
+        if gpt2:
+            scores = np.zeros(len(raw_tokens), dtype=np.float32)
+            ids = {t: i for i, t in enumerate(tokens)}
+            top = float(len(merges))
+            for rank, merge in enumerate(merges):
+                a, _, bpart = merge.partition(" ")
+                merged = (a + bpart).replace("Ġ", " ").replace("Ċ", "\n")
+                tid = ids.get(merged.encode("utf-8"))
+                if tid is not None and scores[tid] == 0.0:
+                    scores[tid] = top - rank
         bos = gguf.hparam("tokenizer.ggml.bos_token_id", default=1)
         eos = gguf.hparam("tokenizer.ggml.eos_token_id", default=2)
         return cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos))
