@@ -434,3 +434,74 @@ def test_qwen2_gguf_load_and_decode(tmp_path):
     np.testing.assert_allclose(run(paths["zero"]), run(paths["none"]),
                                rtol=1e-6, atol=1e-6)
     assert np.abs(run(paths["rand"]) - run(paths["none"])).max() > 1e-3
+
+
+def test_gemma_gguf_load_and_decode(tmp_path):
+    """Gemma-family GGUF: explicit head_dim (q width != dim), (1 + w)
+    RMSNorm folding at load, GeGLU mlp, sqrt(dim) embedding scale, NeoX
+    rope, tied embeddings."""
+    import numpy as np
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.models import llama as M
+
+    rng = np.random.default_rng(6)
+    dim, hidden, L, H, KVH, V, HD = 48, 64, 2, 4, 2, 32, 24  # q width 96
+    s = lambda *sh: (rng.standard_normal(sh) * 0.08).astype(np.float32)
+    meta = {
+        "general.architecture": "gemma",
+        "gemma.block_count": L,
+        "gemma.embedding_length": dim,
+        "gemma.feed_forward_length": hidden,
+        "gemma.attention.head_count": H,
+        "gemma.attention.head_count_kv": KVH,
+        "gemma.attention.key_length": HD,
+        "gemma.attention.value_length": HD,
+        "gemma.context_length": 128,
+        "gemma.attention.layer_norm_rms_epsilon": 1e-6,
+        "tokenizer.ggml.tokens": ["<pad>", "<s>", "</s>"]
+        + [f"t{i}" for i in range(V - 3)],
+        "tokenizer.ggml.scores": np.zeros((V,), np.float32),
+    }
+    norm0 = 0.25 + 0.0 * s(dim)
+    t = {"token_embd.weight": s(V, dim), "output_norm.weight": norm0}
+    for i in range(L):
+        t[f"blk.{i}.attn_norm.weight"] = 0.1 * s(dim)
+        t[f"blk.{i}.ffn_norm.weight"] = 0.1 * s(dim)
+        t[f"blk.{i}.attn_q.weight"] = s(H * HD, dim)
+        t[f"blk.{i}.attn_k.weight"] = s(KVH * HD, dim)
+        t[f"blk.{i}.attn_v.weight"] = s(KVH * HD, dim)
+        t[f"blk.{i}.attn_output.weight"] = s(dim, H * HD)
+        t[f"blk.{i}.ffn_gate.weight"] = s(hidden, dim)
+        t[f"blk.{i}.ffn_up.weight"] = s(hidden, dim)
+        t[f"blk.{i}.ffn_down.weight"] = s(dim, hidden)
+    path = str(tmp_path / "gemma.gguf")
+    gg.write_gguf(path, meta, t)
+
+    params, cfg = M.load_gguf(path)
+    assert cfg.head_dim == HD and cfg.q_dim == H * HD != cfg.dim
+    assert cfg.kv_dim == KVH * HD
+    assert cfg.act == "gelu" and cfg.rope_variant == "neox"
+    assert cfg.emb_scale == pytest.approx(dim ** 0.5)
+    assert cfg.tie_embeddings and params["wcls"] is None
+    # (1 + w) fold
+    np.testing.assert_allclose(np.asarray(params["final_norm"]),
+                               1.0 + norm0, rtol=1e-6)
+
+    cache = M.init_cache(cfg, 1, 32)
+    toks = jnp.asarray([[1, 4, 7]], jnp.int32)
+    h, cache = M.forward(params, cfg, toks, cache, jnp.int32(0))
+    logits = np.asarray(M.lm_head(params, cfg, h))
+    assert logits.shape == (1, 3, V) and np.isfinite(logits).all()
+    # greedy decode continues without shape errors
+    tok = jnp.asarray([int(logits[0, -1].argmax())], jnp.int32)
+    lg, cache = M.decode_step(params, cfg, tok, cache, jnp.int32(3))
+    assert lg.shape == (1, V) and np.isfinite(np.asarray(lg)).all()
+
+    # the embedding scale is load-bearing: rebuilding with emb_scale=1
+    # changes the logits
+    import dataclasses as dc
+    cfg1 = dc.replace(cfg, emb_scale=1.0)
+    h1, _ = M.forward(params, cfg1, toks, M.init_cache(cfg1, 1, 32),
+                      jnp.int32(0))
+    assert np.abs(np.asarray(M.lm_head(params, cfg1, h1)) - logits).max() > 1e-3

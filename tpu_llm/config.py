@@ -53,13 +53,27 @@ class LlamaConfig:
     parallel_block: bool = False    # attn and MLP read the same norm output
     use_layernorm: bool = False     # LayerNorm-with-bias instead of RMSNorm
     use_bias: bool = False          # biases on qkv/o/mlp projections
-    act: str = "silu"               # "silu" (SwiGLU) or "gelu" (phi-2 MLP)
+    act: str = "silu"               # "silu" (SwiGLU) or "gelu" (phi-2 MLP;
+    #                                 with gated_mlp=True -> GeGLU, gemma)
     gated_mlp: bool = True          # SwiGLU gate/up vs plain up
     tie_embeddings: bool = False    # classifier shares the embedding table
+    # explicit per-head width (gemma-7b: 256 with dim 3072 — the q/k/v
+    # projection width n_heads*head_dim then differs from dim); None =
+    # the usual dim // n_heads
+    head_dim_: Optional[int] = None
+    # embedding output scale (gemma: sqrt(dim))
+    emb_scale: float = 1.0
 
     @property
     def head_dim(self) -> int:
-        return self.dim // self.n_heads
+        return (self.head_dim_ if self.head_dim_ is not None
+                else self.dim // self.n_heads)
+
+    @property
+    def q_dim(self) -> int:
+        # width of the q projection / attention output (== dim unless
+        # head_dim is explicit)
+        return self.n_heads * self.head_dim
 
     @property
     def kv_dim(self) -> int:
@@ -72,7 +86,7 @@ class LlamaConfig:
         return self.n_heads // self.n_kv_heads
 
     def __post_init__(self):
-        if self.dim % self.n_heads:
+        if self.head_dim_ is None and self.dim % self.n_heads:
             raise ValueError(f"dim {self.dim} not divisible by n_heads {self.n_heads}")
         if self.n_heads % self.n_kv_heads:
             raise ValueError(

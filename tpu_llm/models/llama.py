@@ -227,6 +227,8 @@ def _use_ffn_megakernel(cfg: LlamaConfig, x, lp) -> bool:
         return False
     from tpu_llm.quant.pallas_ffn import ffn_tiles_ok
 
+    if cfg.act != "silu":
+        return False   # the megakernel's gate is SiLU-only
     return ffn_tiles_ok(cfg.dim, cfg.hidden_dim, lp["w13"], lp.get("w2"))
 
 
@@ -295,10 +297,11 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
             # fused QKV — ONE kernel (the reference's layout,
             # read_ggml.f90:265; call count sets the decode floor)
             KV = cfg.kv_dim
+            Q = cfg.q_dim
             qkv = matmul(h, lp["wqkv"])
-            q = qkv[..., :E]
-            k = qkv[..., E : E + KV]
-            v = qkv[..., E + KV :]
+            q = qkv[..., :Q]
+            k = qkv[..., Q : Q + KV]
+            v = qkv[..., Q + KV :]
         else:
             q = matmul(h, lp["wq"])
             k = matmul(h, lp["wk"])
@@ -353,7 +356,7 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
             ka, va = ((kc, vc) if kv_window is None else
                       (_kv_window(kc, kv_window), _kv_window(vc, kv_window)))
             attn = (attn_fn or _attend)(q, ka, va, positions, offset)
-        attn = attn.reshape(B, T, E)
+        attn = attn.reshape(B, T, cfg.q_dim)
         attn_out = matmul(attn, lp["wo"])
         if "bo" in lp:
             attn_out = attn_out + lp["bo"]
@@ -372,14 +375,15 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
             if cfg.parallel_block:
                 return x + attn_out + mlp_out, kc, vc
             return x + mlp_out, kc, vc
+        gate_act = gelu if cfg.act == "gelu" else silu
         if cfg.gated_mlp and "w13" in lp:
             F = cfg.hidden_dim
             h13 = matmul(mlp_in, lp["w13"])   # fused gate|up (read_ggml.f90:340)
-            mid = silu(h13[..., :F]) * h13[..., F:]
+            mid = gate_act(h13[..., :F]) * h13[..., F:]
         elif cfg.gated_mlp:
             gate = matmul(mlp_in, lp["w1"])
             up = matmul(mlp_in, lp["w3"])
-            mid = silu(gate) * up
+            mid = gate_act(gate) * up
         else:
             mid = matmul(mlp_in, lp["w3"])
             if "b3" in lp:
@@ -455,6 +459,9 @@ def forward(
     their sequences share one decode step)."""
     B, T = tokens.shape
     x = jnp.take(params["tok_emb"], tokens, axis=0)
+    if cfg.emb_scale != 1.0:
+        # gemma scales hidden states by sqrt(dim) after the embedding
+        x = (x.astype(jnp.float32) * cfg.emb_scale).astype(x.dtype)
     if act_constraint is not None:
         x = act_constraint(x)
     if offset.ndim == 0:
@@ -596,8 +603,13 @@ def config_from_gguf(gguf) -> LlamaConfig:
     arch = gguf.hparam("general.architecture", default="llama")
     g = lambda k, d=None: gguf.hparam(f"{arch}.{k}", default=d)
     n_heads = g("attention.head_count")
+    dim = g("embedding_length")
+    gemma = arch.startswith("gemma")
+    head_dim = g("attention.key_length") if gemma else None
+    if head_dim is not None and head_dim == dim // n_heads:
+        head_dim = None
     return LlamaConfig(
-        dim=g("embedding_length"),
+        dim=dim,
         hidden_dim=g("feed_forward_length"),
         n_layers=g("block_count"),
         n_heads=n_heads,
@@ -609,9 +621,13 @@ def config_from_gguf(gguf) -> LlamaConfig:
         norm_eps=float(
             g("attention.layer_norm_rms_epsilon", g("attention.layer_norm_epsilon", 1e-5))
         ),
-        rope_variant="neox" if arch == "qwen2" else "interleaved",
+        rope_variant="neox" if (arch == "qwen2" or gemma) else "interleaved",
         use_bias="blk.0.attn_q.bias" in gguf,
         tie_embeddings="output.weight" not in gguf,
+        # gemma: GeGLU mlp, sqrt(dim)-scaled embeddings, explicit head_dim
+        act="gelu" if gemma else "silu",
+        head_dim_=head_dim,
+        emb_scale=float(dim) ** 0.5 if gemma else 1.0,
     )
 
 
@@ -677,13 +693,18 @@ def load_gguf(
     gguf = path_or_gguf if not isinstance(path_or_gguf, str) else GGUFFile(path_or_gguf)
     cfg = config_from_gguf(gguf)
 
+    # gemma stores RMSNorm weights as (w - 1): the applied scale is 1 + w.
+    # Folding the +1 at load keeps the runtime norm unchanged.
+    arch = gguf.hparam("general.architecture", default="llama")
+    norm_off = 1.0 if arch.startswith("gemma") else 0.0
+
     norm_dtype = jnp.float32
     emb = gguf.dequantized("token_embd.weight", np.float32)
     emb_dtype = jnp.bfloat16 if dtype_policy in ("bf16", "native") else jnp.float32
     params: Params = {
         "tok_emb": jnp.asarray(emb).astype(emb_dtype),
         "final_norm": jnp.asarray(
-            gguf.dequantized("output_norm.weight", np.float32)
+            norm_off + gguf.dequantized("output_norm.weight", np.float32)
         ).astype(norm_dtype),
     }
     if "output.weight" in gguf:
@@ -695,12 +716,12 @@ def load_gguf(
     layers["attn_norm"] = []
     layers["ffn_norm"] = []
     for i in range(cfg.n_layers):
-        layers["attn_norm"].append(
-            jnp.asarray(gguf.dequantized(f"blk.{i}.attn_norm.weight", np.float32))
-        )
-        layers["ffn_norm"].append(
-            jnp.asarray(gguf.dequantized(f"blk.{i}.ffn_norm.weight", np.float32))
-        )
+        layers["attn_norm"].append(jnp.asarray(
+            norm_off + gguf.dequantized(f"blk.{i}.attn_norm.weight",
+                                        np.float32)))
+        layers["ffn_norm"].append(jnp.asarray(
+            norm_off + gguf.dequantized(f"blk.{i}.ffn_norm.weight",
+                                        np.float32)))
         for key, pat in _LAYER_TENSORS.items():
             layers[key].append(_load_weight(gguf, pat.format(i=i), dtype_policy))
         # QKV biases (qwen2): 1D, dense f32, additive in the block
