@@ -565,3 +565,19 @@ def test_stream_chat_logprobs(server):
     assert got
     entry = got[0]["choices"][0]["logprobs"]["content"][0]
     assert entry["logprob"] <= 0 and len(entry["top_logprobs"]) == 2
+
+
+def test_render_chat_chatml_and_gemma():
+    from tpu_llm.runtime.server import render_chat
+
+    msgs = [{"role": "system", "content": "be terse"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "yo"},
+            {"role": "user", "content": "bye"}]
+    cm = render_chat(msgs, "chatml")
+    assert cm.startswith("<|im_start|>system\nbe terse<|im_end|>\n")
+    assert cm.endswith("<|im_start|>assistant\n")
+    gm = render_chat(msgs, "gemma")
+    assert "<start_of_turn>user\nbe terse\n\nhi<end_of_turn>" in gm
+    assert "<start_of_turn>model\nyo<end_of_turn>" in gm
+    assert gm.endswith("<start_of_turn>model\n")

@@ -98,6 +98,30 @@ def render_chat(messages, template: str = "zephyr") -> str:
             out += f"[INST] {body} [/INST]"
             first_user = False
         return out
+    if template == "chatml":
+        # ChatML (qwen2 and friends): <|im_start|>role\ncontent<|im_end|>
+        out = "".join(
+            f"<|im_start|>{m.get('role', 'user')}\n{m['content']}<|im_end|>\n"
+            for m in messages)
+        return out + "<|im_start|>assistant\n"
+    if template == "gemma":
+        # Gemma instruction format: <start_of_turn>user|model turns; the
+        # system message (gemma has no system role) folds into the first
+        # user turn
+        sys_txt = None
+        out = ""
+        for m in messages:
+            role = m.get("role", "user")
+            if role == "system":
+                sys_txt = m["content"]
+                continue
+            body = m["content"]
+            if role != "assistant" and sys_txt:
+                body = f"{sys_txt}\n\n{body}"
+                sys_txt = None
+            turn = "model" if role == "assistant" else "user"
+            out += f"<start_of_turn>{turn}\n{body}<end_of_turn>\n"
+        return out + "<start_of_turn>model\n"
     raise ValueError(f"unknown chat template {template!r}")
 
 
@@ -668,9 +692,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timeout", type=float, default=600.0,
                    help="per-request generation timeout (s)")
     p.add_argument("--chat-template", default="zephyr",
-                   choices=["zephyr", "plain", "llama2"],
+                   choices=["zephyr", "plain", "llama2", "chatml", "gemma"],
                    help="messages rendering for /v1/chat/completions "
-                        "(zephyr = TinyLlama-chat, llama2 = [INST] turns)")
+                        "(zephyr = TinyLlama-chat, llama2 = [INST] turns, "
+                        "chatml = qwen2, gemma = start_of_turn turns)")
     p.add_argument("--served-model-name", default=None,
                    help="model id reported by /v1/models and responses "
                         "(default: the model file's basename)")
