@@ -40,12 +40,35 @@ REFERENCE_TOK_S = 7.3  # llm.f90 optimize16 branch, 1 CPU core (README.md:13)
 
 
 def build_params(quant: str, cfg=None):
+    import dataclasses
+
+    import jax
+
     import __graft_entry__ as ge
     from tpu_llm.models.llama import unstack_layers
     from tpu_llm.quant.convert_params import (
         fold_rope_interleave, fuse_llama_layers, quantize_llama_params,
     )
 
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if (quant in ("q4_0", "q8_0") and cfg is not None and on_tpu
+            and not os.environ.get("TPU_LLM_BENCH_HOST_QUANT")):
+        # Device-side packed synth (same path the 7B rows use): the host
+        # quantize route moves ~3 GB through the tunnel (device RNG ->
+        # host fetch -> numpy quantize -> upload) — 5+ minutes at the
+        # tunnel's good ~10 MB/s and 20+ when it degrades, all before a
+        # single measured step. The synth builds the same packed QTensor
+        # layouts with on-device RNG in seconds; throughput is
+        # weight-content-independent (kernels, tiles, and HBM traffic are
+        # identical). The measured program also matches the folded-RoPE
+        # form: random weights need no column permutation, so setting
+        # rope_variant="neox" compiles the exact relayout-free rotation
+        # the fold produces. TPU_LLM_BENCH_HOST_QUANT=1 restores the old
+        # host path (useful when validating the quantize/fold chain).
+        from tpu_llm.runtime.bench_cli import synth_quant_llama
+
+        cfg = dataclasses.replace(cfg, rope_variant="neox")
+        return synth_quant_llama(cfg, kind=quant), cfg
     if os.environ.get("TPU_LLM_BENCH_TINY") and cfg is not None:
         from tpu_llm.runtime.bench_cli import random_llama_params
 
