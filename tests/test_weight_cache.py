@@ -94,3 +94,29 @@ def test_cli_roundtrip_via_cache(tmp_path, capfd):
     a = run(gguf_path)
     b = run(npz, ("-s", tok))
     assert a == b
+
+
+def test_weight_cache_preserves_mins():
+    """Affine QTensors (q4_1 / loaded q4_K) round-trip the mins plane
+    through the npz cache."""
+    import numpy as np
+
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.io.weight_cache import load_weight_cache, save_weight_cache
+    from tpu_llm.quant.qtensor import dequantize, quantize_tensor
+
+    rng = np.random.default_rng(8)
+    cfg = LlamaConfig(dim=64, hidden_dim=96, n_layers=1, n_heads=4,
+                      n_kv_heads=2, vocab_size=256, seq_len=128)
+    qt = quantize_tensor(rng.normal(size=(512, 64)).astype(np.float32),
+                         "q4_k")
+    params = {"tok_emb": jnp.zeros((256, 64)), "final_norm": jnp.ones((64,)),
+              "wcls": qt, "layers": []}
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "c.npz")
+        save_weight_cache(p, params, cfg)
+        loaded, _ = load_weight_cache(p)
+    assert loaded["wcls"].mins is not None
+    np.testing.assert_array_equal(np.asarray(dequantize(loaded["wcls"])),
+                                  np.asarray(dequantize(qt)))
