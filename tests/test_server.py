@@ -581,3 +581,27 @@ def test_render_chat_chatml_and_gemma():
     assert "<start_of_turn>user\nbe terse\n\nhi<end_of_turn>" in gm
     assert "<start_of_turn>model\nyo<end_of_turn>" in gm
     assert gm.endswith("<start_of_turn>model\n")
+
+
+def test_completions_logprobs_zero(server):
+    """OpenAI: logprobs=0 returns tokens/token_logprobs with no top
+    alternatives."""
+    port, _, _ = server
+    st, r = _post(port, "/v1/completions",
+                  {"prompt": "abc", "max_tokens": 3, "logprobs": 0})
+    assert st == 200
+    lp = r["choices"][0]["logprobs"]
+    assert len(lp["token_logprobs"]) == len(r["tokens"])
+    assert "top_logprobs" not in lp
+
+
+def test_chat_top_logprobs_requires_logprobs(server):
+    port, _, _ = server
+    import urllib.error
+    try:
+        _post(port, "/v1/chat/completions",
+              {"messages": [{"role": "user", "content": "x"}],
+               "max_tokens": 2, "top_logprobs": 3})
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

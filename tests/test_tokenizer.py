@@ -142,3 +142,34 @@ def test_gpt2_style_gguf_tokenizer(tmp_path):
     assert tok.encode("abc") == [6]
     assert tok.encode(" ab") == [7]
     assert tok.decode([7, 6]) == b" ababc"
+
+
+def test_gpt2_byte_level_non_ascii(tmp_path):
+    """The full GPT-2 byte-unicode inverse: non-ASCII ('é' stored as
+    'Ã©'), tabs ('ĉ'), and special added tokens round-trip correctly."""
+    import numpy as np
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.tokenizers.bpe import BPETokenizer, _gpt2_str_to_bytes
+
+    assert _gpt2_str_to_bytes("Ã©") == "é".encode("utf-8")
+    assert _gpt2_str_to_bytes("ĉ") == b"\t"
+    assert _gpt2_str_to_bytes("Ġa") == b" a"
+    assert _gpt2_str_to_bytes("<|im_start|>") == b"<|im_start|>"
+
+    path = str(tmp_path / "bl.gguf")
+    toks = ["<unk>", "Ã", "©", "Ã©", "ĉ", "a", "<|im_start|>"]
+    gg.write_gguf(path, {
+        "general.architecture": "qwen2",
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.merges": ["Ã ©"],
+        "tokenizer.ggml.bos_token_id": 0,
+        "tokenizer.ggml.eos_token_id": 0,
+    }, {"dummy": np.zeros((4,), np.float32)})
+    tok = BPETokenizer.from_gguf(gg.GGUFFile(path))
+    assert tok.token_bytes(3) == "é".encode("utf-8")
+    assert tok.token_bytes(4) == b"\t"
+    assert tok.encode("é") == [3]        # merge Ã+© applies
+    assert tok.decode([3, 5]) == "éa".encode("utf-8")
+    assert tok.encode("\t") == [4]

@@ -106,6 +106,31 @@ def _apply_penalties(logits, counts, fps, pps, rps):
     return x - fps[..., None] * c - pps[..., None] * seen
 
 
+def _prefill_extras(req: Request, vocab: int, input_ids):
+    """Positional (crow, fp, pp, rp, brow, want_top) tail for the
+    _prefill_impl dispatch — later knobs back-fill earlier None slots so
+    the jit arg positions always line up (ONE shared ladder for both
+    engines; the step path passes every slot explicitly via the *_args
+    helpers). ``input_ids`` is BOS + prompt as fed at admission — the
+    prompt-count row penalizes the first sampled token too."""
+    pen = ()
+    if _penalized(req):
+        row = np.bincount(input_ids, minlength=vocab)
+        pen = (jnp.asarray(row.astype(np.int32)),
+               jnp.float32(req.frequency_penalty),
+               jnp.float32(req.presence_penalty),
+               jnp.float32(req.repetition_penalty))
+    bias = ()
+    if req.logit_bias:
+        bias = (jnp.asarray(_bias_row(req, vocab)),)
+    want = (jnp.int32(1),) if req.top_logprobs > 0 else ()
+    if want and not bias:
+        bias = (None,)
+    if bias and not pen:
+        pen = (None, None, None, None)
+    return (*pen, *bias, *want)
+
+
 def _req_filters(req: Request):
     """(top_k, top_p) device scalars for a filtered request, else
     (None, None) — None selects the cheap sampler's jit cache entry."""
@@ -140,8 +165,8 @@ def _sample_step(logits, keys, temps, topks, topps, counts, fps, pps, rps,
     return sampled, counts
 
 
-_TOPN = 8      # compiled top-k width for top_logprobs (host slices per
-#                request; OpenAI completions caps logprobs at 5)
+_TOPN = 20     # compiled top-k width for top_logprobs (host slices per
+#                request; matches OpenAI's chat top_logprobs max of 20)
 
 
 def _top_rows(logits):
@@ -328,37 +353,15 @@ class BatchEngine:
                 toks[0, :n_in] = np.asarray(input_ids, np.int32)
 
                 slot.key, sub = jax.random.split(slot.key)
-                pen = ()
-                if _penalized(req):
-                    # prompt-count row so the FIRST sampled token is
-                    # penalized too; the (B, V) batch counts rebuild lazily
-                    row = np.bincount(input_ids, minlength=self._vocab)
-                    pen = (jnp.asarray(row.astype(np.int32)),
-                           jnp.float32(req.frequency_penalty),
-                           jnp.float32(req.presence_penalty),
-                           jnp.float32(req.repetition_penalty))
-                if pen or self._counts is not None:
+                if _penalized(req) or self._counts is not None:
                     self._counts_dirty = True
-                bias = ()
-                if req.logit_bias:
-                    bias = (jnp.asarray(_bias_row(req, self._vocab)),)
-                    if not pen:
-                        # brow is positional after the penalty args
-                        pen = (None, None, None, None)
-                if bias or self._bias is not None:
+                if req.logit_bias or self._bias is not None:
                     self._bias_dirty = True
-                want = ()
-                if req.top_logprobs > 0:
-                    want = (jnp.int32(1),)
-                    if not bias:
-                        bias = (None,)
-                        if not pen:
-                            pen = (None, None, None, None)
                 sampled, lp_d, self.state, tops_d = self._prefill(
                     self.params, jnp.asarray(toks), self.state,
                     jnp.int32(idx), jnp.int32(n_in - 1), sub,
-                    jnp.float32(req.temperature), *_req_filters(req), *pen,
-                    *bias, *want,
+                    jnp.float32(req.temperature), *_req_filters(req),
+                    *_prefill_extras(req, self._vocab, input_ids),
                 )
                 # one host fetch per REQUEST (not per token): the prefill
                 # token is the request's first generated token

@@ -51,10 +51,10 @@ from tpu_llm.ops.paged_kv import (
 )
 from tpu_llm.runtime.batching import BatchEngine, Request, _Slot
 from tpu_llm.ops.sampling import filtered_sample
-from tpu_llm.runtime.batching import (_apply_penalties, _bias_row,
-                                      _penalized, _req_filters, _sample_rows,
-                                      _sample_step, _token_logprob,
-                                      _top_rows)
+from tpu_llm.runtime.batching import (_apply_penalties, _penalized,
+                                      _prefill_extras, _req_filters,
+                                      _sample_rows, _sample_step,
+                                      _token_logprob, _top_rows)
 from tpu_llm.runtime.engine import _next_bucket, _select_token
 
 __all__ = ["PagedEngine", "Request"]
@@ -372,34 +372,15 @@ class PagedEngine(BatchEngine):
             toks[0, : len(tail)] = np.asarray(tail, np.int32)
 
             slot.key, sub = jax.random.split(slot.key)
-            pen = ()
-            if _penalized(req):
-                crow = np.bincount(input_ids, minlength=self._vocab)
-                pen = (jnp.asarray(crow.astype(np.int32)),
-                       jnp.float32(req.frequency_penalty),
-                       jnp.float32(req.presence_penalty),
-                       jnp.float32(req.repetition_penalty))
-            if pen or self._counts is not None:
+            if _penalized(req) or self._counts is not None:
                 self._counts_dirty = True
-            bias = ()
-            if req.logit_bias:
-                bias = (jnp.asarray(_bias_row(req, self._vocab)),)
-                if not pen:
-                    pen = (None, None, None, None)
-            if bias or self._bias is not None:
+            if req.logit_bias or self._bias is not None:
                 self._bias_dirty = True
-            want = ()
-            if req.top_logprobs > 0:
-                want = (jnp.int32(1),)
-                if not bias:
-                    bias = (None,)
-                    if not pen:
-                        pen = (None, None, None, None)
             sampled, lp_d, self.state, tops_d = self._prefill(
                 self.params, jnp.asarray(toks), self.state, jnp.int32(idx),
                 jnp.int32(n_shared), jnp.int32(len(tail) - 1), sub,
-                jnp.float32(req.temperature), *_req_filters(req), *pen,
-                *bias, *want,
+                jnp.float32(req.temperature), *_req_filters(req),
+                *_prefill_extras(req, self._vocab, input_ids),
             )
             if self.prefix is not None:
                 self.prefix.insert(input_ids, bs, blocks, digests=digs)

@@ -352,6 +352,23 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
             if isinstance(stop, str):
                 stop = [stop]
             stop = [s for s in stop if isinstance(s, str) and s][:4]
+            lp_field = body.get("logprobs")
+            if chat:
+                if body.get("top_logprobs") is not None and not lp_field:
+                    # OpenAI contract: chat top_logprobs requires
+                    # "logprobs": true
+                    self._json(400, {"error": "top_logprobs requires "
+                                              "logprobs: true"})
+                    return
+                want_lp = bool(lp_field)
+                want_top_n = int(body.get("top_logprobs") or 0)
+            else:
+                if isinstance(lp_field, bool):
+                    want_lp, want_top_n = lp_field, 0
+                elif lp_field is None:
+                    want_lp, want_top_n = False, 0
+                else:   # int, 0 included: chosen-token logprobs on
+                    want_lp, want_top_n = True, int(lp_field)
             prompt_ids = tokenizer.encode(prompt)
             pairs = []
             for ci in range(n_choices):
@@ -377,14 +394,14 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     logit_bias=(body.get("logit_bias")
                                 if isinstance(body.get("logit_bias"), dict)
                                 else None),
-                    # completions: logprobs is an int N (top-N per token;
-                    # bool true = chosen-token-only, a native extension).
-                    # chat: logprobs is the OpenAI bool + top_logprobs N.
-                    logprobs=bool(body.get("logprobs", False)),
-                    top_logprobs=int(
-                        body.get("top_logprobs", 0) if chat
-                        else (body.get("logprobs") or 0)
-                        if not isinstance(body.get("logprobs"), bool) else 0),
+                    # completions: logprobs is an int N >= 0 (OpenAI: N=0
+                    # still returns tokens/token_logprobs, just no top
+                    # alternatives); bool true = chosen-token-only, a
+                    # native extension. chat: logprobs is the OpenAI bool
+                    # + top_logprobs N (validated above). Cap at the
+                    # compiled top-k width (20, the OpenAI chat max).
+                    logprobs=want_lp,
+                    top_logprobs=min(want_top_n, 20),
                     stream=tracker.on_token,
                 )
                 if stop:

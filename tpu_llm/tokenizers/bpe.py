@@ -29,6 +29,37 @@ import numpy as np
 _SPM_SPACE = "▁".encode("utf-8")  # 0xE2 0x96 0x81
 
 
+def _gpt2_byte_decoder() -> dict:
+    """GPT-2's bytes_to_unicode inverse: printable-char code point -> raw
+    byte. Byte-level BPE vocabs store every byte as a printable unicode
+    char (' '->'Ġ', '\\t'->'ĉ', 0xE9->'é'-page chars...); tokens must be
+    mapped back char-by-char or non-ASCII text is double-encoded."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {c: b for b, c in zip(bs, cs)}
+
+
+_GPT2_DECODER = _gpt2_byte_decoder()
+
+
+def _gpt2_str_to_bytes(s: str) -> bytes:
+    """Byte-level vocab string -> raw bytes. Strings containing chars
+    outside the byte-unicode table (added/special tokens like
+    <|im_start|>) are literal text, kept as UTF-8."""
+    try:
+        return bytes(_GPT2_DECODER[ord(c)] for c in s)
+    except KeyError:
+        return s.encode("utf-8")
+
+
 class BPETokenizer:
     def __init__(
         self,
@@ -59,9 +90,11 @@ class BPETokenizer:
         applying the reference's leading-'▁' rewrite.
 
         GPT-2-style vocabularies (tokenizer.ggml.model == "gpt2": qwen2,
-        GPT-NeoX — merge ranks instead of scores) are converted like the
-        reference's ssm/convert_tokens.py: score = #merges − rank, with
-        the byte-level Ġ/Ċ markers rewritten to space/newline."""
+        GPT-NeoX — merge ranks instead of scores) get score = #merges −
+        rank like the reference's ssm/convert_tokens.py, but with the
+        FULL byte-level unicode↔byte inverse (the reference maps only
+        Ġ/Ċ, which garbles every non-ASCII and control byte — the same
+        deliberate-deviation policy as the GQA indexing, SURVEY §2 #13)."""
         raw_tokens = gguf.metadata["tokenizer.ggml.tokens"]
         scores = gguf.metadata.get("tokenizer.ggml.scores")
         model = gguf.metadata.get("tokenizer.ggml.model", "llama")
@@ -69,14 +102,16 @@ class BPETokenizer:
         gpt2 = model == "gpt2" and merges is not None
         if scores is None:
             scores = np.zeros(len(raw_tokens), dtype=np.float32)
+        to_b = _gpt2_str_to_bytes if gpt2 else None
         tokens: List[bytes] = []
         for t in raw_tokens:
             s = t if isinstance(t, str) else t.decode("utf-8", "replace")
             if gpt2:
-                s = s.replace("Ġ", " ").replace("Ċ", "\n")
-            b = s.encode("utf-8")
-            if not gpt2 and rewrite_leading_space and b.startswith(_SPM_SPACE):
-                b = b" " + b[len(_SPM_SPACE):]
+                b = to_b(s)
+            else:
+                b = s.encode("utf-8")
+                if rewrite_leading_space and b.startswith(_SPM_SPACE):
+                    b = b" " + b[len(_SPM_SPACE):]
             tokens.append(b)
         if gpt2:
             scores = np.zeros(len(raw_tokens), dtype=np.float32)
@@ -84,8 +119,7 @@ class BPETokenizer:
             top = float(len(merges))
             for rank, merge in enumerate(merges):
                 a, _, bpart = merge.partition(" ")
-                merged = (a + bpart).replace("Ġ", " ").replace("Ċ", "\n")
-                tid = ids.get(merged.encode("utf-8"))
+                tid = ids.get(to_b(a + bpart))
                 if tid is not None and scores[tid] == 0.0:
                     scores[tid] = top - rank
         bos = gguf.hparam("tokenizer.ggml.bos_token_id", default=1)
@@ -103,8 +137,11 @@ class BPETokenizer:
     def from_hf_tokenizer_json(cls, path: str, **kw) -> "BPETokenizer":
         """GPT-NeoX/GPT-2-style tokenizer.json -> score-merge form, following
         the reference converter (``ssm/convert_tokens.py``): score =
-        (#merges) - merge_rank; 'Ġ'->space, 'Ċ'->newline; vocab-only tokens
-        (incl. added_tokens) get score 0 unless produced by a merge."""
+        (#merges) - merge_rank; vocab-only tokens (incl. added_tokens) get
+        score 0 unless produced by a merge. Deliberate deviation: the
+        reference maps only 'Ġ'->space / 'Ċ'->newline, garbling every
+        other byte-level char (non-ASCII, tabs); we invert the full GPT-2
+        byte-unicode table."""
         import json
 
         with open(path) as f:
@@ -117,9 +154,7 @@ class BPETokenizer:
         tokens: List[bytes] = [b""] * n
         scores = np.zeros(n, dtype=np.float32)
 
-        def to_bytes(s: str) -> bytes:
-            s = s.replace("Ġ", " ").replace("Ċ", "\n")
-            return s.encode("utf-8")
+        to_bytes = _gpt2_str_to_bytes
 
         for tok, tid in vocab.items():
             tokens[tid] = to_bytes(tok)
