@@ -525,3 +525,48 @@ def test_single_stream_engine_penalties():
                             frequency_penalty=1e9))
     be.run()
     assert req.tokens == gen
+
+
+def test_draft_model_speculation_exact_stream():
+    """Two-model speculation: output is exactly the plain greedy stream
+    with ANY draft. A same-weights draft accepts everything (fast path);
+    a different-weights draft mispredicts (correctness under rejects);
+    both must reproduce the plain stream."""
+    from tests.test_llama import CFG, make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+    cfg = LlamaConfig(**CFG)
+    params = to_params(make_weights(0))
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    target = Engine(params, adapter, max_seq=CFG["seq_len"])
+    base = target.generate([5, 11], n_new=12).tokens
+
+    same = Engine(params, adapter, max_seq=CFG["seq_len"])
+    res = target.generate([5, 11], n_new=12, speculative_k=4, draft=same)
+    assert res.tokens == base
+
+    other = Engine(to_params(make_weights(3)), adapter,
+                   max_seq=CFG["seq_len"])
+    res2 = target.generate([5, 11], n_new=12, speculative_k=4, draft=other)
+    assert res2.tokens == base
+
+
+def test_draft_model_vocab_mismatch_rejected():
+    import dataclasses
+
+    import pytest as _pytest
+
+    from tests.test_llama import CFG, make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+    cfg = LlamaConfig(**CFG)
+    params = to_params(make_weights(0))
+    target = Engine(params, ModelAdapter.llama(cfg, bos_id=1),
+                    max_seq=CFG["seq_len"])
+    cfg2 = dataclasses.replace(cfg, vocab_size=cfg.vocab_size + 8)
+    bad = Engine(params, ModelAdapter.llama(cfg2, bos_id=1),
+                 max_seq=CFG["seq_len"])
+    with _pytest.raises(ValueError):
+        target.generate([5], n_new=4, speculative_k=2, draft=bad)

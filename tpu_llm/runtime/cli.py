@@ -55,9 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan", action="store_true",
                    help="all-on-device decode loop (no streaming)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
-                   help="prompt-lookup speculative decoding: verify K "
-                        "drafted tokens per forward (greedy only; output "
-                        "is exactly the plain greedy stream)")
+                   help="speculative decoding: verify K drafted tokens "
+                        "per forward (greedy only; output is exactly the "
+                        "plain greedy stream). Drafts come from prompt "
+                        "lookup, or from --draft when given")
+    p.add_argument("--draft", default=None, metavar="GGUF",
+                   help="small same-vocabulary draft model for two-model "
+                        "speculation (needs --spec K)")
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--rope", default="interleaved",
                    choices=["interleaved", "neox", "llmf90"],
@@ -203,6 +207,23 @@ def main(argv=None) -> int:
 
     engine = Engine(params, adapter, max_seq=max_seq)
 
+    draft_engine = None
+    if args.draft:
+        from tpu_llm.io.gguf import GGUFFile
+        from tpu_llm.models.llama import load_gguf as _load_llama
+        from tpu_llm.models.llama import unstack_layers as _unstack
+
+        dg = GGUFFile(args.draft)
+        dparams, dcfg = _load_llama(dg, dtype_policy=args.dtype, fuse=True)
+        if args.rope != "interleaved" and args.rope != dcfg.rope_variant:
+            dcfg = dataclasses.replace(dcfg, rope_variant=args.rope)
+        dparams = _unstack(dparams)
+        draft_engine = Engine(
+            dparams,
+            ModelAdapter.llama(dcfg, cache_dtype=cache_dtype,
+                               bos_id=tokenizer.bos_id, stacked=False),
+            max_seq=max_seq)
+
     prompt_ids = tokenizer.encode(args.prompt) if args.prompt else []
     n = args.num_tokens
     if n > cfg.seq_len:
@@ -234,6 +255,7 @@ def main(argv=None) -> int:
             stream=None if args.scan else stream,
             use_scan=args.scan,
             speculative_k=args.spec,
+            draft=draft_engine,
             top_k=args.top_k,
             top_p=args.top_p,
             repetition_penalty=args.repeat_penalty,

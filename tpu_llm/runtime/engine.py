@@ -172,6 +172,8 @@ class Engine:
             self._decode_scan_impl, donate_argnums=(2,), static_argnums=(6,)
         )
         self._verify = jax.jit(self._verify_impl, donate_argnums=(2,))
+        self._draft_steps = jax.jit(self._draft_impl, donate_argnums=(2,),
+                                    static_argnums=(4,))
 
     # -- jitted bodies ----------------------------------------------------
 
@@ -205,6 +207,24 @@ class Engine:
         if counts is not None:
             counts = counts.at[jnp.arange(counts.shape[0]), next_tok].add(1)
         return next_tok, logits, state, counts
+
+    def _draft_impl(self, params, token, state, pos, n):
+        """Greedy-decode ``n`` tokens in one on-device scan — the DRAFT
+        side of two-model speculation. Writes the fed tokens' KV at
+        positions [pos, pos+n); rows past the verifier's acceptance
+        point go stale but are causally invisible (the same
+        write-then-attend argument as _verify_impl)."""
+        key = jax.random.PRNGKey(0)          # greedy: key is unused
+
+        def body(carry, _):
+            token, state, pos = carry
+            tok, _, state, _ = self._decode_impl(
+                params, token, state, pos, key, jnp.float32(0.0))
+            return (tok, state, pos + 1), tok
+
+        (_, state, _), toks = jax.lax.scan(
+            body, (token, state, pos), None, length=n)
+        return toks[:, 0], state             # (n,) batch-1 draft ids
 
     def _verify_impl(self, params, tokens, state, pos):
         """Speculative verify: teacher-force ``tokens`` (B, K+1) at
@@ -259,6 +279,7 @@ class Engine:
         add_bos: bool = True,
         use_scan: bool = False,
         speculative_k: int = 0,
+        draft: Optional["Engine"] = None,
         top_k: int = 0,
         top_p: float = 1.0,
         frequency_penalty: float = 0.0,
@@ -269,10 +290,14 @@ class Engine:
         ``n_total`` counts prompt echo + generated tokens (llama2.f90:379);
         alternatively pass ``n_new``.
 
-        ``speculative_k`` > 0 enables prompt-lookup speculative decoding
-        (greedy only, positional-state models only): each iteration
-        verifies k drafted tokens in ONE forward and emits
-        accepted+1 tokens — output is EXACTLY the plain greedy stream."""
+        ``speculative_k`` > 0 enables speculative decoding (greedy only,
+        positional-state models only): each iteration verifies k drafted
+        tokens in ONE forward and emits accepted+1 tokens — output is
+        EXACTLY the plain greedy stream. Drafts come from prompt lookup
+        (self-speculation) by default, or from ``draft`` — a second
+        Engine over a smaller same-vocabulary model (llama.cpp's
+        --model-draft): the draft greedy-decodes k tokens in one
+        on-device scan, the target verifies them in one forward."""
         prompt_ids = list(prompt_ids)
         if n_total is None:
             n_total = len(prompt_ids) + (n_new if n_new is not None else 128)
@@ -365,8 +390,29 @@ class Engine:
                     if stream:
                         stream(t)
 
-                while remaining > 0 and pos + k + 1 <= self.max_seq:
-                    drafts = _lookup_draft(ctx, k)
+                draft_state = None
+                draft_pos = 0
+                if draft is not None:
+                    if draft.adapter.vocab_size != self.adapter.vocab_size:
+                        raise ValueError(
+                            "draft model must share the target vocabulary")
+                    # the draft processes the same prompt once
+                    _, draft_state = draft._prefill(
+                        draft.params, jnp.asarray(toks),
+                        jnp.int32(n_in - 1))
+                    draft_pos = n_in
+
+                while remaining > 0 and pos + k + 1 <= self.max_seq and (
+                        draft is None or draft_pos + k <= draft.max_seq):
+                    if draft is not None:
+                        d_dev, draft_state = draft._draft_steps(
+                            draft.params,
+                            jnp.full((draft.batch,), ctx[-1], jnp.int32),
+                            draft_state, jnp.int32(draft_pos), k)
+                        drafts = [int(t) for t in
+                                  np.asarray(jax.device_get(d_dev))]
+                    else:
+                        drafts = _lookup_draft(ctx, k)
                     inp = np.zeros((self.batch, k + 1), np.int32)
                     inp[:, 0] = ctx[-1]
                     inp[:, 1 : 1 + len(drafts)] = np.asarray(drafts, np.int32)
@@ -382,6 +428,11 @@ class Engine:
                         emit(t)
                     pos += acc + 1
                     remaining -= acc + 1
+                    # draft cache rows [draft_pos, draft_pos+acc] hold the
+                    # accepted prefix (the fed token + accepted drafts);
+                    # later rows are stale-but-invisible. Next round feeds
+                    # the corrected token here.
+                    draft_pos += acc + 1
                 # context-window tail (pos + k + 1 would write past the
                 # cache): finish with plain single-token steps
                 token = jnp.full((self.batch,), emitted[-1], jnp.int32)
