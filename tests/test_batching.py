@@ -570,3 +570,31 @@ def test_draft_model_vocab_mismatch_rejected():
                  max_seq=CFG["seq_len"])
     with _pytest.raises(ValueError):
         target.generate([5], n_new=4, speculative_k=2, draft=bad)
+
+
+def test_batch_engine_draft_model_speculation():
+    """Batched two-model speculation: streams identical to plain greedy
+    for every slot, with same-weights and different-weights drafts,
+    across staggered admissions."""
+    from tests.test_llama import CFG, make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+    cfg = LlamaConfig(**CFG)
+    params = to_params(make_weights(0))
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    se = Engine(params, adapter, max_seq=CFG["seq_len"])
+    prompts = [[5, 11], [3], [9, 2, 40]]
+    base = [single_stream_tokens(se, p, 8) for p in prompts]
+
+    for draft_seed in (0, 3):
+        dparams = to_params(make_weights(draft_seed))
+        be = BatchEngine(params, adapter, batch=2, max_seq=CFG["seq_len"],
+                         speculative_k=3, draft=(dparams, adapter))
+        reqs = [be.submit(Request(prompt=p, max_new=8)) for p in prompts]
+        be.run()
+        for req, expect in zip(reqs, base):
+            assert req.tokens == expect, (draft_seed, req.tokens, expect)
+        if draft_seed == 0:
+            # perfect draft: every verify emits >1 token on average
+            assert be.stats["spec_tokens"] > be.stats["spec_forwards"]

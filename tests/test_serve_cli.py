@@ -55,3 +55,16 @@ def test_serve_mamba_packed(tmp_path, capsys):
     rows = _run(["-m", mpath, "-s", tok, "-p", "abc", "-n", "4",
                  "--batch", "2"], capsys)
     assert rows and rows[0]["n_tokens"] == 4
+
+
+def test_serve_with_draft_model(tmp_path, capsys):
+    """llm-serve --draft: two-model speculation through the offline
+    serving front end produces the plain greedy completions."""
+    path = str(tmp_path / "m.gguf")
+    build(path)
+    args = ["-m", path, "-p", "abc", "-p", "ab", "-n", "10",
+            "--batch", "2", "--max-seq", "64"]
+    plain = _run(args, capsys)
+    drafted = _run(args + ["--spec", "3", "--draft", path], capsys)
+    assert [r["completion"] for r in plain] \
+        == [r["completion"] for r in drafted]

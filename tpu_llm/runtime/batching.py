@@ -208,6 +208,7 @@ class BatchEngine:
         max_seq: int = 1024,
         eos_id: int = 2,
         speculative_k: int = 0,
+        draft=None,
     ):
         self.params = params
         self.adapter = adapter
@@ -223,6 +224,26 @@ class BatchEngine:
         # pipelined step's hidden round-trip for multi-token emission.
         self.spec_k = (speculative_k
                        if getattr(adapter, "positional_state", True) else 0)
+        # two-model speculation: ``draft`` = (params, adapter) of a
+        # smaller same-vocabulary model. The draft keeps its OWN dense
+        # batch state mirroring the slots (positions advance in lockstep
+        # with slot.pos); each spec iteration greedy-decodes K tokens for
+        # every slot in one batched on-device scan, replacing prompt
+        # lookup. Works under the paged target too — the draft cache is
+        # dense and independent of the target's paging.
+        self._draft = None
+        if draft is not None and self.spec_k:
+            dparams, dadapter = draft
+            if dadapter.vocab_size != adapter.vocab_size:
+                raise ValueError(
+                    "draft model must share the target vocabulary")
+            self._draft = (dparams, dadapter)
+            self._draft_state = dadapter.init_state(batch, max_seq)
+            self._draft_scan = jax.jit(self._draft_scan_impl,
+                                       donate_argnums=(2,),
+                                       static_argnums=(4,))
+            self._draft_prefill = jax.jit(self._draft_prefill_impl,
+                                          donate_argnums=(2,))
         self.bos_id = adapter.bos_id
         self._vocab = adapter.vocab_size
         self.slots = [_Slot() for _ in range(batch)]
@@ -283,6 +304,37 @@ class BatchEngine:
         return (chain, _token_logprob(logits, chain),
                 sampled0, _token_logprob(logits[:, 0], sampled0), state,
                 tops)
+
+    def _draft_scan_impl(self, params, tokens, state, offsets, k):
+        """Greedy-decode ``k`` tokens for every slot at its own offset —
+        the batched draft side of two-model speculation."""
+        adapter = self._draft[1]
+
+        def body(carry, _):
+            tokens, state, offsets = carry
+            hidden, state = adapter.apply(
+                params, tokens=tokens[:, None], state=state, offset=offsets)
+            logits = adapter.lm_head(params, hidden=hidden)[:, 0, :]
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (tok, state, offsets + 1), tok
+
+        (_, state, _), toks = jax.lax.scan(
+            body, (tokens, state, offsets), None, length=k)
+        return toks, state                   # (k, B)
+
+    def _draft_prefill_impl(self, params, tokens, state, slot, last_idx):
+        """Prefill the prompt into the DRAFT state's rows for ``slot``
+        (mirrors _prefill_impl without the sampling tail)."""
+        adapter = self._draft[1]
+        ax = adapter.state_batch_axis
+        fresh = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(
+                jax.lax.slice_in_dim(a, 0, 1, axis=ax)), state)
+        _, sub = adapter.apply(params, tokens=tokens, state=fresh,
+                               offset=jnp.int32(0), length=last_idx + 1)
+        return jax.tree_util.tree_map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(
+                a, b.astype(a.dtype), slot, axis=ax), state, sub)
 
     def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp,
                       topk=None, topp=None, crow=None, fp=None, pp=None,
@@ -365,6 +417,11 @@ class BatchEngine:
                 )
                 # one host fetch per REQUEST (not per token): the prefill
                 # token is the request's first generated token
+                if self._draft is not None:
+                    self._draft_state = self._draft_prefill(
+                        self._draft[0], jnp.asarray(toks),
+                        self._draft_state, jnp.int32(idx),
+                        jnp.int32(n_in - 1))
                 tok, lp, tops = jax.device_get((sampled, lp_d, tops_d))
                 tok = int(tok)
                 slot.pos = n_in
@@ -515,13 +572,32 @@ class BatchEngine:
         keys = []
         drafts_by_slot = {}
         bos = [self.bos_id] if self.bos_id >= 0 else []
+        model_drafts = None
+        if self._draft is not None:
+            # one batched draft scan for every slot at its own offset
+            feed = np.zeros((self.batch,), np.int32)
+            offs = np.zeros((self.batch,), np.int32)
+            for i, slot in enumerate(self.slots):
+                if not slot.free:
+                    ctx0 = bos + slot.req.prompt + slot.req.tokens
+                    feed[i] = ctx0[-1]
+                    offs[i] = slot.pos
+            d_dev, self._draft_state = self._draft_scan(
+                self._draft[0], jnp.asarray(feed), self._draft_state,
+                jnp.asarray(offs), k)
+            model_drafts = np.asarray(jax.device_get(d_dev))   # (k, B)
         for i, slot in enumerate(self.slots):
             if slot.free:
                 keys.append(jax.random.PRNGKey(0))
                 continue
             req = slot.req
             ctx = bos + req.prompt + req.tokens
-            drafts = _lookup_draft(ctx, k) if req.temperature == 0 else []
+            if req.temperature != 0:
+                drafts = []
+            elif model_drafts is not None:
+                drafts = [int(t) for t in model_drafts[:, i]]
+            else:
+                drafts = _lookup_draft(ctx, k)
             drafts_by_slot[i] = drafts
             toks[i, 0] = ctx[-1]
             toks[i, 1 : 1 + len(drafts)] = np.asarray(drafts, np.int32)

@@ -88,6 +88,7 @@ class PagedEngine(BatchEngine):
         prefix_caching: bool = True,
         prefill_chunk: Optional[int] = 512,
         speculative_k: int = 0,
+        draft=None,
     ):
         from tpu_llm.models import llama as M
 
@@ -161,6 +162,21 @@ class PagedEngine(BatchEngine):
         self._next_rid = 0
         self.prefill_chunk = prefill_chunk
         self.spec_k = speculative_k
+        # two-model speculation: dense draft cache independent of the
+        # target's paging (see BatchEngine)
+        self._draft = None
+        if draft is not None and self.spec_k:
+            dparams, dadapter = draft
+            if dadapter.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    "draft model must share the target vocabulary")
+            self._draft = (dparams, dadapter)
+            self._draft_state = dadapter.init_state(batch, self.max_seq)
+            self._draft_scan = jax.jit(self._draft_scan_impl,
+                                       donate_argnums=(2,),
+                                       static_argnums=(4,))
+            self._draft_prefill = jax.jit(self._draft_prefill_impl,
+                                          donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
         self._verify = jax.jit(self._verify_impl, donate_argnums=(2,))
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
@@ -382,6 +398,13 @@ class PagedEngine(BatchEngine):
                 jnp.float32(req.temperature), *_req_filters(req),
                 *_prefill_extras(req, self._vocab, input_ids),
             )
+            if self._draft is not None:
+                dpad = min(_next_bucket(n_in), self.max_seq)
+                dtoks = np.zeros((1, dpad), np.int32)
+                dtoks[0, :n_in] = np.asarray(input_ids, np.int32)
+                self._draft_state = self._draft_prefill(
+                    self._draft[0], jnp.asarray(dtoks), self._draft_state,
+                    jnp.int32(idx), jnp.int32(n_in - 1))
             if self.prefix is not None:
                 self.prefix.insert(input_ids, bs, blocks, digests=digs)
             tok, lp, tops = jax.device_get((sampled, lp_d, tops_d))

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "— the int8 decode kernel needs 32-row tiles)")
     p.add_argument("--n-blocks", type=int, default=None,
                    help="paged pool size (default: batch x max_seq worth)")
+    p.add_argument("--draft", default=None, metavar="GGUF",
+                   help="small same-vocabulary draft model for two-model "
+                        "speculation (needs --spec K; llama family)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative drafts per step (greedy slots)")
     p.add_argument("--stop-at-eos", action="store_true")
@@ -112,6 +115,17 @@ def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
     # llama2 ids would make --stop-at-eos inert for other vocabs
     bos_id = getattr(tokenizer, "bos_id", 1)
     eos_id = getattr(tokenizer, "eos_id", 2)
+    draft = None
+    if getattr(args, "draft", None):
+        if is_mamba:
+            raise SystemExit("--draft requires a llama-family target")
+        from tpu_llm.models.llama import load_gguf as _ld
+        from tpu_llm.models.llama import unstack_layers as _us
+
+        dparams, dcfg = _ld(args.draft, dtype_policy=args.dtype, fuse=True)
+        draft = (_us(dparams),
+                 ModelAdapter.llama(dcfg, cache_dtype=jnp.bfloat16,
+                                    bos_id=bos_id, stacked=False))
     if args.paged:
         if is_mamba:
             raise SystemExit(
@@ -125,13 +139,14 @@ def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
             params, cfg, batch=args.batch, n_blocks=n_blocks,
             block_size=bs, max_seq=max_seq, cache_dtype=cache_dtype,
             speculative_k=args.spec, bos_id=bos_id, eos_id=eos_id,
+            draft=draft,
         )
     adapter = (ModelAdapter.mamba(cfg) if is_mamba else
                ModelAdapter.llama(cfg, cache_dtype=cache_dtype,
                                   bos_id=bos_id))
     return BatchEngine(params, adapter, batch=args.batch,
                        max_seq=max_seq, speculative_k=args.spec,
-                       eos_id=eos_id)
+                       eos_id=eos_id, draft=draft)
 
 
 def main(argv=None) -> int:
