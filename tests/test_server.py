@@ -605,3 +605,60 @@ def test_chat_top_logprobs_requires_logprobs(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_embeddings_endpoint(server):
+    """OpenAI /v1/embeddings: unit-norm vectors, list + single input,
+    identical texts -> identical embeddings, different -> different."""
+    import math
+
+    port, engine, tokenizer = server
+    from tpu_llm.runtime.engine import ModelAdapter
+    from tpu_llm.runtime.server import Embedder, make_handler  # noqa: F401
+
+    # the module-scope fixture serves without an embedder; drive the
+    # Embedder directly plus a dedicated server instance with one
+    from tests.make_tiny_gguf import build as _b  # noqa: F401
+    emb = Embedder(engine.params, engine.adapter, max_len=64)
+    a = emb.embed(tokenizer.encode("abc"))
+    b = emb.embed(tokenizer.encode("abc"))
+    c = emb.embed(tokenizer.encode("ab"))
+    assert abs(sum(x * x for x in a) - 1.0) < 1e-4
+    assert (a == b).all() and not (a == c).all()
+
+
+def test_embeddings_http(tmp_path):
+    import threading
+
+    from tests.make_tiny_gguf import build
+    from tpu_llm.io.gguf import GGUFFile
+    from tpu_llm.models.llama import load_gguf
+    from tpu_llm.runtime.engine import ModelAdapter
+    from tpu_llm.runtime.serve_cli import make_engine
+    from tpu_llm.runtime.server import Embedder, serve
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+    from argparse import Namespace
+
+    path = str(tmp_path / "t.gguf")
+    build(path)
+    gguf = GGUFFile(path)
+    params, cfg = load_gguf(gguf)
+    tokenizer = BPETokenizer.from_gguf(gguf)
+    args = Namespace(paged=False, cache_dtype="f32", batch=2, spec=0,
+                     block_size=None, n_blocks=None, draft=None)
+    engine = make_engine(args, params, cfg, tokenizer, max_seq=64)
+    embedder = Embedder(engine.params, engine.adapter, max_len=64)
+    httpd, loop = serve(engine, tokenizer, "127.0.0.1", 0,
+                        max_new_cap=16, embedder=embedder)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        st, r = _post(port, "/v1/embeddings",
+                      {"input": ["abc", "ab"]})
+        assert st == 200 and len(r["data"]) == 2
+        v = r["data"][0]["embedding"]
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+        assert r["usage"]["prompt_tokens"] > 0
+    finally:
+        httpd.shutdown()
+        loop.shutdown()

@@ -125,6 +125,46 @@ def render_chat(messages, template: str = "zephyr") -> str:
     raise ValueError(f"unknown chat template {template!r}")
 
 
+class Embedder:
+    """/v1/embeddings backend: mean-pooled, L2-normalized final hidden
+    states from one prefill forward (no lm_head). Bucketed lengths bound
+    the compile count; stateless — safe to dispatch from handler threads
+    (it never touches the engine's donated state)."""
+
+    def __init__(self, params, adapter, max_len: int = 512):
+        import jax
+
+        self.params = params
+        self.adapter = adapter
+        self.max_len = max_len
+        self._fn = jax.jit(self._impl)
+
+    def _impl(self, params, toks, length):
+        import jax.numpy as jnp
+
+        state = self.adapter.init_state(1, toks.shape[1])
+        hidden, _ = self.adapter.apply(
+            params, tokens=toks, state=state, offset=jnp.int32(0),
+            length=length)
+        mask = (jnp.arange(toks.shape[1]) < length)[None, :, None]
+        pooled = jnp.sum(hidden.astype(jnp.float32) * mask, axis=1) / length
+        return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    def embed(self, ids):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpu_llm.runtime.engine import _next_bucket
+
+        ids = ids[: self.max_len]
+        pad = min(_next_bucket(len(ids)), self.max_len)
+        toks = np.zeros((1, pad), np.int32)
+        toks[0, : len(ids)] = np.asarray(ids, np.int32)
+        out = self._fn(self.params, jnp.asarray(toks),
+                       jnp.int32(len(ids)))
+        return np.asarray(out)[0]
+
+
 def _decode_toks(tokenizer, toks) -> str:
     out = tokenizer.decode(toks)
     if isinstance(out, bytes):
@@ -283,7 +323,8 @@ class ServingLoop(threading.Thread):
 def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                  request_timeout_s: float = 600.0,
                  model_name: str = "tpu-llm",
-                 chat_template: str = "zephyr"):
+                 chat_template: str = "zephyr",
+                 embedder: Optional["Embedder"] = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
         # server identity stays generic; clients key on the JSON body
@@ -302,6 +343,37 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
             self.end_headers()
             self.wfile.write(body)
 
+        def _embeddings(self):
+            if embedder is None:
+                self._json(501, {"error": "embeddings not enabled"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                inputs = body["input"]
+                if isinstance(inputs, str):
+                    inputs = [inputs]
+                if not inputs or not all(
+                        isinstance(s, str) and s for s in inputs):
+                    raise ValueError("input must be a non-empty string "
+                                     "or list of strings")
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            data = []
+            n_tok = 0
+            for i, text in enumerate(inputs[:64]):
+                ids = tokenizer.encode(text)
+                n_tok += len(ids)
+                vec = embedder.embed(ids)
+                data.append({"object": "embedding", "index": i,
+                             "embedding": [round(float(x), 7)
+                                           for x in vec]})
+            self._json(200, {
+                "object": "list", "data": data, "model": model_name,
+                "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok}})
+
         def do_GET(self):
             if self.path == "/health":
                 snap = loop.snapshot()
@@ -317,6 +389,9 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            if self.path == "/v1/embeddings":
+                self._embeddings()
+                return
             chat = self.path == "/v1/chat/completions"
             if not chat and self.path not in ("/v1/completions",
                                               "/completions"):
@@ -721,14 +796,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def serve(engine, tokenizer, host: str, port: int, *, max_queue: int = 256,
           max_new_cap: int = 4096, timeout_s: float = 600.0,
-          model_name: str = "tpu-llm", chat_template: str = "zephyr"):
+          model_name: str = "tpu-llm", chat_template: str = "zephyr",
+          embedder: Optional[Embedder] = None):
     """Start the loop thread + HTTP server. Returns (server, loop);
     caller runs server.serve_forever() (or uses it from tests)."""
     loop = ServingLoop(engine, max_queue=max_queue)
     loop.start()
     handler = make_handler(loop, tokenizer, max_new_cap, timeout_s,
                            model_name=model_name,
-                           chat_template=chat_template)
+                           chat_template=chat_template, embedder=embedder)
     httpd = ThreadingHTTPServer((host, port), handler)
     httpd.daemon_threads = True
     return httpd, loop
@@ -749,15 +825,25 @@ def main(argv=None) -> int:
     max_seq = args.max_seq or min(ctx_cap, 1024)
     if args.paged and max_seq > 256 and max_seq % 256:
         max_seq = min(-(-max_seq // 256) * 256, ctx_cap)
+    is_mamba = args.model.endswith(".bin")
     engine = make_engine(args, params, cfg, tokenizer, max_seq,
-                         is_mamba=args.model.endswith(".bin"))
+                         is_mamba=is_mamba)
+    from tpu_llm.runtime.engine import ModelAdapter
+
+    emb_adapter = (ModelAdapter.mamba(cfg) if is_mamba
+                   else ModelAdapter.llama(
+                       cfg, stacked=not isinstance(
+                           engine.params.get("layers"), (list, tuple))))
+    embedder = Embedder(engine.params, emb_adapter,
+                        max_len=min(max_seq, 512))
     # cap per-request budgets to what the context can actually hold
     max_new_cap = max(1, max_seq - 2)
     model_name = args.served_model_name or os.path.basename(args.model)
     httpd, loop = serve(engine, tokenizer, args.host, args.port,
                         max_queue=args.max_queue, max_new_cap=max_new_cap,
                         timeout_s=args.timeout, model_name=model_name,
-                        chat_template=args.chat_template)
+                        chat_template=args.chat_template,
+                        embedder=embedder)
     print(f"llm-server listening on http://{args.host}:{args.port} "
           f"(engine={type(engine).__name__}, slots={args.batch}, "
           f"max_seq={max_seq})", file=sys.stderr, flush=True)
