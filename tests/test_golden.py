@@ -82,3 +82,29 @@ def test_q8_roundtrip_ppl_close_to_f32(mid_gguf):
     delta = q8["ppl"] - f32["ppl"]
     assert -0.02 * f32["ppl"] < delta < 0.15 * f32["ppl"], rows
     assert q8["logit_max_abs_delta"] < 2.0, rows
+
+
+def test_kquant_roundtrip_ppl(tmp_path):
+    """Writer round-trip at q4_K/q6_K on a K-quant-eligible model (all
+    matmul K dims % 256), scored on a model-sampled stream: the folded
+    device path must hold quality order f32 <= q6_k <= q4_k with bounded
+    deltas — a model-level check of the whole K-quant chain (writer,
+    loader fold, fused affine kernel)."""
+    from tests.make_tiny_gguf import build_kq
+    from tpu_llm.runtime.perplexity import dtype_table, model_sampled_stream
+
+    path = str(tmp_path / "kq.gguf")
+    build_kq(path)
+    params, cfg = load_gguf(path, dtype_policy="f32")
+    ids = model_sampled_stream(params, cfg, n=192, seed=0)
+    rows = dtype_table(path, ids, window=96,
+                       formats=("f32", "q6_k", "q4_k"))
+    f32, q6, q4 = rows
+    assert f32["ppl"] < 5000
+    for r in (q6, q4):
+        # the stream is only ~190 tokens: E[delta] >= 0 but sampling
+        # noise swings +/-10%; assert non-catastrophic, not sign
+        delta = r["ppl"] - f32["ppl"]
+        assert -0.2 * f32["ppl"] < delta < 0.6 * f32["ppl"], rows
+    # 6-bit deviates less than 4-bit from the f32 logits
+    assert q6["logit_max_abs_delta"] < q4["logit_max_abs_delta"], rows
