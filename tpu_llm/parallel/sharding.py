@@ -31,13 +31,16 @@ from tpu_llm.config import LlamaConfig
 from tpu_llm.quant.qtensor import QTensor
 
 
-def llama_param_specs(cfg: LlamaConfig, pipe: bool = False) -> Dict[str, Any]:
+def llama_param_specs(cfg: LlamaConfig, pipe: bool = False,
+                      params=None) -> Dict[str, Any]:
     """PartitionSpec pytree matching tpu_llm.models.llama params.
 
     Layer weights have a leading stacked-L axis; with ``pipe=True`` that
     axis is sharded over the "pipe" mesh axis (pipeline stages own
     contiguous layer ranges — SURVEY.md §2.3 PP row), otherwise it is
-    unsharded."""
+    unsharded. Pass ``params`` to prune the spec tree to the keys the
+    model actually has (qwen2 carries bq/bk/bv but none of phi-2's
+    other bias tensors; tree_map needs identical structures)."""
     lax_ = "pipe" if pipe else None
     col = P(lax_, None, "model")   # (L, in, out): shard outputs
     row = P(lax_, "model", None)   # (L, in, out): shard inputs
@@ -67,6 +70,18 @@ def llama_param_specs(cfg: LlamaConfig, pipe: bool = False) -> Dict[str, Any]:
         specs["bcls"] = P("model")
     if cfg.parallel_block:
         specs["layers"].pop("ffn_norm", None)
+    if params is not None:
+        layer_keys = (set(params["layers"][0].keys())
+                      if isinstance(params["layers"], (list, tuple))
+                      else set(params["layers"].keys()))
+        specs["layers"] = {k: v for k, v in specs["layers"].items()
+                           if k in layer_keys}
+        missing = layer_keys - set(specs["layers"])
+        if missing:
+            raise NotImplementedError(
+                f"no TP sharding spec for layer params {sorted(missing)}")
+        specs = {k: v for k, v in specs.items()
+                 if k == "layers" or k in params}
     return specs
 
 

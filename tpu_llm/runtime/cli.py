@@ -201,7 +201,8 @@ def main(argv=None) -> int:
         )
 
         mesh = make_mesh(args.dp, args.tp)
-        params = shard_pytree(params, llama_param_specs(cfg), mesh)
+        params = shard_pytree(params, llama_param_specs(cfg, params=params),
+                              mesh)
         if args.verbose:
             print(f"mesh: dp={args.dp} tp={args.tp}", file=sys.stderr)
 
