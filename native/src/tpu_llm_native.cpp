@@ -20,6 +20,11 @@
 
 extern "C" {
 
+// ABI version; bumped on any signature change. The ctypes binding refuses
+// to load a library whose version doesn't match (the .so is built locally,
+// not committed, so a stale build must fail closed, not crash).
+int64_t tpu_llm_abi_version() { return 2; }
+
 // ---- f16 -> f32 (the reference's half_to_float, load.f90:128-133) ------
 
 static inline float half_bits_to_float(uint16_t h) {
@@ -142,25 +147,36 @@ struct MergeCand {
   }
 };
 
-// vocab passed as concatenated bytes + offsets; returns token count
+// vocab passed as concatenated bytes + offsets. Byte-fallback tokens are
+// flagged in is_byte (from GGUF token_type==BYTE, or the <0xNN> surface
+// form) and arrive with their RAW BYTE as content; they are excluded from
+// the merge index (a regular single-char piece is preferred, like
+// SentencePiece) and reachable only via byte_fb. Returns token count.
 int64_t bpe_encode(const uint8_t* text, int64_t text_len,
                    const uint8_t* vocab_bytes, const int64_t* vocab_offsets,
-                   const float* scores, int64_t vocab_size,
-                   int32_t* out_tokens, int64_t max_out) {
+                   const float* scores, const uint8_t* is_byte,
+                   int64_t vocab_size, int32_t* out_tokens, int64_t max_out) {
   std::unordered_map<std::string, int32_t> index;
   index.reserve((size_t)vocab_size * 2);
+  int32_t byte_fb[256];
+  for (int b = 0; b < 256; ++b) byte_fb[b] = -1;
   for (int64_t i = 0; i < vocab_size; ++i) {
     std::string tok((const char*)vocab_bytes + vocab_offsets[i],
                     (size_t)(vocab_offsets[i + 1] - vocab_offsets[i]));
+    if (is_byte && is_byte[i]) {
+      if (tok.size() == 1 && byte_fb[(uint8_t)tok[0]] < 0)
+        byte_fb[(uint8_t)tok[0]] = (int32_t)i;
+      continue;
+    }
     index.emplace(std::move(tok), (int32_t)i);  // first occurrence wins
   }
-  // byte-fallback ids
-  int32_t byte_fb[256];
-  for (int b = 0; b < 256; ++b) {
-    char buf[8];
-    std::snprintf(buf, sizeof buf, "<0x%02X>", b);
-    auto it = index.find(buf);
-    byte_fb[b] = it == index.end() ? -1 : it->second;
+  if (!is_byte) {  // legacy caller: detect <0xNN> literals in the index
+    for (int b = 0; b < 256; ++b) {
+      char buf[8];
+      std::snprintf(buf, sizeof buf, "<0x%02X>", b);
+      auto it = index.find(buf);
+      byte_fb[b] = it == index.end() ? -1 : it->second;
+    }
   }
 
   // doubly-linked list of token nodes

@@ -173,3 +173,144 @@ def test_gpt2_byte_level_non_ascii(tmp_path):
     assert tok.encode("é") == [3]        # merge Ã+© applies
     assert tok.decode([3, 5]) == "éa".encode("utf-8")
     assert tok.encode("\t") == [4]
+
+
+# ---- SentencePiece byte-fallback fidelity ------------------------------
+# Modeled on the real TinyLlama/Llama-2 SPM vocab: <unk>/<s>/</s> at 0-2,
+# byte tokens <0x00>..<0xFF> at 3-258 (token_type 6 = BYTE), then
+# ▁-prefixed and plain pieces with negative SPM scores. The reference's
+# byte-exactness concern is read_ggml.f90:483-503.
+
+def spm_vocab():
+    tokens = [b"<unk>", b"<s>", b"</s>"]
+    types = [2, 3, 3]
+    for b in range(256):
+        tokens.append(b"<0x%02X>" % b)
+        types.append(6)
+    pieces = [(" ", -1.0), ("a", -2.0), ("b", -3.0), ("ab", -4.0),
+              ("é", -5.0), ("café", -6.0), (" caf", -7.0), (" é", -8.0)]
+    for p, s in pieces:
+        tokens.append(p.encode("utf-8"))
+        types.append(1)
+    scores = np.zeros(len(tokens), np.float32)
+    for i, (_, s) in enumerate(pieces):
+        scores[259 + i] = s
+    return tokens, scores, types
+
+
+def spm_tok(**kw):
+    tokens, scores, types = spm_vocab()
+    return BPETokenizer(tokens, scores, bos_id=1, eos_id=2,
+                        token_types=types, **kw)
+
+
+def test_byte_fallback_merges_to_piece():
+    """'é' is absent as raw initial char (utf-8 0xC3 0xA9 -> two byte
+    tokens) but present as a piece: the merge across byte tokens must fire
+    in BOTH the python fallback and the native encoder."""
+    import tpu_llm.native as native
+
+    tok = spm_tok()
+    e_id = tok.tokens.index("é".encode("utf-8"))
+    assert tok.encode("é") == [e_id]
+    if native.available():
+        ids = native.bpe_encode("é".encode(), tok.tokens, tok.scores,
+                                is_byte=tok.is_byte)
+        assert ids == [e_id]
+    ids = tok.encode(" café")
+    assert tok.decode(ids) == " café".encode("utf-8")
+
+
+def test_byte_fallback_decode_emits_raw_bytes():
+    """decode() of byte tokens must emit the byte, not '<0xNN>' text."""
+    tok = spm_tok()
+    # € = 0xE2 0x82 0xAC: not in vocab, no merge target -> three byte toks
+    ids = tok.encode("€")
+    assert ids == [3 + 0xE2, 3 + 0x82, 3 + 0xAC]
+    assert tok.decode(ids) == "€".encode("utf-8")
+    # emoji round-trip (4 bytes)
+    ids = tok.encode("🙂")
+    assert tok.decode(ids) == "🙂".encode("utf-8")
+    # control byte round-trip
+    ids = tok.encode("a\x07b")
+    assert tok.decode(ids) == b"a\x07b"
+
+
+def test_python_native_encoder_parity_non_ascii():
+    import tpu_llm.native as native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    tok = spm_tok()
+    cases = ["café", " café au lait", "é€🙂", "a\tb\x00c", "ab ab",
+             "naïve — ‘quotes’", "日本語テスト", ""]
+    for text in cases:
+        native_ids = native.bpe_encode(text.encode(), tok.tokens, tok.scores,
+                                       is_byte=tok.is_byte)
+        py = _python_encode(tok, text)
+        assert native_ids == py, f"diverged on {text!r}"
+        assert tok.decode(py) == text.encode("utf-8")
+
+
+def _python_encode(tok, text):
+    """The python fallback merge loop, bypassing the native path."""
+    data = text.encode("utf-8")
+    ids = []
+    for b in data:
+        tid = tok.index.get(bytes([b]))
+        if tid is None:
+            tid = tok.byte_fallback.get(b)
+        if tid is None:
+            continue
+        ids.append(tid)
+    while len(ids) > 1:
+        best_score, best_pos, best_id = -1e10, -1, -1
+        for i in range(len(ids) - 1):
+            merged = tok.tokens[ids[i]] + tok.tokens[ids[i + 1]]
+            tid = tok.index.get(merged)
+            if tid is not None and tok.scores[tid] > best_score:
+                best_score, best_pos, best_id = float(tok.scores[tid]), i, tid
+        if best_pos < 0:
+            break
+        ids[best_pos:best_pos + 2] = [best_id]
+    return ids
+
+
+def test_regular_piece_preferred_over_byte_token():
+    """SentencePiece picks the ordinary piece 'a', not <0x61>, even though
+    the byte token has the lower id (first-occurrence order)."""
+    tok = spm_tok()
+    a_id = tok.tokens.index(b"a", 259)  # the piece, not the byte token
+    assert tok.encode("a") == [a_id]
+
+
+def test_token_type_honored_over_surface_form():
+    """A literal token spelled '<0x41>' with token_type NORMAL stays
+    literal text; with type BYTE it becomes byte 0x41."""
+    tokens = [b"<0x41>", b"B"]
+    tok = BPETokenizer(tokens, np.zeros(2, np.float32), token_types=[1, 1])
+    assert tok.token_bytes(0) == b"<0x41>"
+    assert not tok.byte_fallback
+    tok2 = BPETokenizer(tokens, np.zeros(2, np.float32), token_types=[6, 1])
+    assert tok2.token_bytes(0) == b"A"
+    assert tok2.byte_fallback == {0x41: 0}
+
+
+def test_from_gguf_token_type_array(tmp_path):
+    """GGUF token_type flows through; byte tokens decode as raw bytes."""
+    from tpu_llm.io import gguf as gg
+
+    tokens, scores, types = spm_vocab()
+    path = str(tmp_path / "spm.gguf")
+    gg.write_gguf(path, {
+        "tokenizer.ggml.tokens": [t.decode("utf-8", "replace") for t in tokens],
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }, {"dummy": np.zeros((4,), np.float32)})
+    tok = BPETokenizer.from_gguf(gg.GGUFFile(path))
+    assert tok.token_bytes(3 + 0xC3) == b"\xc3"
+    ids = tok.encode("é€")
+    assert tok.decode(ids) == "é€".encode("utf-8")

@@ -33,6 +33,12 @@ def load_library() -> Optional[ctypes.CDLL]:
     if not os.path.exists(path) or os.environ.get("TPU_LLM_DISABLE_NATIVE"):
         return None
     lib = ctypes.CDLL(path)
+    try:
+        lib.tpu_llm_abi_version.restype = ctypes.c_int64
+        if lib.tpu_llm_abi_version() != 2:
+            return None  # stale build: fail closed, fallbacks take over
+    except AttributeError:
+        return None  # pre-versioning build
     i64, f32p, u8p, u16p, i8p, i32p, i64p = (
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
@@ -47,7 +53,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.repack_q4_1.argtypes = [u8p, i64, i64, u8p, f32p, f32p]
     lib.repack_q8_0.argtypes = [u8p, i64, i64, i8p, f32p]
     lib.transpose_f32.argtypes = [f32p, f32p, i64, i64]
-    lib.bpe_encode.argtypes = [u8p, i64, u8p, i64p, f32p, i64, i32p, i64]
+    lib.bpe_encode.argtypes = [u8p, i64, u8p, i64p, f32p, u8p, i64, i32p, i64]
     lib.bpe_encode.restype = i64
     _LIB = lib
     return lib
@@ -112,8 +118,14 @@ def f16_to_f32(bits: np.ndarray) -> np.ndarray:
 
 
 def bpe_encode(
-    text: bytes, tokens: Sequence[bytes], scores: np.ndarray
+    text: bytes,
+    tokens: Sequence[bytes],
+    scores: np.ndarray,
+    is_byte: Optional[Sequence[bool]] = None,
 ) -> Optional[List[int]]:
+    """``tokens`` are token CONTENT bytes (byte-fallback pieces already
+    mapped to their raw byte); ``is_byte`` flags them so the encoder keeps
+    them out of the merge index (see BPETokenizer.__init__)."""
     lib = load_library()
     if lib is None:
         return None
@@ -123,11 +135,15 @@ def bpe_encode(
     vb = np.frombuffer(vocab_bytes, np.uint8) if vocab_bytes else np.zeros(1, np.uint8)
     txt = np.frombuffer(text, np.uint8) if text else np.zeros(1, np.uint8)
     scores = np.ascontiguousarray(scores, np.float32)
+    flags = np.asarray(
+        is_byte if is_byte is not None else np.zeros(len(tokens)), np.uint8
+    )
     out = np.empty(max(len(text), 1), np.int32)
     n = lib.bpe_encode(
         _ptr(txt, ctypes.c_uint8), len(text),
         _ptr(vb, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
-        _ptr(scores, ctypes.c_float), len(tokens),
+        _ptr(scores, ctypes.c_float),
+        _ptr(flags, ctypes.c_uint8), len(tokens),
         _ptr(out, ctypes.c_int32), out.size,
     )
     return out[:n].tolist()

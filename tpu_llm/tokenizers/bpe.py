@@ -22,11 +22,22 @@ the same engine via converted merge-rank scores (``ssm/convert_tokens.py``).
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 _SPM_SPACE = "▁".encode("utf-8")  # 0xE2 0x96 0x81
+
+# GGUF tokenizer.ggml.token_type values (ggml llama_token_type enum)
+TOKEN_TYPE_NORMAL = 1
+TOKEN_TYPE_UNKNOWN = 2
+TOKEN_TYPE_CONTROL = 3
+TOKEN_TYPE_USER_DEFINED = 4
+TOKEN_TYPE_UNUSED = 5
+TOKEN_TYPE_BYTE = 6
+
+_BYTE_TOKEN_RE = re.compile(rb"^<0x([0-9A-Fa-f]{2})>$")
 
 
 def _gpt2_byte_decoder() -> dict:
@@ -67,20 +78,47 @@ class BPETokenizer:
         scores: Sequence[float],
         bos_id: int = 1,
         eos_id: int = 2,
+        token_types: Optional[Sequence[int]] = None,
     ):
-        self.tokens: List[bytes] = [bytes(t) for t in tokens]
+        """``token_types`` is GGUF's ``tokenizer.ggml.token_type`` array when
+        present; type 6 (BYTE) marks SentencePiece byte-fallback pieces.
+        Without it, the SPM ``<0xNN>`` surface form is recognized instead.
+
+        Byte tokens are stored with their RAW BYTE as content, so (a) the
+        merge loop can merge across byte-fallback tokens exactly like over
+        ordinary pieces (0xC3 + 0xA9 -> the 'é' piece when present) and
+        (b) ``decode`` emits the byte, not the literal ``<0xNN>`` text.
+        The reference reads pieces verbatim and has no byte-fallback at all
+        (llama2.f90:651-655 yields -1 for unknown chars)."""
         self.scores = np.asarray(scores, dtype=np.float32)
         self.bos_id = bos_id
         self.eos_id = eos_id
-        # byte-content -> id; first occurrence wins (matches linear lookup)
+        self.tokens: List[bytes] = []
+        self.is_byte: List[bool] = []
+        for i, t in enumerate(tokens):
+            t = bytes(t)
+            if token_types is not None:
+                byte_tok = int(token_types[i]) == TOKEN_TYPE_BYTE
+                m = _BYTE_TOKEN_RE.match(t) if byte_tok else None
+            else:
+                m = _BYTE_TOKEN_RE.match(t)
+                byte_tok = m is not None
+            if byte_tok and m is not None:
+                t = bytes([int(m.group(1), 16)])
+            self.tokens.append(t)
+            self.is_byte.append(byte_tok)
+        # byte-content -> id over NON-byte tokens; first occurrence wins
+        # (matches the reference's linear lookup). Byte tokens are reachable
+        # only through byte_fallback, so a regular single-char piece is
+        # preferred over its <0xNN> twin like SentencePiece does.
         self.index: Dict[bytes, int] = {}
         for i, t in enumerate(self.tokens):
-            self.index.setdefault(t, i)
+            if not self.is_byte[i]:
+                self.index.setdefault(t, i)
         self.byte_fallback: Dict[int, int] = {}
-        for b in range(256):
-            tid = self.index.get(b"<0x%02X>" % b)
-            if tid is not None:
-                self.byte_fallback[b] = tid
+        for i, t in enumerate(self.tokens):
+            if self.is_byte[i] and len(t) == 1 and t[0] not in self.byte_fallback:
+                self.byte_fallback[t[0]] = i
 
     # -- constructors ----------------------------------------------------
 
@@ -97,6 +135,7 @@ class BPETokenizer:
         deliberate-deviation policy as the GQA indexing, SURVEY §2 #13)."""
         raw_tokens = gguf.metadata["tokenizer.ggml.tokens"]
         scores = gguf.metadata.get("tokenizer.ggml.scores")
+        token_types = gguf.metadata.get("tokenizer.ggml.token_type")
         model = gguf.metadata.get("tokenizer.ggml.model", "llama")
         merges = gguf.metadata.get("tokenizer.ggml.merges")
         gpt2 = model == "gpt2" and merges is not None
@@ -124,7 +163,10 @@ class BPETokenizer:
                     scores[tid] = top - rank
         bos = gguf.hparam("tokenizer.ggml.bos_token_id", default=1)
         eos = gguf.hparam("tokenizer.ggml.eos_token_id", default=2)
-        return cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos))
+        if token_types is not None:
+            token_types = [int(t) for t in token_types]
+        return cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos),
+                   token_types=token_types)
 
     @classmethod
     def from_tokenizer_bin(cls, path: str, **kw) -> "BPETokenizer":
@@ -200,7 +242,8 @@ class BPETokenizer:
             from tpu_llm import native
 
             if native.available():
-                ids = native.bpe_encode(data, self.tokens, self.scores)
+                ids = native.bpe_encode(data, self.tokens, self.scores,
+                                        is_byte=self.is_byte)
                 if ids is not None:
                     if add_bos:
                         ids.insert(0, self.bos_id)
