@@ -17,7 +17,7 @@ import numpy as np
 from tpu_llm.io import gguf as gg
 
 
-def build(path: str, quant: bool = False, seed: int = 0):
+def build(path: str, quant: bool = False, seed: int = 0, extra_meta=None):
     rng = np.random.default_rng(seed)
     dim, hidden, L, H, KVH, V = 64, 96, 2, 4, 2, 32
     kv = dim // H * KVH
@@ -59,6 +59,8 @@ def build(path: str, quant: bool = False, seed: int = 0):
         tensors[f"blk.{i}.ffn_gate.weight"] = wt(s(hidden, dim))
         tensors[f"blk.{i}.ffn_up.weight"] = wt(s(hidden, dim))
         tensors[f"blk.{i}.ffn_down.weight"] = wt(s(dim, hidden))
+    if extra_meta:
+        meta.update(extra_meta)
     gg.write_gguf(path, meta, tensors)
     print(f"wrote {path}")
 

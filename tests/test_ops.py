@@ -143,3 +143,102 @@ def test_rope_table_partial_dims():
     direct = apply_rope(x, positions, 10000.0, "neox", rope_dims=16)
     via = apply_rope_table(x, table, positions, "neox", rope_dims=16)
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(via))
+
+
+# ---- RoPE context-extension scaling ------------------------------------
+
+def test_rope_linear_scaling_closed_form():
+    """linear factor f == evaluating unscaled angles at positions/f."""
+    from tpu_llm.ops.rope import rope_angles
+
+    pos = jnp.asarray([0, 7, 100, 2047], jnp.int32)
+    cos_s, sin_s = rope_angles(pos, 64, 10000.0, "interleaved",
+                               scaling=("linear", 4.0, 2048))
+    cos_ref, sin_ref = rope_angles(pos.astype(jnp.float32) / 4.0, 64, 10000.0,
+                                   "interleaved")
+    np.testing.assert_allclose(np.asarray(cos_s), np.asarray(cos_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin_s), np.asarray(sin_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rope_yarn_matches_ggml_formula():
+    """YaRN per-dim frequencies and mscale vs a direct transcription of
+    ggml's rope_yarn (beta_fast 32, beta_slow 1, ext_factor 1)."""
+    import math
+
+    from tpu_llm.ops.rope import rope_angles
+
+    D, theta, factor, orig_ctx = 128, 10000.0, 8.0, 4096
+    pos = jnp.asarray([1], jnp.int32)
+    cos_s, sin_s = rope_angles(pos, D, theta, "neox",
+                               scaling=("yarn", factor, orig_ctx))
+    # independent scalar transcription
+    def corr_dim(n_rot):
+        return D * math.log(orig_ctx / (n_rot * 2 * math.pi)) / (2 * math.log(theta))
+    low, high = max(math.floor(corr_dim(32.0)), 0), min(math.ceil(corr_dim(1.0)), D - 1)
+    mscale = 1.0 + 0.1 * math.log(factor)
+    exp_cos = np.zeros(D // 2, np.float32)
+    exp_sin = np.zeros(D // 2, np.float32)
+    for j in range(D // 2):
+        f = theta ** (-2.0 * j / D)
+        ramp = 1.0 - min(1.0, max(0.0, (j - low) / max(0.001, high - low)))
+        f_scaled = (f / factor) * (1.0 - ramp) + f * ramp
+        exp_cos[j] = math.cos(f_scaled) * mscale
+        exp_sin[j] = math.sin(f_scaled) * mscale
+    np.testing.assert_allclose(np.asarray(cos_s)[0], exp_cos, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin_s)[0], exp_sin, rtol=1e-5, atol=1e-6)
+    # high-frequency dims (j << low) must be pure extrapolation: identical
+    # to the unscaled angles
+    cos_u, sin_u = rope_angles(pos, D, theta, "neox")
+    np.testing.assert_allclose(np.asarray(cos_s)[0][0] / mscale,
+                               np.asarray(cos_u)[0][0], rtol=1e-6)
+
+
+def test_rope_scaling_metadata_from_gguf(tmp_path):
+    """rope.scaling.* keys land in the config (modern + legacy spellings)."""
+    from make_tiny_gguf import build
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.models.llama import config_from_gguf
+
+    path = str(tmp_path / "scaled.gguf")
+    build(path, extra_meta={"llama.rope.scaling.type": "linear",
+                            "llama.rope.scaling.factor": 4.0})
+    cfg = config_from_gguf(gg.GGUFFile(path))
+    assert cfg.rope_scaling == ("linear", 4.0, cfg.seq_len)
+
+    path2 = str(tmp_path / "legacy.gguf")
+    build(path2, extra_meta={"llama.rope.scale_linear": 2.0})
+    cfg2 = config_from_gguf(gg.GGUFFile(path2))
+    assert cfg2.rope_scaling == ("linear", 2.0, cfg2.seq_len)
+
+    path3 = str(tmp_path / "yarn.gguf")
+    build(path3, extra_meta={
+        "llama.rope.scaling.type": "yarn",
+        "llama.rope.scaling.factor": 8.0,
+        "llama.rope.scaling.original_context_length": 4096})
+    cfg3 = config_from_gguf(gg.GGUFFile(path3))
+    assert cfg3.rope_scaling == ("yarn", 8.0, 4096)
+    # the scaling must actually reach the rotation inside forward(): spy on
+    # rope_angles and run a decode step (the tiny random model's logits are
+    # too attention-flat for an end-to-end numeric assertion)
+    from tpu_llm.models import llama as L
+
+    params, cfg_s = L.load_gguf(path)
+    seen = []
+    orig = L.rope_angles
+
+    def spy(*a, **kw):
+        seen.append(kw.get("scaling", a[5] if len(a) > 5 else None))
+        return orig(*a, **kw)
+
+    L.rope_angles = spy
+    try:
+        cache = L.init_cache(cfg_s, 1, 16)
+        logits, _ = L.decode_step(params, cfg_s, jnp.asarray([4], jnp.int32),
+                                  cache, jnp.asarray(1, jnp.int32))
+    finally:
+        L.rope_angles = orig
+    assert ("linear", 4.0, cfg_s.seq_len) in seen
+    assert np.isfinite(np.asarray(logits)).all()

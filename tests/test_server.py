@@ -470,8 +470,48 @@ def test_llama2_chat_template():
             {"role": "assistant", "content": "hello"},
             {"role": "user", "content": "bye"}]
     out = render_chat(msgs, "llama2")
+    # llama.cpp multi-turn rendering: each completed assistant turn is
+    # closed with </s> and the next user turn opens with <s> (the first
+    # BOS comes from the engine)
     assert out == ("[INST] <<SYS>>\nBe terse.\n<</SYS>>\n\nhi [/INST]"
-                   " hello [INST] bye [/INST]")
+                   " hello </s><s>[INST] bye [/INST]")
+
+
+def test_llama2_three_turn_render_matches_llamacpp():
+    from tpu_llm.runtime.server import render_chat
+
+    msgs = [{"role": "user", "content": "u1"},
+            {"role": "assistant", "content": "a1"},
+            {"role": "user", "content": "u2"},
+            {"role": "assistant", "content": "a2"},
+            {"role": "user", "content": "u3"}]
+    out = render_chat(msgs, "llama2")
+    assert out == ("[INST] u1 [/INST] a1 </s><s>"
+                   "[INST] u2 [/INST] a2 </s><s>"
+                   "[INST] u3 [/INST]")
+
+
+def test_encode_parse_special():
+    """parse_special maps chat markers to their ids; off by default so
+    user text cannot inject control tokens."""
+    import numpy as np
+
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    tokens = [b"<unk>", b"<s>", b"</s>", b"a", b"b", b"[", b"]", b"I", b"N",
+              b"S", b"T", b" ", b"/", b"<", b">", b"s", b"<|user|>"]
+    types = [2, 3, 3] + [1] * 13 + [4]
+    tok = BPETokenizer(tokens, np.zeros(len(tokens), np.float32),
+                       token_types=types)
+    ids = tok.encode("a</s><s>b", parse_special=True)
+    assert ids == [3, 2, 1, 4]
+    # markers in plain text are BPE'd character-by-character, never ids
+    ids_plain = tok.encode("a</s>b")
+    assert 2 not in ids_plain and 1 not in ids_plain
+    ids_u = tok.encode("<|user|>a", parse_special=True)
+    assert ids_u == [16, 3]
+    # add_bos composes with special parsing
+    assert tok.encode("a", add_bos=True, parse_special=True) == [1, 3]
 
 
 def test_completions_top_logprobs(server):

@@ -63,11 +63,25 @@ class LlamaConfig:
     head_dim_: Optional[int] = None
     # embedding output scale (gemma: sqrt(dim))
     emb_scale: float = 1.0
+    # RoPE context-extension scaling (GGUF <arch>.rope.scaling.type/factor/
+    # original_context_length; legacy <arch>.rope.scale_linear). The
+    # reference hardcodes theta and has no scaling (llama2.f90:545).
+    rope_scaling_type: str = "none"     # "none" | "linear" | "yarn"
+    rope_scaling_factor: float = 1.0
+    rope_orig_ctx: int = 0              # yarn original_context_length
 
     @property
     def head_dim(self) -> int:
         return (self.head_dim_ if self.head_dim_ is not None
                 else self.dim // self.n_heads)
+
+    @property
+    def rope_scaling(self):
+        """(type, factor, orig_ctx) for ops.rope, or None when unscaled."""
+        if self.rope_scaling_type == "none" or self.rope_scaling_factor == 1.0:
+            return None
+        return (self.rope_scaling_type, self.rope_scaling_factor,
+                self.rope_orig_ctx or self.seq_len)
 
     @property
     def q_dim(self) -> int:
@@ -94,6 +108,9 @@ class LlamaConfig:
             )
         if self.rope_variant not in ROPE_VARIANTS:
             raise ValueError(f"unknown rope_variant {self.rope_variant!r}")
+        if self.rope_scaling_type not in ("none", "linear", "yarn"):
+            raise ValueError(
+                f"unknown rope_scaling_type {self.rope_scaling_type!r}")
 
 
 def tinyllama_1_1b() -> LlamaConfig:

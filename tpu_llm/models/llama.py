@@ -321,7 +321,8 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         # (~47us/step of pure VPU time, experiments/r2_phases.py).
         if rope_cs is None:
             rope_cs = rope_angles(positions, cfg.head_dim, cfg.rope_theta,
-                                  cfg.rope_variant, cfg.rope_dims)
+                                  cfg.rope_variant, cfg.rope_dims,
+                                  cfg.rope_scaling)
         cos, sin = rope_cs
         q = _rotate(q, cos, sin, cfg.rope_variant, cfg.rope_dims)
         k = _rotate(k, cos, sin, cfg.rope_variant, cfg.rope_dims)
@@ -470,7 +471,7 @@ def forward(
         positions = offset[:, None] + jnp.arange(T, dtype=jnp.int32)  # (B, T)
 
     rope_cs = rope_angles(positions, cfg.head_dim, cfg.rope_theta,
-                          cfg.rope_variant, cfg.rope_dims)
+                          cfg.rope_variant, cfg.rope_dims, cfg.rope_scaling)
     layers = params["layers"]
     if defer_kv:
         assert T == 1 and offset.ndim == 0 and isinstance(layers, (list, tuple))
@@ -608,6 +609,20 @@ def config_from_gguf(gguf) -> LlamaConfig:
     head_dim = g("attention.key_length") if gemma else None
     if head_dim is not None and head_dim == dim // n_heads:
         head_dim = None
+    # RoPE context-extension metadata: modern <arch>.rope.scaling.* keys,
+    # with the legacy <arch>.rope.scale_linear spelling as fallback.
+    # Long-context GGUFs (Llama-2 32k, Qwen2 YaRN) mis-rotate silently if
+    # these are dropped. "yarn" maps to ggml's rope_yarn defaults (ops/rope).
+    scaling_type = g("rope.scaling.type", "none") or "none"
+    scaling_factor = float(g("rope.scaling.factor", 1.0))
+    orig_ctx = int(g("rope.scaling.original_context_length", 0) or 0)
+    legacy_linear = g("rope.scale_linear")
+    if scaling_type == "none" and legacy_linear is not None \
+            and float(legacy_linear) != 1.0:
+        scaling_type, scaling_factor = "linear", float(legacy_linear)
+    if scaling_type not in ("none", "linear", "yarn"):
+        raise ValueError(
+            f"unsupported rope scaling type {scaling_type!r} in {arch} GGUF")
     return LlamaConfig(
         dim=dim,
         hidden_dim=g("feed_forward_length"),
@@ -628,6 +643,9 @@ def config_from_gguf(gguf) -> LlamaConfig:
         act="gelu" if gemma else "silu",
         head_dim_=head_dim,
         emb_scale=float(dim) ** 0.5 if gemma else 1.0,
+        rope_scaling_type=scaling_type,
+        rope_scaling_factor=scaling_factor,
+        rope_orig_ctx=orig_ctx,
     )
 
 

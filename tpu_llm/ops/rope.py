@@ -20,10 +20,52 @@ XLA fuses the rotation into the surrounding QKV matmul — no scalar loops.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# RoPE context-extension scaling, spelled as (type, factor, orig_ctx):
+#   "linear" — frequencies divided by factor (llama.cpp rope.scale_linear /
+#              rope.scaling.type=linear); positions are effectively
+#              compressed by 1/factor.
+#   "yarn"   — per-dim interpolation/extrapolation ramp + attention
+#              magnitude correction, matching ggml's rope_yarn with the
+#              default beta_fast=32 / beta_slow=1 / ext_factor=1: dims that
+#              complete >beta_fast rotations inside the original context
+#              are extrapolated (unscaled), dims with <beta_slow rotations
+#              are fully interpolated (freq/factor), with a linear ramp
+#              between, and cos/sin are scaled by 1 + 0.1*ln(factor).
+RopeScaling = Tuple[str, float, int]
+
+
+def _yarn_corr_dim(n_rot: int, orig_ctx: int, n_rotations: float,
+                   theta: float) -> float:
+    # dim index whose wavelength completes `n_rotations` turns in orig_ctx
+    return (n_rot * math.log(orig_ctx / (n_rotations * 2 * math.pi))
+            / (2 * math.log(theta)))
+
+
+def _scaled_freqs(freq: jax.Array, j: jax.Array, rot: int, theta: float,
+                  scaling: Optional[RopeScaling]):
+    """Apply context scaling to the base frequencies; returns (freq, mscale)."""
+    if scaling is None:
+        return freq, 1.0
+    kind, factor, orig_ctx = scaling
+    if kind == "linear":
+        return freq / factor, 1.0
+    if kind == "yarn":
+        low = max(math.floor(_yarn_corr_dim(rot, orig_ctx, 32.0, theta)), 0)
+        high = min(math.ceil(_yarn_corr_dim(rot, orig_ctx, 1.0, theta)),
+                   rot - 1)
+        ramp = 1.0 - jnp.clip((j - low) / max(0.001, high - low), 0.0, 1.0)
+        # ramp is the EXTRAPOLATION weight: 1 for low j (high-frequency dims
+        # that complete >beta_fast turns in orig_ctx stay unscaled), 0 for
+        # high j (slow dims fully interpolated to freq/factor).
+        freq = (freq / factor) * (1.0 - ramp) + freq * ramp
+        return freq, 1.0 + 0.1 * math.log(factor)
+    raise ValueError(f"unknown rope scaling kind {kind!r}")
 
 
 def rope_angles(
@@ -32,6 +74,7 @@ def rope_angles(
     theta: float = 10000.0,
     variant: str = "interleaved",
     rope_dims: Optional[int] = None,
+    scaling: Optional[RopeScaling] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """cos/sin tables for the given positions.
 
@@ -51,7 +94,10 @@ def rope_angles(
         exponent = (2.0 * j) / rot
         pos = positions.astype(jnp.float32)
     freq = theta ** (-exponent)
+    freq, mscale = _scaled_freqs(freq, j, rot, theta, scaling)
     ang = pos[..., None] * freq
+    if mscale != 1.0:
+        return jnp.cos(ang) * mscale, jnp.sin(ang) * mscale
     return jnp.cos(ang), jnp.sin(ang)
 
 
@@ -61,6 +107,7 @@ def rope_table(
     theta: float = 10000.0,
     variant: str = "interleaved",
     rope_dims: Optional[int] = None,
+    scaling: Optional[RopeScaling] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Precomputed (cos, sin) tables for positions 0..max_pos-1, each
     (max_pos, rot//2) float32.
@@ -72,7 +119,7 @@ def rope_table(
     recomputing sin/cos, and converters can bake the table next to the
     weights."""
     positions = jnp.arange(max_pos, dtype=jnp.int32)
-    return rope_angles(positions, head_dim, theta, variant, rope_dims)
+    return rope_angles(positions, head_dim, theta, variant, rope_dims, scaling)
 
 
 def apply_rope_table(
@@ -124,6 +171,7 @@ def apply_rope(
     theta: float = 10000.0,
     variant: str = "interleaved",
     rope_dims: Optional[int] = None,
+    scaling: Optional[RopeScaling] = None,
 ) -> jax.Array:
     """Rotate ``x`` of shape (..., T, H, D) by position-dependent angles.
 
@@ -131,5 +179,5 @@ def apply_rope(
     or (B, T)).
     """
     D = x.shape[-1]
-    cos, sin = rope_angles(positions, D, theta, variant, rope_dims)
+    cos, sin = rope_angles(positions, D, theta, variant, rope_dims, scaling)
     return _rotate(x, cos, sin, variant, rope_dims)

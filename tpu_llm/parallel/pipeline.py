@@ -159,9 +159,9 @@ def decode_step_pp_tp(
             k = matmul(h, lp["wk"][i]).reshape(B, 1, Hkvl, D)
             v = matmul(h, lp["wv"][i]).reshape(B, 1, Hkvl, D)
             q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant,
-                           cfg.rope_dims)
+                           cfg.rope_dims, cfg.rope_scaling)
             k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant,
-                           cfg.rope_dims)
+                           cfg.rope_dims, cfg.rope_scaling)
             kc_i, vc_i = update_kv_cache(kc[i], vc[i], k, v, pos)
             kc = kc.at[i].set(kc_i)
             vc = vc.at[i].set(vc_i)

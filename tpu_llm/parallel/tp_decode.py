@@ -157,9 +157,9 @@ def make_tp_decode_step(cfg: LlamaConfig, mesh: Mesh, fused: bool = False,
             k = k.reshape(B, 1, Hkvl, D)
             v = v.reshape(B, 1, Hkvl, D)
             q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant,
-                           cfg.rope_dims)
+                           cfg.rope_dims, cfg.rope_scaling)
             k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_variant,
-                           cfg.rope_dims)
+                           cfg.rope_dims, cfg.rope_scaling)
             kc, vc = update_kv_cache(cache_k[i], cache_v[i], k, v, pos)
             new_k.append(kc)
             new_v.append(vc)

@@ -77,9 +77,9 @@ def _phase_bodies(cfg: LlamaConfig, batch: int, pos: int):
         q = x.reshape(B, 1, H, D)
         for _ in layers:
             qr = apply_rope(q, positions, cfg.rope_theta, cfg.rope_variant,
-                            cfg.rope_dims)
+                            cfg.rope_dims, cfg.rope_scaling)
             kr = apply_rope(qr[:, :, :Hkv], positions, cfg.rope_theta,
-                            cfg.rope_variant, cfg.rope_dims)
+                            cfg.rope_variant, cfg.rope_dims, cfg.rope_scaling)
             q = qr.at[:, :, :Hkv].add(_MIX * kr)
         return q.reshape(B, 1, E)
 

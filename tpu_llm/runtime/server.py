@@ -79,8 +79,12 @@ def render_chat(messages, template: str = "zephyr") -> str:
         return out + "assistant:"
     if template == "llama2":
         # Llama-2-chat: [INST] ... [/INST] turns, system folded into the
-        # first user turn inside <<SYS>> markers (BOS comes from the
-        # engine, not the template)
+        # first user turn inside <<SYS>> markers. llama.cpp renders
+        # multi-turn chats as ``<s>[INST] u [/INST] a </s><s>[INST] ...``
+        # — each completed assistant turn is closed with EOS and the next
+        # user turn opens with a fresh BOS. The FIRST BOS comes from the
+        # engine, not the template; the markers here are tokenized to ids
+        # by encode(parse_special=True).
         sys_txt = None
         out = ""
         first_user = True
@@ -90,7 +94,7 @@ def render_chat(messages, template: str = "zephyr") -> str:
                 sys_txt = m["content"]
                 continue
             if role == "assistant":
-                out += f" {m['content']} "
+                out += f" {m['content']} </s><s>"
                 continue
             body = m["content"]
             if first_user and sys_txt:
@@ -444,7 +448,14 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     want_lp, want_top_n = False, 0
                 else:   # int, 0 included: chosen-token logprobs on
                     want_lp, want_top_n = True, int(lp_field)
-            prompt_ids = tokenizer.encode(prompt)
+            if chat:
+                # rendered templates carry control markers (</s>, <|user|>)
+                # that must become their token ids, not BPE'd literal text;
+                # raw completion prompts stay unparsed so user text cannot
+                # inject control tokens
+                prompt_ids = tokenizer.encode(prompt, parse_special=True)
+            else:
+                prompt_ids = tokenizer.encode(prompt)
             pairs = []
             for ci in range(n_choices):
                 tracker = _Tracker(want_stream)

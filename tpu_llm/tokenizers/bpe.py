@@ -39,6 +39,10 @@ TOKEN_TYPE_BYTE = 6
 
 _BYTE_TOKEN_RE = re.compile(rb"^<0x([0-9A-Fa-f]{2})>$")
 
+# Heuristic special-token surface forms, used only when the vocab carries
+# no token_type metadata: SPM controls plus the <|...|> added-token style.
+_SPECIAL_SURFACE_RE = re.compile(rb"^(</?s>|<unk>|<\|[^ <>|]+\|>)$")
+
 
 def _gpt2_byte_decoder() -> dict:
     """GPT-2's bytes_to_unicode inverse: printable-char code point -> raw
@@ -119,6 +123,25 @@ class BPETokenizer:
         for i, t in enumerate(self.tokens):
             if self.is_byte[i] and len(t) == 1 and t[0] not in self.byte_fallback:
                 self.byte_fallback[t[0]] = i
+        # special tokens (chat markers, <s>/</s>) matched verbatim by
+        # encode(parse_special=True) before BPE — the merge loop can never
+        # assemble them from characters (their scores are 0). CONTROL /
+        # USER_DEFINED token_types where available, surface-form heuristic
+        # otherwise.
+        self.special: Dict[bytes, int] = {}
+        for i, t in enumerate(self.tokens):
+            if token_types is not None:
+                sp = int(token_types[i]) in (TOKEN_TYPE_CONTROL,
+                                             TOKEN_TYPE_USER_DEFINED)
+            else:
+                sp = _SPECIAL_SURFACE_RE.match(t) is not None
+            if sp and t not in self.special:
+                self.special[t] = i
+        self._special_re = None
+        if self.special:
+            alts = sorted(self.special, key=len, reverse=True)
+            self._special_re = re.compile(
+                b"|".join(re.escape(t) for t in alts))
 
     # -- constructors ----------------------------------------------------
 
@@ -228,6 +251,7 @@ class BPETokenizer:
         text: str | bytes,
         add_bos: bool = False,
         strict: bool = False,
+        parse_special: bool = False,
     ) -> List[int]:
         """Greedy highest-score merge encode.
 
@@ -235,8 +259,24 @@ class BPETokenizer:
         reference would produce index -1); otherwise byte-fallback tokens
         are used when available and unknown bytes are skipped with the
         reference's single-char-lookup granularity.
+
+        ``parse_special=True`` matches special tokens (``</s>``,
+        ``<|user|>``, ...) verbatim and emits their ids directly, BPE-ing
+        only the text between them — for tokenizing rendered chat
+        templates, like llama.cpp's parse_special. Off by default so
+        user-supplied text cannot inject control tokens.
         """
         data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+
+        if parse_special and self._special_re is not None:
+            ids: List[int] = [self.bos_id] if add_bos else []
+            last = 0
+            for m in self._special_re.finditer(data):
+                ids.extend(self.encode(data[last:m.start()], strict=strict))
+                ids.append(self.special[m.group(0)])
+                last = m.end()
+            ids.extend(self.encode(data[last:], strict=strict))
+            return ids
 
         if not strict:
             from tpu_llm import native
