@@ -598,3 +598,41 @@ def test_batch_engine_draft_model_speculation():
         if draft_seed == 0:
             # perfect draft: every verify emits >1 token on average
             assert be.stats["spec_tokens"] > be.stats["spec_forwards"]
+
+
+def test_speculative_skipped_for_all_sampled_batch(monkeypatch):
+    """temperature>0-only batches must use the pipelined plain step: only
+    greedy slots can accept drafts, so the (B, k+1) verify forward plus
+    its synchronous host fetch would buy nothing."""
+    _, cfg, adapter, be_plain, _ = setup(seed=3)
+    from tests.test_llama import make_weights, to_params
+    params = to_params(make_weights(3))
+    be = BatchEngine(params, adapter, batch=4, max_seq=CFG["seq_len"],
+                     speculative_k=3)
+    spec_calls = []
+    orig = be._step_spec
+    monkeypatch.setattr(be, "_step_spec",
+                        lambda live: spec_calls.append(1) or orig(live))
+    reqs = [Request(prompt=[4, 5, 4], max_new=5, temperature=0.7, seed=1),
+            Request(prompt=[6, 7], max_new=5, temperature=0.9, seed=2)]
+    rp = [be_plain.submit(Request(**{f: getattr(r, f) for f in
+                                     ("prompt", "max_new", "temperature",
+                                      "seed")})) for r in reqs]
+    rs = [be.submit(r) for r in reqs]
+    be_plain.run()
+    be.run()
+    assert not spec_calls            # gate: no spec step ever ran
+    for a, b in zip(rp, rs):
+        assert a.tokens == b.tokens
+
+    # a greedy slot joining the batch re-enables speculation
+    be2 = BatchEngine(params, adapter, batch=4, max_seq=CFG["seq_len"],
+                      speculative_k=3)
+    calls2 = []
+    orig2 = be2._step_spec
+    monkeypatch.setattr(be2, "_step_spec",
+                        lambda live: calls2.append(1) or orig2(live))
+    be2.submit(Request(prompt=[4, 5, 4], max_new=5, temperature=0.7, seed=1))
+    be2.submit(Request(prompt=[5, 11, 5, 11], max_new=5))
+    be2.run()
+    assert calls2

@@ -1,0 +1,137 @@
+"""Serving engines on a device mesh (SURVEY.md §7 step 5).
+
+shard_engine places BatchEngine/PagedEngine params + KV state under the
+TP/DP GSPMD specs; the jitted host-loop steps then partition like the
+single-stream --tp path. Parity is asserted against the unsharded engines
+on the 8-virtual-device CPU mesh (tests/conftest.py).
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_batching import setup, single_stream_tokens
+from tests.test_llama import CFG, make_weights, to_params
+from tpu_llm.config import LlamaConfig
+from tpu_llm.parallel import make_mesh
+from tpu_llm.parallel.serving import shard_engine
+from tpu_llm.runtime.batching import BatchEngine, Request
+from tpu_llm.runtime.engine import ModelAdapter
+
+PROMPTS = [[5, 11], [3, 9, 2], [7], [4, 4, 8, 2]]
+N_NEW = [6, 5, 7, 4]
+
+
+def _reqs():
+    return [Request(prompt=list(p), max_new=n)
+            for p, n in zip(PROMPTS, N_NEW)]
+
+
+def _run(eng):
+    rs = [eng.submit(r) for r in _reqs()]
+    eng.run()
+    return [r.tokens for r in rs]
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (2, 2)])
+def test_batch_engine_tp_matches_unsharded(tp, dp):
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    plain = BatchEngine(params, adapter, batch=4, max_seq=CFG["seq_len"])
+    ref = _run(plain)
+
+    mesh = make_mesh(data=dp, model=tp)
+    adapter2 = ModelAdapter.llama(cfg, bos_id=1)
+    eng = BatchEngine(params, adapter2, batch=4, max_seq=CFG["seq_len"])
+    eng = shard_engine(eng, cfg, mesh)
+    assert eng.mesh is mesh
+    got = _run(eng)
+    assert got == ref
+
+
+def test_batch_engine_tp_sampled_and_staggered():
+    """Sampling determinism and slot reuse survive the mesh placement."""
+    params = to_params(make_weights(1))
+    cfg = LlamaConfig(**CFG)
+    plain = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                        batch=2, max_seq=CFG["seq_len"])
+    eng = shard_engine(
+        BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                    batch=2, max_seq=CFG["seq_len"]),
+        cfg, make_mesh(data=1, model=2))
+    reqs = [Request(prompt=[5, 11], max_new=4, temperature=0.8, seed=7),
+            Request(prompt=[3], max_new=6),
+            Request(prompt=[9, 2], max_new=3, temperature=0.5, seed=1)]
+    clone = [Request(**{f: getattr(r, f) for f in
+                        ("prompt", "max_new", "temperature", "seed")})
+             for r in reqs]
+    rp = [plain.submit(r) for r in clone]
+    rs = [eng.submit(r) for r in reqs]
+    plain.run()
+    eng.run()
+    for a, b in zip(rp, rs):
+        assert a.tokens == b.tokens
+
+
+def test_paged_engine_tp_matches_unsharded():
+    from tpu_llm.runtime.paged_engine import PagedEngine
+
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    kw = dict(batch=4, n_blocks=64, block_size=4, max_seq=CFG["seq_len"],
+              bos_id=1)
+    plain = PagedEngine(params, cfg, **kw)
+    ref = _run(plain)
+
+    eng = shard_engine(PagedEngine(params, cfg, **kw), cfg,
+                       make_mesh(data=1, model=2))
+    got = _run(eng)
+    assert got == ref
+
+
+def test_serve_cli_tp(tmp_path, capsys):
+    """llm-serve --tp 2 decodes byte-identically to the unsharded run."""
+    import json
+
+    from tests.make_tiny_gguf import build
+    from tpu_llm.runtime.serve_cli import main
+
+    path = str(tmp_path / "tiny.gguf")
+    build(path)
+    base = ["-m", path, "-p", "abc", "-p", "ab", "-n", "6", "--batch", "2"]
+
+    def run(argv):
+        capsys.readouterr()
+        assert main(argv) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        return [json.loads(ln) for ln in out if ln.startswith("{")]
+
+    plain = run(base)
+    tp = run(base + ["--tp", "2"])
+    assert [r["completion"] for r in plain] == [r["completion"] for r in tp]
+    paged_tp = run(base + ["--paged", "--block-size", "4", "--tp", "2"])
+    assert ([r["completion"] for r in paged_tp]
+            == [r["completion"] for r in plain])
+
+
+def test_shard_engine_validates_degrees():
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)          # 2 kv heads
+    eng = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                      batch=4, max_seq=CFG["seq_len"])
+    with pytest.raises(ValueError, match="n_kv_heads"):
+        shard_engine(eng, cfg, make_mesh(data=1, model=4))
+    eng2 = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                       batch=3, max_seq=CFG["seq_len"])
+    with pytest.raises(ValueError, match="batch"):
+        shard_engine(eng2, cfg, make_mesh(data=2, model=2))
+
+
+def test_serve_cli_tp_validation(tmp_path):
+    from tests.make_tiny_gguf import build
+    from tpu_llm.runtime.serve_cli import main
+
+    path = str(tmp_path / "tiny.gguf")
+    build(path)
+    # main catches the SystemExit and returns nonzero
+    assert main(["-m", path, "-p", "a", "--batch", "3", "--dp", "2"]) == 1

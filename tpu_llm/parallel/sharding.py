@@ -85,6 +85,38 @@ def llama_param_specs(cfg: LlamaConfig, pipe: bool = False,
     return specs
 
 
+def unstack_param_specs(specs: Dict[str, Any], n_layers: int) -> Dict[str, Any]:
+    """Stacked-layer spec dict -> the ``unstack_layers`` params structure:
+    ``layers`` becomes a list of per-layer spec dicts with the leading
+    stacked-L axis dropped from each P (the PagedEngine and the unstacked
+    fast path hold per-layer (in, out) weights)."""
+    def drop(p: P) -> P:
+        return P(*tuple(p)[1:])
+
+    lspec = {k: drop(v) for k, v in specs["layers"].items()}
+    out = dict(specs)
+    out["layers"] = [dict(lspec) for _ in range(n_layers)]
+    return out
+
+
+def llama_paged_state_spec(n_layers: int, quantized: bool = False) -> Dict[str, Any]:
+    """Spec pytree for PagedEngine.state: per-layer (n_blocks, bs, Hkv*D)
+    pools sharded on the head-dim axis over "model" (the paged-TP dryrun
+    leg's layout); int8 scale pools replicated (rows interleave blocks and
+    heads — small, and the quantize/dequantize runs per shard anyway);
+    block table + lengths replicated host-controlled metadata."""
+    pool = P(None, None, "model")
+    rep2 = P(None, None)
+    return {
+        "k": [pool] * n_layers,
+        "v": [pool] * n_layers,
+        "ks": [rep2] * n_layers if quantized else None,
+        "vs": [rep2] * n_layers if quantized else None,
+        "table": P(None, None),
+        "lengths": P(None),
+    }
+
+
 def llama_cache_spec(quant: bool = False) -> Dict[str, Any]:
     # cache layout (L, B, S, Hkv, D): batch on "data", kv-heads on "model"
     spec = P(None, "data", None, "model", None)

@@ -21,6 +21,7 @@ Kernel structure (x: (B, K) @ W: (K, N) -> (B, N)):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -56,7 +57,7 @@ def _scale_f32(s_ref) -> jax.Array:
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
-                acc_dtype):
+                acc_dtype, mins_mxu: bool = True):
     # rest = (m_ref, o_ref) for affine kinds, (o_ref,) otherwise
     m_ref = rest[0] if len(rest) == 2 else None
     o_ref = rest[-1]
@@ -81,8 +82,23 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
     nb = s_ref.shape[0]
     s = jnp.repeat(_scale_f32(s_ref), tk // nb, axis=0)  # (tk, tn) f32
     w = vals.astype(jnp.float32) * s
-    if m_ref is not None:
+    mins_acc = None
+    if m_ref is not None and not mins_mxu:
         w = w + jnp.repeat(_scale_f32(m_ref), tk // nb, axis=0)
+    elif m_ref is not None:
+        # Mins as MXU work instead of a full-tile VPU add: the affine
+        # contribution is sum_k x[k]*m[k//block, n] = (per-block sums of
+        # x) @ m — a (tb, tk/block) x (tk/block, tn) matmul, 1/block the
+        # MACs, replacing the (tk, tn) broadcast-add that kept the q4_1/
+        # q4_K kernels VPU-bound (BASELINE r3: scale packing was not the
+        # lever; the affine add was).
+        block = tk // nb
+        xg = jnp.sum(
+            x_ref[:].astype(jnp.float32).reshape(-1, nb, block), axis=2)
+        mins_acc = jax.lax.dot_general(
+            xg, _scale_f32(m_ref), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if acc_dtype == jnp.float32:
         # f32 mode (reference-parity): HIGHEST so dequantized values
         # aren't silently rounded to bf16 in the MXU — 6 passes, exact.
@@ -103,6 +119,8 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
+    if mins_acc is not None:
+        acc = acc + mins_acc
 
     @pl.when(k_step == 0)
     def _():
@@ -311,7 +329,11 @@ def qmatmul_pallas(
         scale_bytes *= 2
 
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind, acc_dtype=acc_dtype),
+        functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind,
+                          acc_dtype=acc_dtype,
+                          # A/B escape hatch: TPU_LLM_MINS_VPU=1 restores
+                          # the broadcast-add affine path
+                          mins_mxu=not os.environ.get("TPU_LLM_MINS_VPU")),
         grid=(-(-rows // tb), -(-N // tn), K // tk),
         out_shape=jax.ShapeDtypeStruct((rows, N), jnp.float32),
         in_specs=in_specs,

@@ -667,7 +667,9 @@ class BatchEngine:
         if not live:
             self._collect()
             return 0
-        if self.spec_k and not any(
+        if self.spec_k and any(
+            r.temperature == 0 for _, r in live
+        ) and not any(
             _penalized(r) or r.logit_bias for _, r in live
         ) and all(
             self.slots[i].pos + self.spec_k + 1 <= self.max_seq
@@ -676,7 +678,12 @@ class BatchEngine:
             # near-cache-boundary batches fall through to the plain step
             # — a padded verify window would write past the cache.
             # Penalized slots also fall through: the greedy chain inside
-            # verify would need per-position evolving counts
+            # verify would need per-position evolving counts.
+            # All-sampled batches fall through too: only greedy slots can
+            # accept drafts, so a temperature>0-only batch would pay the
+            # (B, k+1) verify forward plus a synchronous host fetch to
+            # emit exactly one token per slot — strictly worse than the
+            # pipelined plain step.
             return self._step_spec(live)
 
         offsets = np.zeros((self.batch,), np.int32)

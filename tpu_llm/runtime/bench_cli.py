@@ -609,6 +609,122 @@ def _paged_rows(args) -> int:
     return 0
 
 
+def _spec_rows(args) -> int:
+    """Speculative-decoding rows: prompt-lookup speculation vs the plain
+    pipelined engine step, measured through the real BatchEngine host loop
+    (the regime where the synchronous verify fetch matters). Emits tok/s
+    and tokens-per-verify-forward (accepted drafts + 1) for repetitive and
+    non-repetitive prompts at batch 1 and 8."""
+    import time
+
+    import jax.numpy as jnp
+
+    from tpu_llm.config import tinyllama_1_1b
+    from tpu_llm.runtime.batching import BatchEngine, Request
+    from tpu_llm.runtime.engine import ModelAdapter
+
+    cfg = tinyllama_1_1b()
+    params = _build("q4_0")
+    rng = np.random.default_rng(0)
+    pat = rng.integers(5, cfg.vocab_size - 1, 8).tolist()
+    prompts = {
+        "repetitive": (pat * 16)[:128],
+        "random": rng.integers(5, cfg.vocab_size - 1, 128).tolist(),
+    }
+
+    for B in (1, 8):
+        for pname, prompt in prompts.items():
+            for spec in (0, args.spec_k):
+                # _build returns unstacked params (python layer loop)
+                adapter = ModelAdapter.llama(cfg, cache_dtype=jnp.bfloat16,
+                                             stacked=False)
+                eng = BatchEngine(params, adapter, batch=B,
+                                  max_seq=args.max_seq, speculative_k=spec)
+                # warm the jit caches with a full run, then measure a
+                # fresh submission on the same engine
+                for _ in range(B):
+                    eng.submit(Request(prompt=list(prompt), max_new=8))
+                eng.run()
+                eng.stats["spec_forwards"] = eng.stats["spec_tokens"] = 0
+                reqs = [Request(prompt=list(prompt), max_new=args.steps)
+                        for _ in range(B)]
+                t0 = time.perf_counter()
+                for r in reqs:
+                    eng.submit(r)
+                eng.run()
+                dt = time.perf_counter() - t0
+                total = sum(len(r.tokens) for r in reqs)
+                fwd = eng.stats["spec_forwards"]
+                tpf = (eng.stats["spec_tokens"] / fwd) if fwd else None
+                label = f"spec{spec}" if spec else "plain"
+                print(json.dumps({
+                    "metric": (f"tinyllama_1.1b_q4_0_engine_{label}_{pname}"
+                               f"_tokens_per_s_b{B}"),
+                    "value": round(total / dt, 2),
+                    "unit": "tok/s",
+                    "vs_baseline": round(total / dt / REFERENCE_TOK_S, 2),
+                    **({"tokens_per_verify_forward": round(tpf, 3)}
+                       if tpf is not None else {}),
+                }), flush=True)
+    return 0
+
+
+def _serve_tp_rows(args) -> int:
+    """Mesh-sharded serving row (chip-gated): BatchEngine tok/s with
+    params+cache under the TP GSPMD specs. On a single chip this degrades
+    to tp=1 (the row documents the gate); the multi-chip number needs
+    real hardware this environment doesn't have."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.config import tinyllama_1_1b
+    from tpu_llm.parallel import make_mesh
+    from tpu_llm.parallel.serving import shard_engine
+    from tpu_llm.runtime.batching import BatchEngine, Request
+    from tpu_llm.runtime.engine import ModelAdapter
+
+    cfg = tinyllama_1_1b()
+    n_dev = len(jax.devices())
+    tp = max(1, min(args.serve_tp, n_dev, cfg.n_kv_heads))
+    if tp < args.serve_tp:
+        print(json.dumps({"note": f"serve-tp clamped {args.serve_tp}->{tp} "
+                                  f"({n_dev} devices, "
+                                  f"{cfg.n_kv_heads} kv heads)"}), flush=True)
+    # stacked bf16 params: GSPMD serving runs the XLA paths anyway
+    # (shard_engine disables Pallas), so dense weights measure the same
+    # regime a sharded quantized load would fall back to
+    import __graft_entry__ as ge
+
+    _, (params, _, _, _) = ge.entry()
+    adapter = ModelAdapter.llama(cfg, cache_dtype=jnp.bfloat16)
+    eng = BatchEngine(params, adapter, batch=args.batch,
+                      max_seq=args.max_seq)
+    eng = shard_engine(eng, cfg, make_mesh(data=1, model=tp))
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(5, cfg.vocab_size - 1, 64).tolist()
+    for _ in range(args.batch):
+        eng.submit(Request(prompt=list(prompt), max_new=8))
+    eng.run()                                  # compile warmup
+    reqs = [Request(prompt=list(prompt), max_new=args.steps)
+            for _ in range(args.batch)]
+    t0 = time.perf_counter()
+    for r in reqs:
+        eng.submit(r)
+    eng.run()
+    dt = time.perf_counter() - t0
+    total = sum(len(r.tokens) for r in reqs)
+    print(json.dumps({
+        "metric": (f"tinyllama_1.1b_bf16_engine_serving_tp{tp}"
+                   f"_tokens_per_s_b{args.batch}"),
+        "value": round(total / dt, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(total / dt / REFERENCE_TOK_S, 2),
+    }), flush=True)
+    return 0
+
+
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -640,6 +756,14 @@ def main(argv=None) -> int:
                     help="emit paged-KV decode rows (block-table kernel vs "
                          "dense cache at the same batch)")
     ap.add_argument("--block-size", type=int, default=64)
+    ap.add_argument("--spec", action="store_true",
+                    help="emit speculative-decoding rows (engine tok/s + "
+                         "tokens-per-verify-forward vs the plain step)")
+    ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--serve-tp", type=int, default=0, metavar="N",
+                    help="emit the mesh-sharded serving row (BatchEngine "
+                         "under TP GSPMD specs; clamps to the available "
+                         "devices)")
     args = ap.parse_args(argv)
 
     if args.scaling:
@@ -648,6 +772,10 @@ def main(argv=None) -> int:
         return _tp_rows(args)
     if args.paged:
         return _paged_rows(args)
+    if args.spec:
+        return _spec_rows(args)
+    if args.serve_tp:
+        return _serve_tp_rows(args)
 
     from tpu_llm.config import tinyllama_1_1b
 

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "speculation (needs --spec K; llama family)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative drafts per step (greedy slots)")
+    p.add_argument("--tp", type=int, default=1, metavar="N",
+                   help="tensor-parallel degree: shard the serving step "
+                        "over an N-device model axis (GSPMD)")
+    p.add_argument("--dp", type=int, default=1, metavar="N",
+                   help="data-parallel degree: shard engine batch rows "
+                        "over an N-device data axis (batch %% dp == 0)")
     p.add_argument("--stop-at-eos", action="store_true")
     p.add_argument("--top-k", type=int, default=0,
                    help="per-request top-k filter (0 = off)")
@@ -126,6 +132,19 @@ def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
         draft = (_us(dparams),
                  ModelAdapter.llama(dcfg, cache_dtype=jnp.bfloat16,
                                     bos_id=bos_id, stacked=False))
+    tp = getattr(args, "tp", 1)
+    dp = getattr(args, "dp", 1)
+    mesh = None
+    if tp * dp > 1:
+        if is_mamba:
+            raise SystemExit("--tp/--dp require a llama-family target")
+        if draft is not None:
+            raise SystemExit("--draft with --tp/--dp is not supported yet")
+        if args.batch % dp:
+            raise SystemExit(f"--batch {args.batch} must divide by --dp {dp}")
+        from tpu_llm.parallel import make_mesh
+
+        mesh = make_mesh(data=dp, model=tp)
     if args.paged:
         if is_mamba:
             raise SystemExit(
@@ -135,18 +154,24 @@ def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
         bs = args.block_size or (32 if args.cache_dtype == "int8" else 16)
         n_blocks = args.n_blocks or (
             1 + args.batch * ((max_seq + bs - 1) // bs))
-        return PagedEngine(
+        eng = PagedEngine(
             params, cfg, batch=args.batch, n_blocks=n_blocks,
             block_size=bs, max_seq=max_seq, cache_dtype=cache_dtype,
             speculative_k=args.spec, bos_id=bos_id, eos_id=eos_id,
             draft=draft,
         )
-    adapter = (ModelAdapter.mamba(cfg) if is_mamba else
-               ModelAdapter.llama(cfg, cache_dtype=cache_dtype,
-                                  bos_id=bos_id))
-    return BatchEngine(params, adapter, batch=args.batch,
-                       max_seq=max_seq, speculative_k=args.spec,
-                       eos_id=eos_id, draft=draft)
+    else:
+        adapter = (ModelAdapter.mamba(cfg) if is_mamba else
+                   ModelAdapter.llama(cfg, cache_dtype=cache_dtype,
+                                      bos_id=bos_id))
+        eng = BatchEngine(params, adapter, batch=args.batch,
+                          max_seq=max_seq, speculative_k=args.spec,
+                          eos_id=eos_id, draft=draft)
+    if mesh is not None:
+        from tpu_llm.parallel.serving import shard_engine
+
+        eng = shard_engine(eng, cfg, mesh)
+    return eng
 
 
 def main(argv=None) -> int:
