@@ -821,3 +821,58 @@ def test_q5_k_golden_block_pinned():
             q = ((l + 5) % 16) + (16 if l % 3 == 0 else 0)
         expect = 1.0 * sc[0, sub] * q - 2.0 * m[0, sub]
         assert y[n] == pytest.approx(expect), n
+
+
+def test_pack_q6_k_roundtrip_and_matmul():
+    """The 6-bit q6_kp device layout (pack_q6_k): dequantizes EXACTLY like
+    the int8 plane it came from, and the fused kernel (deferred -32 via
+    the block-sum MXU correction) matches the dense matmul."""
+    import jax.numpy as jnp
+
+    from tpu_llm.quant.pallas_matmul import qmatmul_pallas
+    from tpu_llm.quant.qtensor import QTensor, dequantize, pack_q6_k
+
+    rng = np.random.default_rng(2)
+    K, N = 512, 256
+    v = rng.integers(-32, 32, (K, N)).astype(np.int8)
+    s = rng.uniform(0.001, 0.01, (K // 16, N)).astype(np.float32)
+    qt8 = QTensor(jnp.asarray(v), jnp.asarray(s), "q6_k")
+    qtp = pack_q6_k(qt8)
+    assert qtp.kind == "q6_kp" and qtp.shape == (K, N)
+    assert qtp.q.shape == (K // 2, N) and qtp.mins.shape == (K // 4, N)
+    d8 = np.asarray(dequantize(qt8, jnp.float32))
+    dp = np.asarray(dequantize(qtp, jnp.float32))
+    np.testing.assert_array_equal(d8, dp)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), qtp, interpret=True))
+    np.testing.assert_allclose(got, x @ d8, rtol=2e-5, atol=1e-5)
+
+
+def test_affine_mins_mxu_matches_vpu_path():
+    """The mins-as-MXU affine path (group-sum matmul) is numerically
+    equivalent to the broadcast-add path for q4_1/q4_K tensors."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tpu_llm.quant.pallas_matmul import qmatmul_pallas
+    from tpu_llm.quant.qtensor import QTensor, dequantize
+
+    rng = np.random.default_rng(3)
+    K, N = 512, 256
+    q = rng.integers(0, 256, (K // 2, N)).astype(np.uint8)
+    s = rng.uniform(0.001, 0.01, (K // 32, N)).astype(np.float32)
+    m = (-8.0 * s).astype(np.float32)
+    qt = QTensor(jnp.asarray(q), jnp.asarray(s), "q4_1", mins=jnp.asarray(m))
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    ref = x @ np.asarray(dequantize(qt, jnp.float32))
+    got_mxu = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    os.environ["TPU_LLM_MINS_VPU"] = "1"
+    try:
+        got_vpu = np.asarray(qmatmul_pallas(jnp.asarray(x), qt,
+                                            interpret=True))
+    finally:
+        del os.environ["TPU_LLM_MINS_VPU"]
+    np.testing.assert_allclose(got_mxu, ref, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got_vpu, ref, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got_mxu, got_vpu, rtol=2e-5, atol=1e-5)

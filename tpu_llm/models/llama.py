@@ -238,6 +238,27 @@ def _norm(cfg: LlamaConfig, x, lp, prefix: str):
     return rmsnorm(x, lp[f"{prefix}_norm"], cfg.norm_eps)
 
 
+def _norm_folded(cfg: LlamaConfig, x, lp, prefix: str):
+    """Like _norm, but (opt-in: TPU_LLM_NORM_FOLD=1) for rmsnorm models
+    the weight multiply is returned separately as the matmul row_scale
+    and streamed by the fused dequant kernels.
+
+    Shipped OFF: the r4 probe showed the separate per-layer f32[E] norm
+    reads cost ~500us/step at 7B (150.2 -> 162.4 tok/s with the reads
+    removed, experiments/r4_7b_norm_probe.py), but folding them into the
+    kernels only relocates the same latency-bound small DMAs (151.1) and
+    costs TinyLlama 2% (1187 -> 1164) — the win needs the transfers
+    BATCHED, not moved (r4_norm_stack_probe.py)."""
+    import os
+
+    if (cfg.use_layernorm or cfg.parallel_block
+            or not os.environ.get("TPU_LLM_NORM_FOLD")):
+        # parallel blocks share the normed h between attn and mlp — keep
+        # it weighted so both consumers see the same tensor
+        return _norm(cfg, x, lp, prefix), None
+    return rmsnorm(x, None, cfg.norm_eps), lp[f"{prefix}_norm"]
+
+
 def _use_flash_fused(q, kc) -> bool:
     """Gate for the fused decode attention + in-kernel cache-append
     kernel: TPU, dense flat planes, lane-aligned head slices, chunkable
@@ -290,7 +311,7 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
     # named scopes reproduce the reference's five timing buckets
     # (llama2.f90:538,561,599,622,638) as XProf trace annotations
     B, T, E = x.shape
-    h = _norm(cfg, x, lp, "attn")
+    h, rs_attn = _norm_folded(cfg, x, lp, "attn")
 
     with jax.named_scope("qkv"):
         if "wqkv" in lp:
@@ -298,14 +319,14 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
             # read_ggml.f90:265; call count sets the decode floor)
             KV = cfg.kv_dim
             Q = cfg.q_dim
-            qkv = matmul(h, lp["wqkv"])
+            qkv = matmul(h, lp["wqkv"], row_scale=rs_attn)
             q = qkv[..., :Q]
             k = qkv[..., Q : Q + KV]
             v = qkv[..., Q + KV :]
         else:
-            q = matmul(h, lp["wq"])
-            k = matmul(h, lp["wk"])
-            v = matmul(h, lp["wv"])
+            q = matmul(h, lp["wq"], row_scale=rs_attn)
+            k = matmul(h, lp["wk"], row_scale=rs_attn)
+            v = matmul(h, lp["wv"], row_scale=rs_attn)
             if "bq" in lp:
                 q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
 
@@ -363,15 +384,18 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
             attn_out = attn_out + lp["bo"]
 
     if cfg.parallel_block:
-        mlp_in = h                      # attn and MLP share the input norm
+        mlp_in, rs_ffn = h, None        # attn and MLP share the input norm
     else:
         x = x + attn_out
-        mlp_in = _norm(cfg, x, lp, "ffn")
+        mlp_in, rs_ffn = _norm_folded(cfg, x, lp, "ffn")
 
     with jax.named_scope("ffn"):
         if cfg.gated_mlp and "w13" in lp and _use_ffn_megakernel(cfg, x, lp):
             from tpu_llm.quant.pallas_ffn import ffn_fused_pallas
 
+            if rs_ffn is not None:     # megakernel takes weighted input
+                mlp_in = (mlp_in.astype(jnp.float32)
+                          * rs_ffn).astype(mlp_in.dtype)
             mlp_out = ffn_fused_pallas(mlp_in, lp["w13"], lp["w2"])
             if cfg.parallel_block:
                 return x + attn_out + mlp_out, kc, vc
@@ -379,14 +403,15 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         gate_act = gelu if cfg.act == "gelu" else silu
         if cfg.gated_mlp and "w13" in lp:
             F = cfg.hidden_dim
-            h13 = matmul(mlp_in, lp["w13"])   # fused gate|up (read_ggml.f90:340)
+            # fused gate|up (read_ggml.f90:340)
+            h13 = matmul(mlp_in, lp["w13"], row_scale=rs_ffn)
             mid = gate_act(h13[..., :F]) * h13[..., F:]
         elif cfg.gated_mlp:
-            gate = matmul(mlp_in, lp["w1"])
-            up = matmul(mlp_in, lp["w3"])
+            gate = matmul(mlp_in, lp["w1"], row_scale=rs_ffn)
+            up = matmul(mlp_in, lp["w3"], row_scale=rs_ffn)
             mid = gate_act(gate) * up
         else:
-            mid = matmul(mlp_in, lp["w3"])
+            mid = matmul(mlp_in, lp["w3"], row_scale=rs_ffn)
             if "b3" in lp:
                 mid = mid + lp["b3"]
             mid = gelu(mid) if cfg.act == "gelu" else silu(mid)

@@ -17,11 +17,19 @@ import jax
 import jax.numpy as jnp
 
 
-def rmsnorm(x: jax.Array, w: jax.Array, eps: float = 1e-5) -> jax.Array:
-    """RMS-normalize the last axis of ``x`` and scale by ``w``."""
+def rmsnorm(x: jax.Array, w, eps: float = 1e-5) -> jax.Array:
+    """RMS-normalize the last axis of ``x`` and scale by ``w``.
+
+    ``w=None`` skips the weight multiply — the caller folds it into the
+    next projection (models/llama._block passes it to matmul as
+    ``row_scale`` so the fused kernels stream it; at 32-layer scale the
+    separate per-layer weight reads cost ~500us/step of latency-bound
+    VMEM prefetch copies, experiments/r4_7b_norm_probe.py)."""
     xf = x.astype(jnp.float32)
     ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    out = xf * jax.lax.rsqrt(ms + eps) * w.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(ms + eps)
+    if w is not None:
+        out = out * w.astype(jnp.float32)
     return out.astype(x.dtype)
 
 

@@ -26,11 +26,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
-def matmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
+def matmul(x: jax.Array, w: Weight, out_dtype=None, row_scale=None) -> jax.Array:
     """x: (..., K) @ w: (K, N) -> (..., N), accumulating in f32.
 
     ``out_dtype`` defaults to x.dtype; pass jnp.float32 to keep the f32
-    accumulator un-rounded (e.g. the classifier's logits)."""
+    accumulator un-rounded (e.g. the classifier's logits).
+
+    ``row_scale`` (K,) multiplies x elementwise first — the folded
+    rmsnorm weight. On the fused-kernel path it streams as a pipelined
+    kernel operand; elsewhere it is the ordinary broadcast multiply the
+    un-folded model would have done inside the norm."""
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QTensor):
         Kq, K = w.shape[-2], x.shape[-1]
@@ -38,12 +43,19 @@ def matmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
             # K-padded QTensor (qtensor.pad_k): zero scale rows make the
             # padded region contribute exactly 0 — pad x to match
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kq - K)])
+            if row_scale is not None:
+                row_scale = jnp.pad(row_scale, (0, Kq - K))
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
         if _use_pallas() and pallas_tiles_ok(
                 w, rows, x_itemsize=float(jnp.dtype(x.dtype).itemsize)):
-            return qmatmul_pallas(x, w, out_dtype=out_dtype)
+            return qmatmul_pallas(x, w, out_dtype=out_dtype,
+                                  row_scale=row_scale)
+        if row_scale is not None:
+            x = (x.astype(jnp.float32) * row_scale).astype(x.dtype)
         wd = dequantize(w, dtype=jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
+    if row_scale is not None:
+        x = (x.astype(jnp.float32) * row_scale).astype(x.dtype)
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(out_dtype)

@@ -57,9 +57,13 @@ def _scale_f32(s_ref) -> jax.Array:
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
-                acc_dtype, mins_mxu: bool = True):
-    # rest = (m_ref, o_ref) for affine kinds, (o_ref,) otherwise
-    m_ref = rest[0] if len(rest) == 2 else None
+                acc_dtype, mins_mxu: bool = True, has_mins: bool = False,
+                has_row_scale: bool = False):
+    # rest = ([m_ref], [rs_ref], o_ref) by the has_* flags
+    idx = 0
+    m_ref = rest[idx] if has_mins else None
+    idx += 1 if has_mins else 0
+    rs_ref = rest[idx] if has_row_scale else None
     o_ref = rest[-1]
     k_step = pl.program_id(2)
     if kind == "q4_0":
@@ -73,6 +77,18 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
         blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
         vals = jnp.concatenate(
             [blocks & 0x0F, (blocks >> 4) & 0x0F], axis=1).reshape(tk, tn)
+    elif kind == "q6_kp":
+        # true 6-bit q6_K (pack_q6_k): ql nibbles like q4_0 plus a 2-bit
+        # qh plane riding the mins operand; value = (lo | hi<<4) - 32.
+        # The -32 recentering is NOT subtracted here — it rides the MXU
+        # as an affine correction with m = -32*s (no extra operand).
+        blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
+        lo = jnp.concatenate([blocks & 0x0F, (blocks >> 4) & 0x0F], axis=1)
+        hb = m_ref[:].reshape(tk // 32, 8, tn).astype(jnp.int32)
+        hi = jnp.concatenate(
+            [hb & 3, (hb >> 2) & 3, (hb >> 4) & 3, (hb >> 6) & 3], axis=1)
+        vals = (lo | (hi << 4)).reshape(tk, tn)   # unsigned [0, 63]
+        m_ref = None                      # consumed; NOT an affine plane
     else:  # int8/int4 value planes in natural order, hardware widening
         vals = q_ref[:]
     # Dequant stays 2D the whole way (the 3D reshape-broadcast multiply
@@ -80,30 +96,63 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
     # experiments/q4_vpu_variants.py): expand scales with a sublane repeat
     # and multiply in f32.
     nb = s_ref.shape[0]
-    s = jnp.repeat(_scale_f32(s_ref), tk // nb, axis=0)  # (tk, tn) f32
-    w = vals.astype(jnp.float32) * s
+    # (An all-bf16 dequant chain for bf16 scale planes — no 16->32
+    # upcast relayout — was tried and measured CATASTROPHIC at 7B:
+    # 150.4 -> 103.0 tok/s; bf16 VPU elementwise work is far slower
+    # than the f32 chain plus its relayout. r4 scales A/B trail.)
+    if os.environ.get("TPU_LLM_SCALE_3D"):
+        # A/B: sublane-split broadcast multiply instead of materializing
+        # the repeated scale plane (r2 measured the 2D repeat faster for
+        # per-32 q4_0; per-16 kinds double the repeat input so re-check)
+        w = (vals.reshape(nb, tk // nb, tn).astype(jnp.float32)
+             * _scale_f32(s_ref)[:, None, :]).reshape(tk, tn)
+    else:
+        s = jnp.repeat(_scale_f32(s_ref), tk // nb, axis=0)  # (tk, tn) f32
+        w = vals.astype(jnp.float32) * s
+
+    x_in = x_ref[:].astype(jnp.float32)
+    if rs_ref is not None:
+        # folded norm weight: h = x_normed * w_norm applied HERE, as a
+        # (tb, tk) broadcast multiply against the streamed (1, tk) row
+        # vector — instead of 2 per-layer f32[E] weight reads outside the
+        # kernel that surfaced as ~50 latency-bound VMEM prefetch copies
+        # per step (~500us at 7B, experiments/r4_7b_norm_probe.py)
+        x_in = x_in * rs_ref[:]
+
+    def _block_sum_dot(plane_f32):
+        # Affine work on the MXU instead of a full-tile VPU pass: the
+        # contribution sum_k x[k]*p[k//block, n] = (per-block sums of x)
+        # @ p — two small matmuls replacing a (tk, tn) broadcast-add
+        # (BASELINE r3: scale packing was not the lever; the affine add
+        # was). Block sums ride the MXU too, via a 0/1 group-indicator
+        # matrix (Mosaic rejects lane-splitting reshapes).
+        block = tk // plane_f32.shape[0]
+        nbp = plane_f32.shape[0]
+        kio = jax.lax.broadcasted_iota(jnp.int32, (tk, nbp), 0)
+        gio = jax.lax.broadcasted_iota(jnp.int32, (tk, nbp), 1)
+        grp = (kio // block == gio).astype(jnp.float32)
+        xg = jax.lax.dot_general(
+            x_in, grp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # (tb, nbp)
+        return jax.lax.dot_general(
+            xg, plane_f32, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     mins_acc = None
     if m_ref is not None and not mins_mxu:
         w = w + jnp.repeat(_scale_f32(m_ref), tk // nb, axis=0)
     elif m_ref is not None:
-        # Mins as MXU work instead of a full-tile VPU add: the affine
-        # contribution is sum_k x[k]*m[k//block, n] = (per-block sums of
-        # x) @ m — a (tb, tk/block) x (tk/block, tn) matmul, 1/block the
-        # MACs, replacing the (tk, tn) broadcast-add that kept the q4_1/
-        # q4_K kernels VPU-bound (BASELINE r3: scale packing was not the
-        # lever; the affine add was).
-        block = tk // nb
-        xg = jnp.sum(
-            x_ref[:].astype(jnp.float32).reshape(-1, nb, block), axis=2)
-        mins_acc = jax.lax.dot_general(
-            xg, _scale_f32(m_ref), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        mins_acc = _block_sum_dot(_scale_f32(m_ref))
+    elif kind == "q6_kp":
+        # the deferred -32 recentering: -32 * sum_k x[k] * s[k//16, n]
+        mins_acc = _block_sum_dot(_scale_f32(s_ref) * (-32.0))
     if acc_dtype == jnp.float32:
         # f32 mode (reference-parity): HIGHEST so dequantized values
         # aren't silently rounded to bf16 in the MXU — 6 passes, exact.
         acc = jnp.dot(
-            x_ref[:].astype(jnp.float32), w,
+            x_in, w,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -114,7 +163,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
         # Numerics: round_bf16(q * s_f32) — at least as accurate as the
         # previous q_bf16 * s_bf16.
         acc = jax.lax.dot_general(
-            x_ref[:].astype(jnp.float32), w,
+            x_in, w,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
@@ -237,7 +286,7 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
 
 
 _PALLAS_KINDS = ("q4_0", "q8_0", "q4_0i4", "q4_1", "q5_0", "q5_1",
-                 "q2_k", "q3_k", "q6_k")
+                 "q2_k", "q3_k", "q6_k", "q6_kp")
 
 
 def _tile_params(qt: QTensor) -> dict:
@@ -250,8 +299,12 @@ def _tile_params(qt: QTensor) -> dict:
     block = K // qt.scales.shape[-2]
     planes = 1 if qt.mins is None else 2
     return {
-        # int4 planes (q4_0i4) stay 2-per-byte in VMEM (E(4) layout)
-        "packed_itemsize": 0.5 if qt.kind in ("q4_0", "q4_1", "q4_0i4") else 1.0,
+        # int4 planes (q4_0i4) stay 2-per-byte in VMEM (E(4) layout).
+        # q6_kp: ql is nibble-packed; its qh plane (tk/4 rows of uint8 =
+        # 8 bytes per 32 weights) happens to weigh exactly like a second
+        # f32 per-16 plane, so the planes=2 scale term models it.
+        "packed_itemsize": 0.5 if qt.kind in ("q4_0", "q4_1", "q4_0i4",
+                                              "q6_kp") else 1.0,
         "scale_itemsize": float(jnp.dtype(qt.scales.dtype).itemsize)
         * planes * (32.0 / block),
     }
@@ -284,13 +337,20 @@ def qmatmul_pallas(
     *,
     acc_dtype=None,
     out_dtype=None,
+    row_scale: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """x: (..., K) @ QTensor (K, N) -> (..., N).
 
     acc_dtype defaults to the activation dtype's natural mode: bf16
     activations dequantize + dot in bf16 (single MXU pass, f32 accum);
-    f32 activations get the exact f32/HIGHEST path (reference parity)."""
+    f32 activations get the exact f32/HIGHEST path (reference parity).
+
+    ``row_scale`` (K,) f32 multiplies x elementwise INSIDE the kernel —
+    the folded rmsnorm weight (models/llama._block). It streams as a
+    (1, tk) pipelined operand instead of a separate per-layer weight
+    read, which at 32-layer scale surfaced as ~50 latency-bound VMEM
+    prefetch copies per decode step (experiments/r4_7b_norm_probe.py)."""
     if acc_dtype is None:
         acc_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     *lead, K = x.shape
@@ -311,7 +371,7 @@ def qmatmul_pallas(
                          **_tile_params(qt))
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")
-    qrow = tk // 2 if qt.kind in ("q4_0", "q4_1") else tk
+    qrow = tk // 2 if qt.kind in ("q4_0", "q4_1", "q6_kp") else tk
     qbytes = qt.q.size // 2 if qt.kind == "q4_0i4" else qt.q.size
     block = K // qt.scales.shape[-2]
     scale_spec = pl.BlockSpec((tk // block, tn), lambda b, n, k: (k, n),
@@ -325,15 +385,28 @@ def qmatmul_pallas(
     scale_bytes = qt.scales.size * qt.scales.dtype.itemsize
     if qt.mins is not None:
         operands.append(qt.mins)
-        in_specs.append(scale_spec)
-        scale_bytes *= 2
+        if qt.kind == "q6_kp":
+            # the qh 2-bit plane (K/4, N) uint8, not a scale-shaped plane
+            in_specs.append(pl.BlockSpec((tk // 4, tn), lambda b, n, k: (k, n),
+                                         memory_space=pltpu.VMEM))
+            scale_bytes += qt.mins.size
+        else:
+            in_specs.append(scale_spec)
+            scale_bytes *= 2
+    if row_scale is not None:
+        assert row_scale.shape[-1] == K, (row_scale.shape, K)
+        operands.append(row_scale.astype(jnp.float32).reshape(1, K))
+        in_specs.append(pl.BlockSpec((1, tk), lambda b, n, k: (0, k),
+                                     memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, tk=tk, tn=tn, kind=qt.kind,
                           acc_dtype=acc_dtype,
                           # A/B escape hatch: TPU_LLM_MINS_VPU=1 restores
                           # the broadcast-add affine path
-                          mins_mxu=not os.environ.get("TPU_LLM_MINS_VPU")),
+                          mins_mxu=not os.environ.get("TPU_LLM_MINS_VPU"),
+                          has_mins=qt.mins is not None,
+                          has_row_scale=row_scale is not None),
         grid=(-(-rows // tb), -(-N // tn), K // tk),
         out_shape=jax.ShapeDtypeStruct((rows, N), jnp.float32),
         in_specs=in_specs,

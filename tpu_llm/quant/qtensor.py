@@ -26,6 +26,7 @@ Repacking from the ggml on-disk byte order is a pure transpose host-side
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -42,17 +43,18 @@ class QTensor:
     scales: jax.Array     # (..., K//block, N); block = 32 (_0/_1 kinds and
     #                       folded q4_K/q5_K) or 16 (folded q2/q3/q6_K)
     kind: str             # "q4_0" | "q8_0" | "q4_0i4" | "q4_1" | "q5_0" |
-    #                       "q5_1" | "q2_k" | "q3_k" | "q6_k"
+    #                       "q5_1" | "q2_k" | "q3_k" | "q6_k" | "q6_kp"
     #                       (q4_K loads AS q4_1, q5_K AS q5_1 — the 2-level
     #                       superblock scales fold into flat planes at load)
-    # affine kinds only: per-block offset m (value = q*scale + m), same
-    # plane layout as scales
+    # affine kinds: per-block offset m (value = q*scale + m), same plane
+    # layout as scales. For "q6_kp" this slot instead carries the qh
+    # 2-bit plane (K/4, N) uint8 — see pack_q6_k.
     mins: Optional[jax.Array] = None
 
     @property
     def shape(self) -> Tuple[int, ...]:
         *lead, kq, n = self.q.shape
-        k = kq * 2 if self.kind in ("q4_0", "q4_1") else kq
+        k = kq * 2 if self.kind in ("q4_0", "q4_1", "q6_kp") else kq
         return (*lead, k, n)
 
     @property
@@ -280,7 +282,14 @@ def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) 
                        mins=jnp.asarray(mins))
     if ggml_type == gg.GGML_Q6_K:
         q, scales = _split_ggml_q6_k(raw, rows, row_len)
-        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q6_k")
+        qt = QTensor(jnp.asarray(q), jnp.asarray(scales), "q6_k")
+        if os.environ.get("TPU_LLM_Q6K_PACK"):
+            # capacity option: 1.0 B/weight at rest instead of 1.25 (20%
+            # less HBM) at a measured ~1% decode cost (454.1 vs 457.7
+            # tok/s TinyLlama b1, experiments/r4_q6kp.py) — the unpack
+            # VPU work eats the bandwidth win, so int8 stays the default
+            return pack_q6_k(qt)
+        return qt
     if ggml_type == gg.GGML_Q3_K:
         q, scales = _split_ggml_q3_k(raw, rows, row_len)
         return QTensor(jnp.asarray(q), jnp.asarray(scales), "q3_k")
@@ -425,6 +434,30 @@ def unpack_q4_unsigned(q: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
 
 
+def pack_q6_k(qt: QTensor) -> QTensor:
+    """int8-plane q6_k -> the true 6-bit device layout "q6_kp": 1.0
+    byte/weight at rest instead of 1.25 (int8 plane + f32 per-16 scales
+    streamed 1.25 B/w capped Q6_K decode at ~79% of an inflated roofline;
+    the packed layout moves the bound itself).
+
+    ql (K/2, N) uint8 holds block-local nibble pairs — byte j of each
+    32-row block packs rows j (low nibble) and j+16 (high nibble), the
+    q4_0 convention, so the kernel unpack is the same reshape+concat.
+    qh (K/4, N) uint8 rides the ``mins`` slot — byte j of a block holds
+    the high 2 bits of rows j, j+8, j+16, j+24 at bit positions 0/2/4/6.
+    value = (lo | (hi << 4)) - 32, scales unchanged (per-16)."""
+    assert qt.kind == "q6_k", qt.kind
+    K, N = qt.q.shape[-2], qt.q.shape[-1]
+    u = qt.q.astype(jnp.int32) + 32              # [0, 63]
+    b = u.reshape(K // 32, 32, N)
+    lo = b & 0x0F
+    ql = (lo[:, :16] | (lo[:, 16:] << 4)).astype(jnp.uint8).reshape(K // 2, N)
+    hi = b >> 4                                  # [0, 3]
+    qh = (hi[:, 0:8] | (hi[:, 8:16] << 2) | (hi[:, 16:24] << 4)
+          | (hi[:, 24:32] << 6)).astype(jnp.uint8).reshape(K // 4, N)
+    return QTensor(q=ql, scales=qt.scales, kind="q6_kp", mins=qh)
+
+
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the logical (.., K, N) weight (XLA ops, any backend).
 
@@ -433,10 +466,20 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     value plane. The scale block size is K // scales_rows (32 for the
     _0/_1 kinds and folded q4_K/q5_K, 16 for folded q2/q3/q6_K), and a
     ``mins`` plane — when present — adds the affine offset."""
+    affine = qt.mins is not None
     if qt.kind == "q4_0":
         vals = unpack_q4(qt.q).astype(dtype)
     elif qt.kind == "q4_1":
         vals = unpack_q4_unsigned(qt.q).astype(dtype)
+    elif qt.kind == "q6_kp":
+        lo = unpack_q4_unsigned(qt.q).astype(jnp.int32)
+        *lead, kq4, n = qt.mins.shape            # qh plane (K/4, N)
+        hb = qt.mins.reshape(*lead, kq4 // 8, 8, n).astype(jnp.int32)
+        hi = jnp.concatenate(
+            [hb & 3, (hb >> 2) & 3, (hb >> 4) & 3, (hb >> 6) & 3],
+            axis=-2).reshape(*lead, kq4 * 4, n)
+        vals = ((lo | (hi << 4)) - 32).astype(dtype)
+        affine = False                           # mins slot is qh, not m
     elif qt.kind in ("q8_0", "q4_0i4", "q5_0", "q5_1",
                      "q2_k", "q3_k", "q6_k"):
         vals = qt.q.astype(dtype)
@@ -447,7 +490,7 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     rep = lambda p: jnp.repeat(unpack_scales_f16(p, dtype), k // nblocks,
                                axis=-2)
     out = vals * rep(qt.scales)
-    if qt.mins is not None:
+    if affine:
         out = out + rep(qt.mins)
     return out
 

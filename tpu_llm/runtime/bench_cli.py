@@ -14,6 +14,7 @@ return before device work completes.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import time
 
@@ -114,7 +115,12 @@ def _synth_qtensor(key, K, N, kind):
             return QTensor(q=q, scales=scales, kind="q4_1", mins=mins)
         q = jax.random.randint(kq, (K, N), -32, 32, jnp.int32).astype(jnp.int8)
         scales = jax.random.uniform(ks, (K // 16, N), jnp.float32, 0.001, 0.01)
-        return QTensor(q=q, scales=scales, kind="q6_k")
+        qt = QTensor(q=q, scales=scales, kind="q6_k")
+        if os.environ.get("TPU_LLM_Q6K_PACK"):      # loader's capacity option
+            from tpu_llm.quant.qtensor import pack_q6_k
+
+            return pack_q6_k(qt)
+        return qt
     if kind == "q4_0":
         q = jax.random.randint(kq, (K // 2, N), 0, 256,
                                jnp.int32).astype(jnp.uint8)
