@@ -170,3 +170,59 @@ if __name__ == "__main__":
         build_kq(out)
     else:
         build(out, quant="--q4" in sys.argv)
+
+
+def build_moe(path: str, seed: int = 3, quant: bool = False,
+              split_names: bool = False):
+    """Tiny Mixtral-style MoE llama: 2 layers, 4 experts top-2.
+    ``split_names`` writes the legacy per-expert tensors
+    (blk.N.ffn_gate.{e}.weight) instead of the stacked *_exps form."""
+    rng = np.random.default_rng(seed)
+    dim, hidden, L, H, KVH, V, EX = 64, 96, 2, 4, 2, 32, 4
+    kv = dim // H * KVH
+    s = lambda *sh: (rng.standard_normal(sh) * 0.08).astype(np.float32)
+
+    tokens = ["<unk>", "<s>", "</s>", "▁", "a", "b", "c", "▁ab", "ab", "bc",
+              "▁abc"] + [f"tok{i}" for i in range(V - 11)]
+    meta = {
+        "general.architecture": "llama",
+        "llama.block_count": L,
+        "llama.embedding_length": dim,
+        "llama.feed_forward_length": hidden,
+        "llama.attention.head_count": H,
+        "llama.attention.head_count_kv": KVH,
+        "llama.context_length": 128,
+        "llama.expert_count": EX,
+        "llama.expert_used_count": 2,
+        "llama.rope.freq_base": 10000.0,
+        "llama.attention.layer_norm_rms_epsilon": 1e-5,
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": np.zeros(V, np.float32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    wt = (lambda a: (a, gg.GGML_Q4_0)) if quant else (lambda a: a)
+    tensors = {
+        "token_embd.weight": s(V, dim),
+        "output_norm.weight": 1.0 + 0.1 * s(dim),
+        "output.weight": wt(s(V, dim)),
+    }
+    for i in range(L):
+        tensors[f"blk.{i}.attn_norm.weight"] = 1.0 + 0.1 * s(dim)
+        tensors[f"blk.{i}.ffn_norm.weight"] = 1.0 + 0.1 * s(dim)
+        tensors[f"blk.{i}.attn_q.weight"] = wt(s(dim, dim))
+        tensors[f"blk.{i}.attn_k.weight"] = wt(s(kv, dim))
+        tensors[f"blk.{i}.attn_v.weight"] = wt(s(kv, dim))
+        tensors[f"blk.{i}.attn_output.weight"] = wt(s(dim, dim))
+        tensors[f"blk.{i}.ffn_gate_inp.weight"] = s(EX, dim)
+        if split_names:
+            for e in range(EX):
+                tensors[f"blk.{i}.ffn_gate.{e}.weight"] = wt(s(hidden, dim))
+                tensors[f"blk.{i}.ffn_up.{e}.weight"] = wt(s(hidden, dim))
+                tensors[f"blk.{i}.ffn_down.{e}.weight"] = wt(s(dim, hidden))
+        else:
+            tensors[f"blk.{i}.ffn_gate_exps.weight"] = wt(s(EX, hidden, dim))
+            tensors[f"blk.{i}.ffn_up_exps.weight"] = wt(s(EX, hidden, dim))
+            tensors[f"blk.{i}.ffn_down_exps.weight"] = wt(s(EX, dim, hidden))
+    gg.write_gguf(path, meta, tensors)
+    print(f"wrote {path}")

@@ -1,0 +1,221 @@
+"""Mixture-of-experts (Mixtral-family) — router semantics, GGUF loading
+(stacked *_exps and legacy split tensors, dense + q4_0), decode/prefill
+path parity, and EP sharding.
+
+The reference has no MoE; this extends the llama-family surface to the
+GGUF releases llama.cpp ships (llama.expert_count metadata). Router
+semantics follow llama.cpp build_moe_ffn for LLM_ARCH_LLAMA: softmax over
+all experts, top-k, selected weights renormalized to sum 1.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.make_tiny_gguf import build_moe
+from tpu_llm.config import LlamaConfig
+from tpu_llm.models import llama as M
+
+
+def _np_moe_ffn(x, router, w1e, w3e, w2e, k):
+    """Independent numpy transcription of the Mixtral FFN."""
+    B, T, E = x.shape
+    logits = x @ router                                  # (B, T, Ex)
+    z = logits - logits.max(-1, keepdims=True)
+    probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+    order = np.argsort(-probs, axis=-1)[..., :k]
+    out = np.zeros_like(x)
+    for b in range(B):
+        for t in range(T):
+            sel = order[b, t]
+            w = probs[b, t, sel]
+            w = w / w.sum()
+            for j, e in enumerate(sel):
+                h = x[b, t] @ w1e[e]
+                u = x[b, t] @ w3e[e]
+                g = h / (1.0 + np.exp(-h)) * u           # SiLU gate * up
+                out[b, t] += w[j] * (g @ w2e[e])
+    return out
+
+
+def _rand_moe(seed=0, EX=4, E=16, F=24, k=2):
+    rng = np.random.default_rng(seed)
+    s = lambda *sh: (rng.standard_normal(sh) * 0.3).astype(np.float32)
+    return (s(2, 3, E), s(E, EX), s(EX, E, F), s(EX, E, F), s(EX, F, E))
+
+
+def test_moe_ffn_matches_numpy_oracle():
+    x, router, w1e, w3e, w2e = _rand_moe()
+    cfg = LlamaConfig(dim=16, hidden_dim=24, n_layers=1, n_heads=2,
+                      n_kv_heads=2, vocab_size=8, n_experts=4,
+                      n_experts_used=2)
+    lp = {"router": jnp.asarray(router), "w1e": jnp.asarray(w1e),
+          "w3e": jnp.asarray(w3e), "w2e": jnp.asarray(w2e)}
+    got = np.asarray(M._moe_ffn(cfg, jnp.asarray(x), lp))
+    ref = _np_moe_ffn(x, router, w1e, w3e, w2e, 2)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_moe_decode_gather_matches_dense_masked():
+    """The single-token gathered-expert path and the all-experts masked
+    path must produce identical outputs."""
+    x, router, w1e, w3e, w2e = _rand_moe(seed=1)
+    cfg = LlamaConfig(dim=16, hidden_dim=24, n_layers=1, n_heads=2,
+                      n_kv_heads=2, vocab_size=8, n_experts=4,
+                      n_experts_used=2)
+    lp = {"router": jnp.asarray(router), "w1e": jnp.asarray(w1e),
+          "w3e": jnp.asarray(w3e), "w2e": jnp.asarray(w2e)}
+    single = jnp.asarray(x[:1, :1])                     # B*T == 1: gather
+    got_g = np.asarray(M._moe_ffn(cfg, single, lp))
+    got_d = np.asarray(M._moe_ffn(cfg, jnp.asarray(x), lp))[:1, :1]
+    np.testing.assert_allclose(got_g, got_d, rtol=2e-5, atol=2e-5)
+
+
+def test_moe_router_top_k_renormalized():
+    """Hand-built router: expert 1 and 3 dominate; gate weights must be
+    the softmax probs of those two renormalized to sum 1."""
+    cfg = LlamaConfig(dim=4, hidden_dim=4, n_layers=1, n_heads=2,
+                      n_kv_heads=2, vocab_size=8, n_experts=4,
+                      n_experts_used=2)
+    E, EX, F = 4, 4, 4
+    # router logits fixed: x = e0 -> logits [0, 2, 0, 1]
+    router = np.zeros((E, EX), np.float32)
+    router[0] = [0.0, 2.0, 0.0, 1.0]
+    # expert e outputs constant vector e+1 (w1 saturates the gate)
+    w1e = np.full((EX, E, F), 8.0, np.float32)
+    w3e = np.ones((EX, E, F), np.float32)
+    w2e = np.stack([np.full((F, E), (e + 1) / 4.0, np.float32)
+                    for e in range(EX)])
+    lp = {"router": jnp.asarray(router), "w1e": jnp.asarray(w1e),
+          "w3e": jnp.asarray(w3e), "w2e": jnp.asarray(w2e)}
+    x = np.zeros((1, 1, E), np.float32)
+    x[0, 0, 0] = 1.0
+    got = np.asarray(M._moe_ffn(cfg, jnp.asarray(x), lp))
+    p = np.exp([0.0, 2.0, 0.0, 1.0])
+    p /= p.sum()
+    w1_, w3_ = p[1], p[3]
+    wn1, wn3 = w1_ / (w1_ + w3_), w3_ / (w1_ + w3_)
+    # x @ w1e = 8, silu(8) ~ 8 * sigmoid(8); up = 1 -> mid ~ 7.997...
+    mid = 8.0 / (1.0 + np.exp(-8.0))
+    expect = mid * F * (wn1 * 2 / 4 + wn3 * 4 / 4)
+    np.testing.assert_allclose(got[0, 0], np.full(E, expect), rtol=1e-4)
+
+
+@pytest.mark.parametrize("quant,split", [(False, False), (True, False),
+                                         (False, True)])
+def test_moe_gguf_load_and_decode(tmp_path, quant, split):
+    path = str(tmp_path / "moe.gguf")
+    build_moe(path, quant=quant, split_names=split)
+    policy = "native" if quant else "f32"
+    params, cfg = M.load_gguf(path, dtype_policy=policy)
+    assert cfg.n_experts == 4 and cfg.n_experts_used == 2
+    lp0 = jax.tree_util.tree_map(lambda a: a, params["layers"])
+    cache = M.init_cache(cfg, 1, 16)
+    tok = jnp.asarray([4], jnp.int32)
+    logits, cache = M.decode_step(params, cfg, tok, cache,
+                                  jnp.asarray(0, jnp.int32))
+    assert logits.shape == (1, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    # prefill path (batched masked combine) agrees with step-by-step
+    tokens = jnp.asarray([[4, 7, 9]], jnp.int32)
+    cache2 = M.init_cache(cfg, 1, 16)
+    hidden, cache2 = M.forward(params, cfg, tokens, cache2,
+                               jnp.asarray(0, jnp.int32))
+    step_cache = M.init_cache(cfg, 1, 16)
+    for i, t in enumerate([4, 7, 9]):
+        lg, step_cache = M.decode_step(params, cfg, jnp.asarray([t]),
+                                       step_cache, jnp.asarray(i, jnp.int32))
+    last = M.lm_head(params, cfg, hidden[:, -1:, :])[:, 0, :]
+    np.testing.assert_allclose(np.asarray(last), np.asarray(lg),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_moe_quant_load_close_to_f32(tmp_path):
+    path = str(tmp_path / "moe_q.gguf")
+    build_moe(path, quant=True)
+    p32, cfg = M.load_gguf(path, dtype_policy="f32")
+    pq, _ = M.load_gguf(path, dtype_policy="native")
+    from tpu_llm.quant.qtensor import QTensor
+
+    assert isinstance(pq["layers"]["w1e"], QTensor)
+    assert pq["layers"]["w1e"].q.ndim == 4      # (L, Ex, K/2, F)
+    tok = jnp.asarray([5], jnp.int32)
+    outs = []
+    for p in (p32, pq):
+        cache = M.init_cache(cfg, 1, 16)
+        lg, _ = M.decode_step(p, cfg, tok, cache, jnp.asarray(0, jnp.int32))
+        outs.append(np.asarray(lg))
+    # same q4_0 bytes dequantized two ways: tight agreement
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
+
+
+def test_moe_ep_sharding_parity():
+    """Expert-parallel: stacked expert weights sharded over the "expert"
+    mesh axis produce the same logits as the unsharded model."""
+    from tpu_llm.parallel import (llama_param_specs, make_mesh,
+                                  shard_pytree)
+
+    cfg = LlamaConfig(dim=16, hidden_dim=32, n_layers=2, n_heads=2,
+                      n_kv_heads=2, vocab_size=64, seq_len=16,
+                      n_experts=4, n_experts_used=2)
+    rng = np.random.default_rng(5)
+    s = lambda *sh: jnp.asarray((rng.standard_normal(sh) * 0.1)
+                                .astype(np.float32))
+    L, E, F, V, EX = 2, 16, 32, 64, 4
+    params = {
+        "tok_emb": s(V, E), "final_norm": s(E) + 1.0, "wcls": s(E, V),
+        "layers": {
+            "attn_norm": s(L, E) + 1.0, "ffn_norm": s(L, E) + 1.0,
+            "wq": s(L, E, E), "wk": s(L, E, E), "wv": s(L, E, E),
+            "wo": s(L, E, E), "router": s(L, E, EX),
+            "w1e": s(L, EX, E, F), "w3e": s(L, EX, E, F),
+            "w2e": s(L, EX, F, E),
+        },
+    }
+    tokens = jnp.asarray([[3, 9, 27, 5]], jnp.int32)
+
+    def run(p):
+        cache = M.init_cache(cfg, 1, cfg.seq_len)
+        hidden, _ = M.forward(p, cfg, tokens, cache, jnp.asarray(0, jnp.int32))
+        return np.asarray(M.lm_head(p, cfg, hidden))
+
+    ref = run(params)
+    mesh = make_mesh(data=1, model=2, expert=2)
+    specs = llama_param_specs(cfg, params=params)
+    p_sh = shard_pytree(params, specs, mesh)
+    got = run(p_sh)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_serves_through_batch_engine(tmp_path, capsys):
+    """MoE GGUFs serve through llm-serve: batched slots run the dense-
+    masked combine; output matches the single-stream CLI decode."""
+    import json
+
+    from tpu_llm.runtime.serve_cli import main
+
+    path = str(tmp_path / "moe.gguf")
+    build_moe(path)
+    capsys.readouterr()
+    assert main(["-m", path, "-p", "abc", "-p", "ab", "-n", "5",
+                 "--batch", "2"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")]
+    assert len(rows) == 2 and all(r["n_tokens"] == 5 for r in rows)
+
+    from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+    params, cfg = M.load_gguf(path)
+    eng = Engine(params, ModelAdapter.llama(cfg, bos_id=1),
+                 max_seq=cfg.seq_len)
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+    from tpu_llm.io.gguf import GGUFFile
+
+    tok = BPETokenizer.from_gguf(GGUFFile(path))
+    ids = tok.encode("abc")
+    res = eng.generate(ids, n_new=5)        # engine prepends BOS itself
+    new = res.tokens[len(res.tokens) - 5:]
+    text = tok.decode(new).decode("utf-8", "replace")
+    assert rows[0]["completion"] == text

@@ -69,6 +69,12 @@ class LlamaConfig:
     rope_scaling_type: str = "none"     # "none" | "linear" | "yarn"
     rope_scaling_factor: float = 1.0
     rope_orig_ctx: int = 0              # yarn original_context_length
+    # Mixture-of-experts (Mixtral-family GGUFs: llama.expert_count /
+    # expert_used_count; 0 = dense FFN). Top-k router over softmaxed
+    # logits, selected weights renormalized to sum 1 (llama.cpp
+    # build_moe_ffn with norm_w for LLM_ARCH_LLAMA).
+    n_experts: int = 0
+    n_experts_used: int = 2
 
     @property
     def head_dim(self) -> int:

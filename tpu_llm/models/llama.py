@@ -288,6 +288,74 @@ def _use_flash_fused(q, kc) -> bool:
             and S % chunk == 0 and S % gr == 0 and chunk % gr == 0)
 
 
+def _expert_slice(w, e):
+    """Expert ``e``'s (K, N) weight out of the stacked (Ex, K, N) planes.
+    ``e`` may be a traced scalar (decode's gathered-expert path) or a
+    python int (the unrolled all-experts loop)."""
+    from tpu_llm.quant.qtensor import QTensor, qmap
+
+    take = lambda p: (p[e] if isinstance(e, int)
+                      else jax.lax.dynamic_index_in_dim(p, e, 0, False))
+    if isinstance(w, QTensor):
+        return qmap(take, w)
+    return take(w)
+
+
+def _moe_ffn(cfg: LlamaConfig, x, lp, rs_ffn=None):
+    """Mixture-of-experts FFN (Mixtral family, SURVEY scope extension).
+
+    Router: softmax over all experts, top-k, selected weights
+    renormalized to sum 1 (llama.cpp build_moe_ffn norm_w semantics for
+    LLM_ARCH_LLAMA; HF Mixtral does the same).
+
+    Two compute strategies, chosen by token count:
+    - single-token decode: GATHER the k selected experts' stacked weight
+      planes by traced index and run k FFNs — HBM reads scale with k,
+      not n_experts (the TPU analogue of llama.cpp's per-token expert
+      dispatch).
+    - prefill / batched: the dense-masked form — every expert processes
+      every token, outputs combined by the (B, T, Ex) gate matrix. With
+      tokens >> experts all experts are live anyway, the all-expert
+      einsum keeps the MXU on large matmuls (no dynamic shapes), and the
+      stacked expert weights shard over the mesh "expert" axis (EP) with
+      GSPMD inserting the combine psum.
+    """
+    B, T, E = x.shape
+    k = cfg.n_experts_used
+    act = gelu if cfg.act == "gelu" else silu
+    logits = matmul(x, lp["router"], out_dtype=jnp.float32,
+                    row_scale=rs_ffn)                     # (B, T, Ex)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, k)                  # (B, T, k)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+
+    def expert_ffn(w1, w3, w2, xin):
+        g = matmul(xin, w1, row_scale=rs_ffn)
+        u = matmul(xin, w3, row_scale=rs_ffn)
+        return matmul(act(g) * u, w2)
+
+    if B * T == 1:
+        out = jnp.zeros((B, T, E), jnp.float32)
+        for j in range(k):
+            e = topi.reshape(-1)[j]
+            y = expert_ffn(_expert_slice(lp["w1e"], e),
+                           _expert_slice(lp["w3e"], e),
+                           _expert_slice(lp["w2e"], e), x)
+            out = out + y.astype(jnp.float32) * topw.reshape(-1)[j]
+        return out.astype(x.dtype)
+
+    gates = jnp.sum(
+        jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
+        * topw[..., None], axis=-2)                       # (B, T, Ex)
+    out = jnp.zeros((B, T, E), jnp.float32)
+    for e in range(cfg.n_experts):
+        y = expert_ffn(_expert_slice(lp["w1e"], e),
+                       _expert_slice(lp["w3e"], e),
+                       _expert_slice(lp["w2e"], e), x)
+        out = out + y.astype(jnp.float32) * gates[..., e][..., None]
+    return out.astype(x.dtype)
+
+
 def _kv_window(cache, w: int):
     """Static window view of the first ``w`` cache slots (token axis).
     Attention over the window equals full-cache attention whenever every
@@ -390,6 +458,11 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
         mlp_in, rs_ffn = _norm_folded(cfg, x, lp, "ffn")
 
     with jax.named_scope("ffn"):
+        if cfg.n_experts:
+            mlp_out = _moe_ffn(cfg, mlp_in, lp, rs_ffn)
+            if cfg.parallel_block:
+                return x + attn_out + mlp_out, kc, vc
+            return x + mlp_out, kc, vc
         if cfg.gated_mlp and "w13" in lp and _use_ffn_megakernel(cfg, x, lp):
             from tpu_llm.quant.pallas_ffn import ffn_fused_pallas
 
@@ -648,7 +721,10 @@ def config_from_gguf(gguf) -> LlamaConfig:
     if scaling_type not in ("none", "linear", "yarn"):
         raise ValueError(
             f"unsupported rope scaling type {scaling_type!r} in {arch} GGUF")
+    n_experts = int(g("expert_count", 0) or 0)
     return LlamaConfig(
+        n_experts=n_experts,
+        n_experts_used=int(g("expert_used_count", 2) or 2) if n_experts else 2,
         dim=dim,
         hidden_dim=g("feed_forward_length"),
         n_layers=g("block_count"),
@@ -703,6 +779,46 @@ def _load_weight(gguf, name: str, dtype_policy: str, transpose: bool = True):
     return out
 
 
+def _load_expert_weight(gguf, name: str, dtype_policy: str):
+    """Stacked expert tensor ``blk.N.ffn_*_exps.weight`` (ggml 3D: one
+    quantized 2D weight per expert, expert-major) -> (Ex, K, N) dense
+    array or QTensor with a leading expert axis. Falls back to the legacy
+    per-expert split names (``blk.N.ffn_*.{e}.weight``, early Mixtral
+    GGUFs) when the stacked tensor is absent."""
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.quant.qtensor import QTensor, qmap, qtensor_from_ggml
+
+    if name in gguf:
+        t = gguf.tensors[name]
+        n_exp, rows, row_len = t.shape  # numpy shape (Ex, N_out, K)
+        if dtype_policy == "native" and t.ggml_type in (
+            gg.GGML_Q4_0, gg.GGML_Q4_1, gg.GGML_Q5_0, gg.GGML_Q5_1,
+            gg.GGML_Q8_0, gg.GGML_Q2_K, gg.GGML_Q3_K, gg.GGML_Q4_K,
+            gg.GGML_Q5_K, gg.GGML_Q6_K,
+        ):
+            raw = gguf.raw(name).reshape(n_exp, -1)
+            qts = [qtensor_from_ggml(t.ggml_type, raw[e], rows, row_len)
+                   for e in range(n_exp)]
+            return qmap(lambda *ps: jnp.stack(ps), *qts)
+        w = gguf.dequantized(name, np.float32)        # (Ex, N, K)
+        out = jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)))
+        if dtype_policy in ("bf16", "native"):
+            out = out.astype(jnp.bfloat16)
+        return out
+    # legacy split names
+    base = name.replace("_exps.weight", "")
+    parts = []
+    e = 0
+    while f"{base}.{e}.weight" in gguf:
+        parts.append(_load_weight(gguf, f"{base}.{e}.weight", dtype_policy))
+        e += 1
+    if not parts:
+        raise KeyError(f"missing expert tensor {name}")
+    if isinstance(parts[0], QTensor):
+        return qmap(lambda *ps: jnp.stack(ps), *parts)
+    return jnp.stack(parts)
+
+
 def _stack(ws):
     from tpu_llm.quant.qtensor import QTensor
 
@@ -755,9 +871,17 @@ def load_gguf(
     else:
         params["wcls"] = None  # tied embeddings (lm_head falls back)
 
-    layers: Dict[str, list] = {k: [] for k in _LAYER_TENSORS}
+    tensor_map = dict(_LAYER_TENSORS)
+    if cfg.n_experts:
+        # Mixtral-family MoE: router + stacked expert FFNs replace the
+        # dense gate/up/down
+        for k in ("w1", "w3", "w2"):
+            tensor_map.pop(k)
+    layers: Dict[str, list] = {k: [] for k in tensor_map}
     layers["attn_norm"] = []
     layers["ffn_norm"] = []
+    if cfg.n_experts:
+        layers.update(router=[], w1e=[], w3e=[], w2e=[])
     for i in range(cfg.n_layers):
         layers["attn_norm"].append(jnp.asarray(
             norm_off + gguf.dequantized(f"blk.{i}.attn_norm.weight",
@@ -765,8 +889,17 @@ def load_gguf(
         layers["ffn_norm"].append(jnp.asarray(
             norm_off + gguf.dequantized(f"blk.{i}.ffn_norm.weight",
                                         np.float32)))
-        for key, pat in _LAYER_TENSORS.items():
+        for key, pat in tensor_map.items():
             layers[key].append(_load_weight(gguf, pat.format(i=i), dtype_policy))
+        if cfg.n_experts:
+            layers["router"].append(_load_weight(
+                gguf, f"blk.{i}.ffn_gate_inp.weight", dtype_policy))
+            layers["w1e"].append(_load_expert_weight(
+                gguf, f"blk.{i}.ffn_gate_exps.weight", dtype_policy))
+            layers["w3e"].append(_load_expert_weight(
+                gguf, f"blk.{i}.ffn_up_exps.weight", dtype_policy))
+            layers["w2e"].append(_load_expert_weight(
+                gguf, f"blk.{i}.ffn_down_exps.weight", dtype_policy))
         # QKV biases (qwen2): 1D, dense f32, additive in the block
         if f"blk.{i}.attn_q.bias" in gguf:
             for bk, name in (("bq", "attn_q"), ("bk", "attn_k"),

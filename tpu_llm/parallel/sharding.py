@@ -57,6 +57,20 @@ def llama_param_specs(cfg: LlamaConfig, pipe: bool = False,
             "w1": col, "w3": col, "w2": row,
         },
     }
+    if cfg.n_experts:
+        # MoE (SURVEY §2.3 EP row, now exercised): stacked expert weights
+        # shard their leading expert axis over "expert" — each device
+        # group holds n_experts/ep experts; the all-expert combine sum
+        # becomes the EP psum under GSPMD. TP composes on the inner axes.
+        specs["layers"].pop("w1", None)
+        specs["layers"].pop("w3", None)
+        specs["layers"].pop("w2", None)
+        specs["layers"].update(
+            router=P(lax_, None, None),
+            w1e=P(lax_, "expert", None, "model"),
+            w3e=P(lax_, "expert", None, "model"),
+            w2e=P(lax_, "expert", "model", None),
+        )
     if cfg.use_layernorm:
         specs["final_norm_b"] = rep1
         specs["layers"]["attn_norm_b"] = repL

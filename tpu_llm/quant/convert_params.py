@@ -94,6 +94,11 @@ def unpack_params_int4(params, pack_scales=False):
     def leaf(x):
         if not isinstance(x, QTensor):
             return x
+        if x.q.ndim > 2:
+            # stacked MoE expert planes: per-token 2D slices are gathered
+            # before the matmul (llama._expert_slice); the nibble kernel
+            # handles those directly
+            return x
         x = maybe_pad_k(x)
         x = to_int4(x)
         if x.kind != "q4_0i4":

@@ -165,6 +165,50 @@ def synth_quant_llama(cfg, kind: str = "q4_0", seed: int = 0):
     }
 
 
+def _build_moe(quant: str = "q4_0"):
+    """Synthetic Mixtral-style MoE (8 experts, top-2): dim 1024, ffn 2816,
+    8 layers — the family's decode regime at single-chip scale. Decode
+    gathers the 2 selected experts' stacked planes per token
+    (models/llama._moe_ffn), so HBM reads scale with k, not n_experts."""
+    import jax
+
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.quant.qtensor import qmap
+
+    cfg = LlamaConfig(dim=1024, hidden_dim=2816, n_layers=8, n_heads=16,
+                      n_kv_heads=8, vocab_size=32000, seq_len=2048,
+                      rope_variant="neox", n_experts=8, n_experts_used=2)
+    E, F, L, V, KV, EX = (cfg.dim, cfg.hidden_dim, cfg.n_layers,
+                          cfg.vocab_size, cfg.kv_dim, cfg.n_experts)
+    key = iter(jax.random.split(jax.random.PRNGKey(0), 16 + (3 * EX + 8) * L))
+    import jax.numpy as jnp
+
+    def qt(K, N):
+        return _synth_qtensor(next(key), K, N, quant)
+
+    def qte(K, N):
+        return qmap(lambda *ps: jnp.stack(ps),
+                    *[_synth_qtensor(next(key), K, N, quant)
+                      for _ in range(EX)])
+
+    layers = [{
+        "attn_norm": jnp.ones((E,), jnp.float32),
+        "ffn_norm": jnp.ones((E,), jnp.float32),
+        "wqkv": qt(E, E + 2 * KV),
+        "wo": qt(E, E),
+        "router": (jax.random.normal(next(key), (E, EX), jnp.float32)
+                   * 0.05),
+        "w1e": qte(E, F), "w3e": qte(E, F), "w2e": qte(F, E),
+    } for _ in range(L)]
+    return {
+        "tok_emb": (jax.random.normal(next(key), (V, E), jnp.bfloat16)
+                    * 0.02),
+        "final_norm": jnp.ones((E,), jnp.float32),
+        "wcls": qt(E, V),
+        "layers": layers,
+    }, cfg
+
+
 def _build_llama2_7b(quant: str = "q4_0"):
     """Random Llama-2 7B-shaped weights (SURVEY.md §2.3: the model the PP
     axis exists for; q4_0 = ~3.5 GB packed, single-chip resident)."""
@@ -817,6 +861,20 @@ def main(argv=None) -> int:
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": None,   # reference never published phi-2 numbers
+            }), flush=True)
+            continue
+        if name.startswith("moe"):
+            quant = name[4:] or "q4_0"    # moe | moe_q4_0 | moe_q8_0
+            mo_params, mo_cfg = _build_moe(quant)
+            tok_s = _decode_tok_s(mo_params, mo_cfg, args.steps, args.batch,
+                                  min(args.max_seq, mo_cfg.seq_len),
+                                  args.prompt_len)
+            print(json.dumps({
+                "metric": (f"synthetic_moe_8e_top2_{quant}"
+                           f"_decode_tokens_per_s_per_chip"),
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": None,   # no MoE in the reference
             }), flush=True)
             continue
         if name in ("mamba", "mamba_bf16"):
