@@ -140,3 +140,52 @@ def test_unsupported_version_fails(tmp_path):
     open(path, "wb").write(bytes(data))
     with pytest.raises(Exception):
         gg.GGUFFile(path)
+
+
+def test_split_gguf_load(tmp_path):
+    """llama.cpp gguf-split multi-part checkpoints: opening shard 00001
+    merges every shard's tensors transparently (split.count metadata +
+    -NNNNN-of-NNNNN.gguf names); decode matches the single-file model."""
+    import jax.numpy as jnp
+
+    from tests.make_tiny_gguf import build
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.models import llama as M
+
+    whole = str(tmp_path / "one.gguf")
+    build(whole)
+    g = gg.GGUFFile(whole)
+    names = sorted(g.tensors)
+    half = len(names) // 2
+    parts = [names[:half], names[half:]]
+    shard_paths = [str(tmp_path / f"m-{i+1:05d}-of-00002.gguf")
+                   for i in range(2)]
+    for i, (sp, group) in enumerate(zip(shard_paths, parts)):
+        meta = ({k: v for k, v in g.metadata.items()} if i == 0
+                else {"general.architecture": "llama"})
+        meta.update({"split.no": i + 1, "split.count": 2,
+                     "split.tensors.count": len(g.tensors)})
+        tensors = {n: (g.dequantized(n, np.float32)
+                       if g.tensors[n].ggml_type != gg.GGML_F32
+                       else g.array(n))
+                   for n in group}
+        gg.write_gguf(sp, meta, tensors)
+
+    merged = gg.GGUFFile(shard_paths[0])
+    assert set(merged.tensors) == set(names)
+    p1, cfg1 = M.load_gguf(g)
+    p2, cfg2 = M.load_gguf(merged)
+    assert cfg1 == cfg2
+    tok = jnp.asarray([4], jnp.int32)
+    outs = []
+    for p in (p1, p2):
+        cache = M.init_cache(cfg1, 1, 16)
+        lg, _ = M.decode_step(p, cfg1, tok, cache, jnp.asarray(0, jnp.int32))
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
+
+    # opening a non-first shard is a clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="00001"):
+        gg.GGUFFile(shard_paths[1])

@@ -314,3 +314,32 @@ def test_from_gguf_token_type_array(tmp_path):
     assert tok.token_bytes(3 + 0xC3) == b"\xc3"
     ids = tok.encode("é€")
     assert tok.decode(ids) == "é€".encode("utf-8")
+
+
+def test_add_bos_token_metadata(tmp_path):
+    """tokenizer.ggml.add_bos_token=false (qwen2 GGUFs) must suppress the
+    BOS prepend throughout the serving stack."""
+    import json
+
+    from tests.make_tiny_gguf import build
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.runtime.serve_cli import main as serve_main
+
+    p1 = str(tmp_path / "bos.gguf")
+    build(p1)
+    tok1 = BPETokenizer.from_gguf(gg.GGUFFile(p1))
+    assert tok1.add_bos is True                    # default
+
+    p2 = str(tmp_path / "nobos.gguf")
+    build(p2, extra_meta={"tokenizer.ggml.add_bos_token": False})
+    tok2 = BPETokenizer.from_gguf(gg.GGUFFile(p2))
+    assert tok2.add_bos is False
+
+    # the serving engine sees bos_id == -1 and prompts decode one token
+    # longer context-identical streams (no silent BOS)
+    from tpu_llm.runtime.serve_cli import _load, build_parser, make_engine
+
+    args = build_parser().parse_args(["-m", p2, "-p", "abc", "-n", "2"])
+    params, cfg, tok = _load(args)
+    eng = make_engine(args, params, cfg, tok, 64)
+    assert eng.bos_id == -1

@@ -152,9 +152,14 @@ class _Reader:
 
 
 class GGUFFile:
-    """Parsed GGUF file with memory-mapped tensor access."""
+    """Parsed GGUF file with memory-mapped tensor access.
 
-    def __init__(self, path: str):
+    Multi-part checkpoints (llama.cpp gguf-split: ``split.count`` > 1,
+    files named ``...-00001-of-0000N.gguf``) are merged transparently —
+    open the FIRST shard and every shard's tensors resolve through their
+    own memory map."""
+
+    def __init__(self, path: str, _shard: bool = False):
         self.path = path
         self._mmap = np.memmap(path, dtype=np.uint8, mode="r")
         buf = memoryview(self._mmap)
@@ -188,13 +193,54 @@ class GGUFFile:
         self.alignment = int(self.metadata.get("general.alignment", 32))
         self.data_offset = -(-r.pos // self.alignment) * self.alignment
 
+        # per-tensor byte source: (mmap, data_offset) — shards register
+        # their own maps below
+        self._sources: Dict[str, Tuple[Any, int]] = {
+            n: (self._mmap, self.data_offset) for n in self.tensors
+        }
+        n_split = int(self.metadata.get("split.count", 1) or 1)
+        if n_split > 1 and not _shard:
+            self._merge_shards(path, n_split)
+
+    def _merge_shards(self, path: str, n_split: int):
+        import os
+        import re
+
+        m = re.match(r"^(.*)-(\d{5})-of-(\d{5})\.gguf$", path)
+        if not m:
+            raise ValueError(
+                f"{path}: split.count={n_split} but the filename does not "
+                f"follow the -NNNNN-of-NNNNN.gguf shard convention")
+        prefix, no, total = m.group(1), int(m.group(2)), int(m.group(3))
+        if no != 1:
+            raise ValueError(f"{path}: open shard 00001 (this is {no:05d})")
+        if total != n_split:
+            raise ValueError(
+                f"{path}: filename says {total} shards, split.count says "
+                f"{n_split}")
+        self._shards = []
+        for i in range(2, n_split + 1):
+            sp = f"{prefix}-{i:05d}-of-{n_split:05d}.gguf"
+            if not os.path.exists(sp):
+                raise FileNotFoundError(f"missing GGUF shard {sp}")
+            shard = GGUFFile(sp, _shard=True)
+            self._shards.append(shard)
+            for n, info in shard.tensors.items():
+                if n in self.tensors:
+                    raise ValueError(f"duplicate tensor {n!r} in shard {sp}")
+                self.tensors[n] = info
+                self._sources[n] = (shard._mmap, shard.data_offset)
+            for k, v in shard.metadata.items():
+                self.metadata.setdefault(k, v)
+
     # -- tensor access -------------------------------------------------------
 
     def raw(self, name: str) -> np.ndarray:
         """Raw bytes view of a tensor (no copy)."""
         t = self.tensors[name]
-        start = self.data_offset + t.offset
-        return self._mmap[start : start + t.nbytes]
+        mm, data_offset = self._sources[name]
+        start = data_offset + t.offset
+        return mm[start : start + t.nbytes]
 
     def array(self, name: str) -> np.ndarray:
         """Tensor as a numpy array in its storage dtype.

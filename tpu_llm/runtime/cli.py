@@ -191,8 +191,10 @@ def main(argv=None) -> int:
         from tpu_llm.models.llama import unstack_layers
 
         params = unstack_layers(params)
+    bos_id = (tokenizer.bos_id
+              if getattr(tokenizer, "add_bos", True) else -1)
     adapter = ModelAdapter.llama(
-        cfg, cache_dtype=cache_dtype, bos_id=tokenizer.bos_id, stacked=not single_chip
+        cfg, cache_dtype=cache_dtype, bos_id=bos_id, stacked=not single_chip
     )
 
     if args.tp * args.dp > 1:
@@ -222,7 +224,7 @@ def main(argv=None) -> int:
         draft_engine = Engine(
             dparams,
             ModelAdapter.llama(dcfg, cache_dtype=cache_dtype,
-                               bos_id=tokenizer.bos_id, stacked=False),
+                               bos_id=bos_id, stacked=False),
             max_seq=max_seq)
 
     prompt_ids = tokenizer.encode(args.prompt) if args.prompt else []

@@ -119,7 +119,8 @@ def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
                    "int8": "int8"}[args.cache_dtype]
     # model-declared special tokens (GGUF tokenizer.ggml.*) — hardcoded
     # llama2 ids would make --stop-at-eos inert for other vocabs
-    bos_id = getattr(tokenizer, "bos_id", 1)
+    bos_id = (getattr(tokenizer, "bos_id", 1)
+              if getattr(tokenizer, "add_bos", True) else -1)
     eos_id = getattr(tokenizer, "eos_id", 2)
     draft = None
     if getattr(args, "draft", None):

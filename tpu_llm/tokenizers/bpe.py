@@ -76,6 +76,10 @@ def _gpt2_str_to_bytes(s: str) -> bytes:
 
 
 class BPETokenizer:
+    # whether prompts get a BOS prepended (tokenizer.ggml.add_bos_token;
+    # qwen2-family GGUFs ship false). Engines consult this via the CLIs.
+    add_bos = True
+
     def __init__(
         self,
         tokens: Sequence[bytes],
@@ -188,8 +192,13 @@ class BPETokenizer:
         eos = gguf.hparam("tokenizer.ggml.eos_token_id", default=2)
         if token_types is not None:
             token_types = [int(t) for t in token_types]
-        return cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos),
-                   token_types=token_types)
+        tok = cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos),
+                  token_types=token_types)
+        # real checkpoints declare whether prompts get a BOS prepended
+        # (qwen2 ships add_bos_token = false); engines consult this
+        tok.add_bos = bool(gguf.metadata.get("tokenizer.ggml.add_bos_token",
+                                             True))
+        return tok
 
     @classmethod
     def from_tokenizer_bin(cls, path: str, **kw) -> "BPETokenizer":
