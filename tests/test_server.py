@@ -702,3 +702,46 @@ def test_embeddings_http(tmp_path):
     finally:
         httpd.shutdown()
         loop.shutdown()
+
+
+def test_llama3_chat_template_render():
+    from tpu_llm.runtime.server import render_chat
+
+    msgs = [{"role": "system", "content": "S"},
+            {"role": "user", "content": "U"},
+            {"role": "assistant", "content": "A"},
+            {"role": "user", "content": "U2"}]
+    out = render_chat(msgs, "llama3")
+    assert out == ("<|start_header_id|>system<|end_header_id|>\n\nS<|eot_id|>"
+                   "<|start_header_id|>user<|end_header_id|>\n\nU<|eot_id|>"
+                   "<|start_header_id|>assistant<|end_header_id|>\n\nA<|eot_id|>"
+                   "<|start_header_id|>user<|end_header_id|>\n\nU2<|eot_id|>"
+                   "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+
+def test_stop_token_ids_end_generation():
+    """A request with stop_token_ids ends at the first matching token,
+    like eos."""
+    from tests.test_batching import setup, single_stream_tokens
+    from tests.test_llama import make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+    from tests.test_llama import CFG
+    from tpu_llm.runtime.batching import BatchEngine, Request
+    from tpu_llm.runtime.engine import ModelAdapter
+
+    _, cfg, adapter, be, se = setup(seed=4)
+    # find what greedy decode emits, then stop at its 3rd token
+    full = single_stream_tokens(se, [5, 9], 8)
+    stop_tok = full[2]
+    params = to_params(make_weights(4))
+    eng = BatchEngine(params, ModelAdapter.llama(LlamaConfig(**CFG), bos_id=1),
+                      batch=2, max_seq=CFG["seq_len"])
+    r = eng.submit(Request(prompt=[5, 9], max_new=8, stop_at_eos=True,
+                           stop_token_ids=[stop_tok]))
+    eng.run()
+    # generation ends at the FIRST occurrence of the stop token
+    assert r.tokens == full[:full.index(stop_tok) + 1]
+    # and without the stop id, the full stream comes back
+    r2 = eng.submit(Request(prompt=[5, 9], max_new=8))
+    eng.run()
+    assert r2.tokens == full

@@ -65,6 +65,10 @@ class Request:
     # OpenAI logit_bias: {token_id: bias} added to logits before
     # penalties/temperature (-100 effectively bans, +100 forces)
     logit_bias: Optional[dict] = None
+    # extra end-of-generation token ids beyond the model EOS (llama-3's
+    # <|eot_id|>, qwen's <|im_end|> — llama.cpp's EOG set); checked when
+    # stop_at_eos is set
+    stop_token_ids: Optional[List[int]] = None
     # filled by the engine:
     rid: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)  # generated only
@@ -450,7 +454,9 @@ class BatchEngine:
         if req.stream:
             req.stream(tok)
         ends = len(req.tokens) >= req.max_new or (
-            req.stop_at_eos and tok == self.eos_id
+            req.stop_at_eos and (tok == self.eos_id
+                                 or (req.stop_token_ids is not None
+                                     and tok in req.stop_token_ids))
         )
         if ends or slot.pos >= self.max_seq:
             req.done = True

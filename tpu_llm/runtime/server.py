@@ -102,6 +102,16 @@ def render_chat(messages, template: str = "zephyr") -> str:
             out += f"[INST] {body} [/INST]"
             first_user = False
         return out
+    if template == "llama3":
+        # Llama-3 instruct format: per-turn header markers + <|eot_id|>
+        # terminators (BOS <|begin_of_text|> comes from the engine); the
+        # markers tokenize to their ids via encode(parse_special=True)
+        # and generation stops at <|eot_id|> (stop_token_ids)
+        out = "".join(
+            f"<|start_header_id|>{m.get('role', 'user')}<|end_header_id|>"
+            f"\n\n{m['content']}<|eot_id|>"
+            for m in messages)
+        return out + "<|start_header_id|>assistant<|end_header_id|>\n\n"
     if template == "chatml":
         # ChatML (qwen2 and friends): <|im_start|>role\ncontent<|im_end|>
         out = "".join(
@@ -456,6 +466,13 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 prompt_ids = tokenizer.encode(prompt, parse_special=True)
             else:
                 prompt_ids = tokenizer.encode(prompt)
+            # end-of-generation markers beyond the model EOS (llama.cpp's
+            # EOG set): llama-3 <|eot_id|>, chatml <|im_end|>, gemma
+            # <end_of_turn> — chat replies stop at whichever the vocab has
+            eog = [tid for t, tid in
+                   getattr(tokenizer, "special", {}).items()
+                   if t in (b"<|eot_id|>", b"<|im_end|>", b"<|end|>",
+                            b"<end_of_turn>")]
             pairs = []
             for ci in range(n_choices):
                 tracker = _Tracker(want_stream)
@@ -469,6 +486,7 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     seed=int(body.get("seed", 0)) + ci,
                     # chat replies should stop at </s> like any chat server
                     stop_at_eos=bool(body.get("stop_at_eos", chat)),
+                    stop_token_ids=(eog or None) if chat else None,
                     top_k=int(body.get("top_k", 0)),
                     top_p=float(body.get("top_p", 1.0)),
                     # OpenAI penalty fields (+ HF-style repetition_penalty
@@ -795,9 +813,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timeout", type=float, default=600.0,
                    help="per-request generation timeout (s)")
     p.add_argument("--chat-template", default="zephyr",
-                   choices=["zephyr", "plain", "llama2", "chatml", "gemma"],
+                   choices=["zephyr", "plain", "llama2", "llama3", "chatml",
+                            "gemma"],
                    help="messages rendering for /v1/chat/completions "
                         "(zephyr = TinyLlama-chat, llama2 = [INST] turns, "
+                        "llama3 = header_id turns + <|eot_id|> stops, "
                         "chatml = qwen2, gemma = start_of_turn turns)")
     p.add_argument("--served-model-name", default=None,
                    help="model id reported by /v1/models and responses "
