@@ -219,3 +219,24 @@ def test_moe_serves_through_batch_engine(tmp_path, capsys):
     new = res.tokens[len(res.tokens) - 5:]
     text = tok.decode(new).decode("utf-8", "replace")
     assert rows[0]["completion"] == text
+
+
+def test_moe_weight_cache_roundtrip(tmp_path):
+    """MoE params (4D expert QTensor planes) survive the .npz weight
+    cache byte-exactly, config included."""
+    from tpu_llm.io.weight_cache import load_weight_cache, save_weight_cache
+
+    p = str(tmp_path / "m.gguf")
+    build_moe(p, quant=True)
+    params, cfg = M.load_gguf(p, dtype_policy="native")
+    cp = str(tmp_path / "m.npz")
+    save_weight_cache(cp, params, cfg)
+    p2, cfg2 = load_weight_cache(cp)
+    assert cfg == cfg2
+    tok = jnp.asarray([5], jnp.int32)
+    outs = []
+    for pp in (params, p2):
+        cache = M.init_cache(cfg, 1, 16)
+        lg, _ = M.decode_step(pp, cfg, tok, cache, jnp.asarray(0, jnp.int32))
+        outs.append(np.asarray(lg))
+    np.testing.assert_array_equal(outs[0], outs[1])
