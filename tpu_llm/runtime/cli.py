@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--draft", default=None, metavar="GGUF",
                    help="small same-vocabulary draft model for two-model "
                         "speculation (needs --spec K)")
+    p.add_argument("--lora", default=None, metavar="GGUF",
+                   help="LoRA adapter GGUF (llama.cpp convert_lora format) "
+                        "merged into the base weights at load")
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--rope", default="interleaved",
                    choices=["interleaved", "neox", "llmf90"],
@@ -144,10 +147,22 @@ def main(argv=None) -> int:
             from tpu_llm.models.llama import load_gguf
 
             # fused QKV/gate-up halves kernel count (fastest single-chip
-            # decode); TP sharding needs the unfused head-aligned layout
+            # decode); TP sharding needs the unfused head-aligned layout.
+            # LoRA merges against the unfused per-tensor layout first.
+            fuse = args.tp == 1
             params, cfg = load_gguf(
-                gguf, dtype_policy=args.dtype, fuse=(args.tp == 1)
+                gguf, dtype_policy=args.dtype,
+                fuse=fuse and not args.lora,
             )
+            if args.lora:
+                from tpu_llm.io.lora import apply_lora
+
+                params = apply_lora(params, args.lora, verbose=args.verbose)
+                if fuse:
+                    from tpu_llm.quant.convert_params import fuse_llama_layers
+
+                    params = dict(
+                        params, layers=fuse_llama_layers(params["layers"]))
         tokenizer = (
             BPETokenizer.from_gguf(gguf)
             if "tokenizer.ggml.tokens" in gguf.metadata
