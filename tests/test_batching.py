@@ -636,3 +636,45 @@ def test_speculative_skipped_for_all_sampled_batch(monkeypatch):
     be2.submit(Request(prompt=[5, 11, 5, 11], max_new=5))
     be2.run()
     assert calls2
+
+
+def test_min_p_filter_semantics():
+    """min_p drops tokens with prob < min_p * max_prob; survivors keep
+    their relative probabilities (llama.cpp min_p)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.ops.sampling import filtered_sample
+
+    # logits -> probs [0.6, 0.3, 0.06, 0.04]-ish; min_p=0.2 keeps only
+    # the top-2 (floor = 0.12)
+    logits = jnp.log(jnp.asarray([0.6, 0.3, 0.06, 0.04], jnp.float32))
+    counts = np.zeros(4, np.int64)
+    for i in range(200):
+        t = filtered_sample(logits, jax.random.PRNGKey(i), jnp.float32(1.0),
+                            jnp.int32(0), jnp.float32(1.0), jnp.float32(0.2))
+        counts[int(t)] += 1
+    assert counts[2] == 0 and counts[3] == 0
+    assert counts[0] > counts[1] > 0
+    # min_p=0 is the identity filter: matches the unfiltered sampler
+    t0 = filtered_sample(logits, jax.random.PRNGKey(0), jnp.float32(1.0),
+                         jnp.int32(0), jnp.float32(1.0), jnp.float32(0.0))
+    t1 = filtered_sample(logits, jax.random.PRNGKey(0), jnp.float32(1.0),
+                         jnp.int32(0), jnp.float32(1.0))
+    assert int(t0) == int(t1)
+
+
+def test_min_p_through_engines():
+    """A min_p request flows through BatchEngine (and bans improbable
+    tokens), and determinism holds."""
+    _, cfg, adapter, be, se = setup(seed=6)
+    r1 = be.submit(Request(prompt=[5, 9], max_new=6, temperature=1.2,
+                           seed=3, min_p=0.3))
+    be.run()
+    params2 = be.params
+    be2 = BatchEngine(params2, ModelAdapter.llama(cfg, bos_id=1), batch=4,
+                      max_seq=cfg.seq_len)
+    r2 = be2.submit(Request(prompt=[5, 9], max_new=6, temperature=1.2,
+                            seed=3, min_p=0.3))
+    be2.run()
+    assert r1.tokens == r2.tokens and len(r1.tokens) == 6

@@ -46,14 +46,17 @@ def filtered_sample(
     temperature: jax.Array,
     top_k: jax.Array,
     top_p: jax.Array,
+    min_p: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Branch-free greedy/top-k/top-p/CDF sampling over TRACED knobs.
+    """Branch-free greedy/top-k/min-p/top-p/CDF sampling over TRACED knobs.
 
     One-row variant (vocab,) for ``jax.vmap`` across batch slots: every
     argument may differ per slot without recompiling the decode step.
-    ``top_k == 0`` and ``top_p >= 1.0`` are identity filters, and
-    ``temperature == 0`` short-circuits to greedy — so a single compiled
-    step serves any mix of per-request sampling settings.
+    ``top_k == 0``, ``top_p >= 1.0``, and ``min_p == 0`` are identity
+    filters, and ``temperature == 0`` short-circuits to greedy — so a
+    single compiled step serves any mix of per-request sampling settings.
+    Filter order: top-k on logits, then min-p (drop tokens with prob <
+    min_p * max_prob — llama.cpp's min_p), then the top-p nucleus.
     """
     v = logits.shape[-1]
     t = jnp.maximum(temperature, 1e-8)
@@ -65,6 +68,10 @@ def filtered_sample(
         sx, v - jnp.maximum(k, 1), keepdims=False)
     x = jnp.where((k > 0) & (x < kth), -jnp.inf, x)
     probs = jax.nn.softmax(x, axis=-1)
+    if min_p is not None:
+        floor = jnp.max(probs, axis=-1, keepdims=False) * min_p
+        probs = jnp.where(probs < floor, 0.0, probs)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     # traced top-p: nucleus cutoff; p >= 1.0 keeps everything
     sp = jnp.sort(probs, axis=-1)[..., ::-1]
     csum = jnp.cumsum(sp, axis=-1)

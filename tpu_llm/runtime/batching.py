@@ -51,6 +51,8 @@ class Request:
     stop_at_eos: bool = False
     top_k: int = 0               # 0 = no top-k filter
     top_p: float = 1.0           # 1.0 = no nucleus filter
+    min_p: float = 0.0           # llama.cpp min_p: drop tokens with
+    #                              prob < min_p * max_prob (0 = off)
     logprobs: bool = False       # record log P(token) per generated token
     # also record the top-N alternatives per step (OpenAI completions
     # ``logprobs: N`` / chat ``top_logprobs``); capped at _TOPN
@@ -138,23 +140,25 @@ def _prefill_extras(req: Request, vocab: int, input_ids):
 def _req_filters(req: Request):
     """(top_k, top_p) device scalars for a filtered request, else
     (None, None) — None selects the cheap sampler's jit cache entry."""
-    if req.top_k > 0 or req.top_p < 1.0:
-        return jnp.int32(req.top_k), jnp.float32(req.top_p)
-    return None, None
+    if req.top_k > 0 or req.top_p < 1.0 or req.min_p > 0.0:
+        return (jnp.int32(req.top_k), jnp.float32(req.top_p),
+                jnp.float32(req.min_p))
+    return None, None, None
 
 
-def _sample_rows(logits, keys, temps, topks, topps):
+def _sample_rows(logits, keys, temps, topks, topps, minps=None):
     """Per-slot sampling: the cheap greedy/CDF path unless any request in
-    the compiled variant carries a top-k/top-p filter (``topks is None``
-    distinguishes the two jit cache entries — filters cost two vocab
-    sorts per slot, so the plain path must not pay for them)."""
+    the compiled variant carries a top-k/top-p/min-p filter (``topks is
+    None`` distinguishes the two jit cache entries — filters cost two
+    vocab sorts per slot, so the plain path must not pay for them)."""
     if topks is None:
         return jax.vmap(_select_token)(logits, keys, temps)
-    return jax.vmap(filtered_sample)(logits, keys, temps, topks, topps)
+    return jax.vmap(filtered_sample)(logits, keys, temps, topks, topps,
+                                     minps)
 
 
-def _sample_step(logits, keys, temps, topks, topps, counts, fps, pps, rps,
-                 biases=None):
+def _sample_step(logits, keys, temps, topks, topps, minps, counts, fps,
+                 pps, rps, biases=None):
     """Batched decode-step sampling with optional logit biases and
     penalties: sample from adjusted logits, then bump the device-side
     per-slot token counts (no host sync in the loop). ``counts is None``
@@ -163,7 +167,7 @@ def _sample_step(logits, keys, temps, topks, topps, counts, fps, pps, rps,
     slog = logits if biases is None else logits + biases
     if counts is not None:
         slog = _apply_penalties(slog, counts, fps, pps, rps)
-    sampled = _sample_rows(slog, keys, temps, topks, topps)
+    sampled = _sample_rows(slog, keys, temps, topks, topps, minps)
     if counts is not None:
         counts = counts.at[jnp.arange(counts.shape[0]), sampled].add(1)
     return sampled, counts
@@ -281,19 +285,20 @@ class BatchEngine:
     # -- jitted bodies ----------------------------------------------------
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
-                   topks=None, topps=None, counts=None, fps=None, pps=None,
-                   rps=None, biases=None, want_top=None):
+                   topks=None, topps=None, minps=None, counts=None,
+                   fps=None, pps=None, rps=None, biases=None,
+                   want_top=None):
         hidden, state = self.adapter.apply(
             params, tokens=tokens[:, None], state=state, offset=offsets
         )
         logits = self.adapter.lm_head(params, hidden=hidden)[:, 0, :]
         sampled, counts = _sample_step(logits, keys, temps, topks, topps,
-                                       counts, fps, pps, rps, biases)
+                                       minps, counts, fps, pps, rps, biases)
         tops = None if want_top is None else _top_rows(logits)
         return sampled, _token_logprob(logits, sampled), state, counts, tops
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
-                     topks=None, topps=None, want_top=None):
+                     topks=None, topps=None, minps=None, want_top=None):
         """Speculative verify (tokens (B, K+1) at per-slot offsets):
         greedy next-token chain for every window position, plus a sampled
         token from position 0 for temperature>0 slots (which accept no
@@ -303,7 +308,8 @@ class BatchEngine:
         )
         logits = self.adapter.lm_head(params, hidden=hidden)  # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
+        sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps,
+                                minps)
         tops = None if want_top is None else _top_rows(logits)
         return (chain, _token_logprob(logits, chain),
                 sampled0, _token_logprob(logits[:, 0], sampled0), state,
@@ -341,8 +347,8 @@ class BatchEngine:
                 a, b.astype(a.dtype), slot, axis=ax), state, sub)
 
     def _prefill_impl(self, params, tokens, state, slot, last_idx, key, temp,
-                      topk=None, topp=None, crow=None, fp=None, pp=None,
-                      rp=None, brow=None, want_top=None):
+                      topk=None, topp=None, minp=None, crow=None, fp=None,
+                      pp=None, rp=None, brow=None, want_top=None):
         """Prefill ``tokens`` (1, Tpad) into fresh batch-1 state rows, then
         scatter them into the batch state at ``slot``. Returns the first
         sampled token and the updated state."""
@@ -363,7 +369,7 @@ class BatchEngine:
         if topk is None:
             sampled = _select_token(slog, key, temp)[0]
         else:
-            sampled = filtered_sample(slog[0], key, temp, topk, topp)
+            sampled = filtered_sample(slog[0], key, temp, topk, topp, minp)
         lp = _token_logprob(logits[0], sampled)
         state = jax.tree_util.tree_map(
             lambda a, b: jax.lax.dynamic_update_slice_in_dim(
@@ -465,14 +471,17 @@ class BatchEngine:
     def _filter_vecs(self, live):
         """Per-slot (top_k, top_p) vectors, or (None, None) when no live
         request filters — keeping the plain step's compiled variant."""
-        if not any(r.top_k > 0 or r.top_p < 1.0 for _, r in live):
-            return None, None
+        if not any(r.top_k > 0 or r.top_p < 1.0 or r.min_p > 0.0
+                   for _, r in live):
+            return None, None, None
         topks = np.zeros((self.batch,), np.int32)
         topps = np.ones((self.batch,), np.float32)
+        minps = np.zeros((self.batch,), np.float32)
         for i, r in live:
             topks[i] = r.top_k
             topps[i] = r.top_p
-        return jnp.asarray(topks), jnp.asarray(topps)
+            minps[i] = r.min_p
+        return jnp.asarray(topks), jnp.asarray(topps), jnp.asarray(minps)
 
     def _penalty_args(self, live):
         """(counts, fps, pps, rps) for the step dispatch — all None while

@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--draft", default=None, metavar="GGUF",
                    help="small same-vocabulary draft model for two-model "
                         "speculation (needs --spec K)")
+    p.add_argument("--min-p", type=float, default=0.0,
+                   help="llama.cpp min_p filter (0 = off)")
     p.add_argument("--lora", default=None, metavar="GGUF",
                    help="LoRA adapter GGUF (llama.cpp convert_lora format) "
                         "merged into the base weights at load")
@@ -276,6 +278,7 @@ def main(argv=None) -> int:
             draft=draft_engine,
             top_k=args.top_k,
             top_p=args.top_p,
+            min_p=args.min_p,
             repetition_penalty=args.repeat_penalty,
             frequency_penalty=args.frequency_penalty,
             presence_penalty=args.presence_penalty,

@@ -126,16 +126,18 @@ def _lookup_draft(ctx: List[int], k: int, ngram: int = 2) -> List[int]:
     return []
 
 
-def _select_token(logits, key, temperature, topk=None, topp=None):
+def _select_token(logits, key, temperature, topk=None, topp=None,
+                  minp=None):
     """Greedy vs CDF-sample, branch-free over a traced temperature.
-    ``topk``/``topp`` (traced scalars, or None for the cheap path — a
-    separate jit cache entry) add per-request top-k/top-p filtering."""
+    ``topk``/``topp``/``minp`` (traced scalars, or None for the cheap
+    path — a separate jit cache entry) add per-request filtering."""
     if topk is not None:
         from tpu_llm.ops.sampling import filtered_sample
 
         keys = jax.random.split(key, logits.shape[0])
-        return jax.vmap(filtered_sample, in_axes=(0, 0, None, None, None))(
-            logits, keys, temperature, topk, topp)
+        return jax.vmap(filtered_sample,
+                        in_axes=(0, 0, None, None, None, None))(
+            logits, keys, temperature, topk, topp, minp)
     t = jnp.maximum(temperature, 1e-8)
     probs = jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
     sampled = _cdf_sample(key, probs)
@@ -192,8 +194,8 @@ class Engine:
         return logits, state
 
     def _decode_impl(self, params, token, state, pos, key, temperature,
-                     topk=None, topp=None, counts=None, fp=None, pp=None,
-                     rp=None):
+                     topk=None, topp=None, minp=None, counts=None, fp=None,
+                     pp=None, rp=None):
         hidden, state = self.adapter.apply(
             params, tokens=token[:, None], state=state, offset=pos
         )
@@ -203,7 +205,7 @@ class Engine:
             from tpu_llm.runtime.batching import _apply_penalties
 
             slog = _apply_penalties(logits, counts, fp, pp, rp)
-        next_tok = _select_token(slog, key, temperature, topk, topp)
+        next_tok = _select_token(slog, key, temperature, topk, topp, minp)
         if counts is not None:
             counts = counts.at[jnp.arange(counts.shape[0]), next_tok].add(1)
         return next_tok, logits, state, counts
@@ -241,7 +243,7 @@ class Engine:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), state
 
     def _decode_scan_impl(self, params, token, state, pos, key, temperature,
-                          n_steps, topk=None, topp=None):
+                          n_steps, topk=None, topp=None, minp=None):
         # int4-plane weights for the scan: one hoisted conversion pass,
         # then Mosaic's native int4 widening in every step's kernels
         # (980 vs 766 tok/s — experiments/decode_slope.py). The per-step
@@ -257,7 +259,7 @@ class Engine:
             token, state, pos, key = carry
             key, sub = jax.random.split(key)
             next_tok, _, state, _ = self._decode_impl(
-                params, token, state, pos, sub, temperature, topk, topp
+                params, token, state, pos, sub, temperature, topk, topp, minp
             )
             return (next_tok, state, pos + 1, key), next_tok
 
@@ -282,6 +284,7 @@ class Engine:
         draft: Optional["Engine"] = None,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
         frequency_penalty: float = 0.0,
         presence_penalty: float = 0.0,
         repetition_penalty: float = 1.0,
@@ -335,8 +338,9 @@ class Engine:
         key = jax.random.PRNGKey(seed)
         temp = jnp.float32(temperature)
         # (None, None) keeps the cheap sampler's jit cache entry
-        filt = ((jnp.int32(top_k), jnp.float32(top_p))
-                if (top_k > 0 or top_p < 1.0) else (None, None))
+        filt = ((jnp.int32(top_k), jnp.float32(top_p), jnp.float32(min_p))
+                if (top_k > 0 or top_p < 1.0 or min_p > 0.0)
+                else (None, None, None))
         penalized = (frequency_penalty != 0.0 or presence_penalty != 0.0
                      or repetition_penalty != 1.0)
         counts = pen = None

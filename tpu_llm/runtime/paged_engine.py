@@ -215,7 +215,8 @@ class PagedEngine(BatchEngine):
         }
 
     def _step_impl(self, params, tokens, state, offsets, keys, temps,
-                   topks=None, topps=None, counts=None, fps=None, pps=None,
+                   topks=None, topps=None, minps=None, counts=None,
+                   fps=None, pps=None,
                    rps=None, biases=None, want_top=None):
         from tpu_llm.models import llama as M
 
@@ -225,15 +226,15 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         logits = M.lm_head(params, self.cfg, hidden)[:, 0, :]
         sampled, counts = _sample_step(logits, keys, temps, topks, topps,
-                                       counts, fps, pps, rps, biases)
+                                       minps, counts, fps, pps, rps, biases)
         tops = None if want_top is None else _top_rows(logits)
         return sampled, _token_logprob(logits, sampled), \
             self._repack(state, nc, state["table"], nc["k"][0].lengths), \
             counts, tops
 
     def _prefill_impl(self, params, tokens, state, slot, pos0, last_idx,
-                      key, temp, topk=None, topp=None, crow=None, fp=None,
-                      pp=None, rp=None, brow=None, want_top=None):
+                      key, temp, topk=None, topp=None, minp=None, crow=None,
+                      fp=None, pp=None, rp=None, brow=None, want_top=None):
         """Forward the prompt TAIL (tokens past the shared prefix) at
         positions [pos0, pos0+Tpad) through the slot's block-table row.
         Shared prefix blocks are already mapped, so attention sees the
@@ -254,7 +255,7 @@ class PagedEngine(BatchEngine):
         if topk is None:
             sampled = _select_token(slog, key, temp)[0]
         else:
-            sampled = filtered_sample(slog[0], key, temp, topk, topp)
+            sampled = filtered_sample(slog[0], key, temp, topk, topp, minp)
         lengths = jax.lax.dynamic_update_slice(
             state["lengths"], nc["k"][0].lengths, (slot,))
         tops = None if want_top is None else _top_rows(logits[0])
@@ -262,7 +263,7 @@ class PagedEngine(BatchEngine):
             self._repack(state, nc, state["table"], lengths), tops
 
     def _verify_impl(self, params, tokens, state, offsets, keys, temps,
-                     topks=None, topps=None, want_top=None):
+                     topks=None, topps=None, minps=None, want_top=None):
         """Speculative verify over the paged cache (see BatchEngine).
         Growth in _pre_dispatch maps blocks for every position a draft
         could be ACCEPTED at; rejected/padded window rows beyond the
@@ -277,7 +278,8 @@ class PagedEngine(BatchEngine):
                                attn_fn=_paged_attn_fn)
         logits = M.lm_head(params, self.cfg, hidden)        # (B, K+1, V)
         chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps)
+        sampled0 = _sample_rows(logits[:, 0], keys, temps, topks, topps,
+                                minps)
         tops = None if want_top is None else _top_rows(logits)
         return (chain, _token_logprob(logits, chain),
                 sampled0, _token_logprob(logits[:, 0], sampled0),

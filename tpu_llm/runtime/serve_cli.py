@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-request top-k filter (0 = off)")
     p.add_argument("--top-p", type=float, default=1.0,
                    help="per-request nucleus filter (1.0 = off)")
+    p.add_argument("--min-p", type=float, default=0.0,
+                   help="llama.cpp min_p: drop tokens with prob < min_p * "
+                        "max_prob (0 = off)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -230,6 +233,7 @@ def main(argv=None) -> int:
             stop_at_eos=args.stop_at_eos, stream=_mark_first(i),
             top_k=getattr(args, "top_k", 0),
             top_p=getattr(args, "top_p", 1.0),
+            min_p=getattr(args, "min_p", 0.0),
         )))
 
     steps = 0

@@ -489,6 +489,7 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                     stop_token_ids=(eog or None) if chat else None,
                     top_k=int(body.get("top_k", 0)),
                     top_p=float(body.get("top_p", 1.0)),
+                    min_p=float(body.get("min_p", 0.0)),
                     # OpenAI penalty fields (+ HF-style repetition_penalty
                     # as an extension)
                     frequency_penalty=float(body.get("frequency_penalty", 0.0)),
