@@ -120,3 +120,23 @@ def test_lora_rejects_bad_targets(tmp_path):
     build(notad)
     with pytest.raises(ValueError, match="no .lora_a"):
         read_lora(notad)
+
+
+def test_serve_cli_lora(tmp_path, capsys):
+    import json
+
+    from tpu_llm.runtime.serve_cli import main
+
+    base = str(tmp_path / "base.gguf")
+    build(base)
+    ad = str(tmp_path / "ad.gguf")
+    _write_adapter(ad, {"output.weight": (32, 64)}, alpha=64.0, seed=3)
+    capsys.readouterr()
+    assert main(["-m", base, "-p", "abc", "-n", "5", "--batch", "1"]) == 0
+    plain = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert main(["-m", base, "-p", "abc", "-n", "5", "--batch", "1",
+                 "--lora", ad]) == 0
+    lora = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")]
+    assert plain[0]["completion"] != lora[0]["completion"]

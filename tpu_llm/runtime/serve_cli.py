@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--draft", default=None, metavar="GGUF",
                    help="small same-vocabulary draft model for two-model "
                         "speculation (needs --spec K; llama family)")
+    p.add_argument("--lora", default=None, metavar="GGUF",
+                   help="LoRA adapter GGUF merged into the base weights "
+                        "at load (llama.cpp convert_lora format)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="speculative drafts per step (greedy slots)")
     p.add_argument("--tp", type=int, default=1, metavar="N",
@@ -100,6 +103,13 @@ def _load(args):
         else:
             from tpu_llm.models.llama import load_gguf
         params, cfg = load_gguf(gguf, dtype_policy=args.dtype)
+        if getattr(args, "lora", None):
+            if arch == "phi2":
+                raise SystemExit("--lora supports the llama family")
+            from tpu_llm.io.lora import apply_lora
+
+            params = apply_lora(params, args.lora,
+                                verbose=getattr(args, "verbose", False))
         tokenizer = (BPETokenizer.from_gguf(gguf)
                      if "tokenizer.ggml.tokens" in gguf.metadata else None)
     if args.tokenizer:
