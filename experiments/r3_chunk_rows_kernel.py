@@ -23,7 +23,7 @@ N = B * MB + 1
 
 def run(target_rows, quant):
     orig = FA._chunk_blocks
-    FA._chunk_blocks = lambda bs_, mb_, target_rows=target_rows: \
+    FA._chunk_blocks = lambda bs_, mb_, target_rows=target_rows, **kw: \
         max(1, min(mb_, target_rows // bs_))
     try:
         rng = np.random.default_rng(0)
