@@ -498,15 +498,27 @@ def test_kquant_qtensor_matches_host_dequant(kind):
     from tpu_llm.quant import blocks as B
     from tpu_llm.quant.qtensor import dequantize, quantize_tensor
 
+    import os
+
     rng = np.random.default_rng(7)
     K, N = 512, 64
     w = rng.normal(size=(K, N)).astype(np.float32)
-    qt = quantize_tensor(w, kind)
+    os.environ["TPU_LLM_KQ_F32S"] = "1"    # exact-fold check (K-quants
+    try:                                    # ship bf16 planes by default)
+        qt = quantize_tensor(w, kind)
+    finally:
+        del os.environ["TPU_LLM_KQ_F32S"]
     wd = np.asarray(dequantize(qt, jnp.float32))
     quant = getattr(B, f"quantize_{kind}")
     deq = getattr(B, f"dequantize_{kind}")
     host = deq(quant(np.ascontiguousarray(w.T).reshape(-1)), w.size)
     np.testing.assert_allclose(wd, host.reshape(N, K).T, atol=2e-5)
+    # the shipped bf16 planes round the folded products by <= 2^-8 rel.
+    qt_b = quantize_tensor(w, kind)
+    assert qt_b.scales.dtype == jnp.bfloat16
+    wb = np.asarray(dequantize(qt_b, jnp.float32))
+    ref = host.reshape(N, K).T
+    np.testing.assert_allclose(wb, ref, rtol=1 / 64, atol=3e-2)
 
 
 @pytest.mark.parametrize("kind", _K_KINDS + ("q4_1", "q5_1"))

@@ -272,31 +272,38 @@ def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) 
     # K-quants: the 2-level superblock scales are folded into flat per-sub-
     # block planes at load, so on device q4_K IS a q4_1 and q5_K a q5_1;
     # q2/q3/q6_K become int8-plane kinds with per-16 scale blocks.
+    # Folded planes ship in BF16 by default: the f32 planes dominated the
+    # kernels' VMEM tile budgets (per-16 kinds especially), and halving
+    # them both shrinks DMA and admits larger K-tiles — q6_K 456.9 ->
+    # 598.3 tok/s, q4_K 916.7 -> 984.5 (r4_q6k_bf16s.py, r4 A/Bs; rounds
+    # the f16-origin products by <= 2^-8 relative, the tradeoff the q4_0
+    # headline path already accepts). TPU_LLM_KQ_F32S=1 restores exact
+    # f32 planes.
+    _kq = (lambda a: jnp.asarray(a) if os.environ.get("TPU_LLM_KQ_F32S")
+           else jnp.asarray(a).astype(jnp.bfloat16))
     if ggml_type == gg.GGML_Q4_K:
         packed, scales, mins = _split_ggml_q4_k(raw, rows, row_len)
-        return QTensor(jnp.asarray(packed), jnp.asarray(scales), "q4_1",
-                       mins=jnp.asarray(mins))
+        return QTensor(jnp.asarray(packed), _kq(scales), "q4_1",
+                       mins=_kq(mins))
     if ggml_type == gg.GGML_Q5_K:
         q, scales, mins = _split_ggml_q5_k(raw, rows, row_len)
-        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q5_1",
-                       mins=jnp.asarray(mins))
+        return QTensor(jnp.asarray(q), _kq(scales), "q5_1",
+                       mins=_kq(mins))
     if ggml_type == gg.GGML_Q6_K:
         q, scales = _split_ggml_q6_k(raw, rows, row_len)
-        qt = QTensor(jnp.asarray(q), jnp.asarray(scales), "q6_k")
+        qt = QTensor(jnp.asarray(q), _kq(scales), "q6_k")
         if os.environ.get("TPU_LLM_Q6K_PACK"):
-            # capacity option: 1.0 B/weight at rest instead of 1.25 (20%
-            # less HBM) at a measured ~1% decode cost (454.1 vs 457.7
-            # tok/s TinyLlama b1, experiments/r4_q6kp.py) — the unpack
-            # VPU work eats the bandwidth win, so int8 stays the default
+            # capacity option: 6-bit packed values (20% less HBM again) at
+            # a measured ~1% decode cost vs the int8 plane
             return pack_q6_k(qt)
         return qt
     if ggml_type == gg.GGML_Q3_K:
         q, scales = _split_ggml_q3_k(raw, rows, row_len)
-        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q3_k")
+        return QTensor(jnp.asarray(q), _kq(scales), "q3_k")
     if ggml_type == gg.GGML_Q2_K:
         q, scales, mins = _split_ggml_q2_k(raw, rows, row_len)
-        return QTensor(jnp.asarray(q), jnp.asarray(scales), "q2_k",
-                       mins=jnp.asarray(mins))
+        return QTensor(jnp.asarray(q), _kq(scales), "q2_k",
+                       mins=_kq(mins))
     raise ValueError(f"unsupported ggml type for QTensor: {ggml_type}")
 
 
@@ -368,11 +375,14 @@ def to_int4(qt: QTensor) -> QTensor:
     """
     if qt.kind == "q4_1":
         s_f32 = unpack_scales_f16(qt.scales)
+        # recenter in f32, then keep the mins plane at the scales' width
+        # (bf16 K-quant planes stay bf16 through the transform)
+        m = (unpack_scales_f16(qt.mins) + 8.0 * s_f32).astype(qt.scales.dtype)
         return QTensor(
             q=(unpack_q4_unsigned(qt.q).astype(jnp.int16) - 8).astype(jnp.int4),
             scales=qt.scales,
             kind="q4_0i4",
-            mins=qt.mins + 8.0 * s_f32,
+            mins=m,
         )
     if qt.kind != "q4_0":
         return qt

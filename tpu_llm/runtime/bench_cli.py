@@ -105,6 +105,8 @@ def _synth_qtensor(key, K, N, kind):
         # device layouts the K-quant loader produces (folded flat planes):
         # q4_K -> q4_1 packed-affine per-32; q6_K -> int8 per-16 scales
         km = jax.random.fold_in(ks, 1)
+        kq_dt = (jnp.float32 if os.environ.get("TPU_LLM_KQ_F32S")
+                 else jnp.bfloat16)    # loader default: bf16 folded planes
         if kind == "q4_k":
             q = jax.random.randint(kq, (K // 2, N), 0, 256,
                                    jnp.int32).astype(jnp.uint8)
@@ -112,10 +114,11 @@ def _synth_qtensor(key, K, N, kind):
                                         0.001, 0.01)
             mins = -8.0 * scales + 0.001 * jax.random.uniform(
                 km, (K // 32, N), jnp.float32)
-            return QTensor(q=q, scales=scales, kind="q4_1", mins=mins)
+            return QTensor(q=q, scales=scales.astype(kq_dt), kind="q4_1",
+                           mins=mins.astype(kq_dt))
         q = jax.random.randint(kq, (K, N), -32, 32, jnp.int32).astype(jnp.int8)
         scales = jax.random.uniform(ks, (K // 16, N), jnp.float32, 0.001, 0.01)
-        qt = QTensor(q=q, scales=scales, kind="q6_k")
+        qt = QTensor(q=q, scales=scales.astype(kq_dt), kind="q6_k")
         if os.environ.get("TPU_LLM_Q6K_PACK"):      # loader's capacity option
             from tpu_llm.quant.qtensor import pack_q6_k
 
