@@ -293,8 +293,9 @@ def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) 
         q, scales = _split_ggml_q6_k(raw, rows, row_len)
         qt = QTensor(jnp.asarray(q), _kq(scales), "q6_k")
         if os.environ.get("TPU_LLM_Q6K_PACK"):
-            # capacity option: 6-bit packed values (20% less HBM again) at
-            # a measured ~1% decode cost vs the int8 plane
+            # capacity option: 6-bit packed values (20% less weight HBM)
+            # at a measured ~23% decode cost vs the bf16-plane default
+            # (458.7 vs 595.5 tok/s — the unpack VPU work dominates)
             return pack_q6_k(qt)
         return qt
     if ggml_type == gg.GGML_Q3_K:
