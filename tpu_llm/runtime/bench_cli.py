@@ -101,9 +101,10 @@ def _synth_qtensor(key, K, N, kind):
     from tpu_llm.quant.qtensor import QTensor
 
     kq, ks = jax.random.split(key)
-    if kind in ("q4_k", "q6_k"):
+    if kind in ("q2_k", "q3_k", "q4_k", "q5_k", "q6_k"):
         # device layouts the K-quant loader produces (folded flat planes):
-        # q4_K -> q4_1 packed-affine per-32; q6_K -> int8 per-16 scales
+        # q4_K -> q4_1 packed-affine per-32; q5_K -> q5_1 int8-affine
+        # per-32; q2/q3/q6_K -> int8 kinds with per-16 scale blocks
         km = jax.random.fold_in(ks, 1)
         kq_dt = (jnp.float32 if os.environ.get("TPU_LLM_KQ_F32S")
                  else jnp.bfloat16)    # loader default: bf16 folded planes
@@ -116,6 +117,26 @@ def _synth_qtensor(key, K, N, kind):
                 km, (K // 32, N), jnp.float32)
             return QTensor(q=q, scales=scales.astype(kq_dt), kind="q4_1",
                            mins=mins.astype(kq_dt))
+        if kind == "q5_k":
+            q = jax.random.randint(kq, (K, N), 0, 32,
+                                   jnp.int32).astype(jnp.int8)
+            scales = jax.random.uniform(ks, (K // 32, N), jnp.float32,
+                                        0.001, 0.01)
+            mins = -16.0 * scales + 0.001 * jax.random.uniform(
+                km, (K // 32, N), jnp.float32)
+            return QTensor(q=q, scales=scales.astype(kq_dt), kind="q5_1",
+                           mins=mins.astype(kq_dt))
+        if kind in ("q2_k", "q3_k"):
+            lo, hi = ((0, 4) if kind == "q2_k" else (-4, 4))
+            q = jax.random.randint(kq, (K, N), lo, hi,
+                                   jnp.int32).astype(jnp.int8)
+            scales = jax.random.uniform(ks, (K // 16, N), jnp.float32,
+                                        0.001, 0.01)
+            mins = None
+            if kind == "q2_k":
+                mins = (-2.0 * scales).astype(kq_dt)
+            return QTensor(q=q, scales=scales.astype(kq_dt), kind=kind,
+                           mins=mins)
         q = jax.random.randint(kq, (K, N), -32, 32, jnp.int32).astype(jnp.int8)
         scales = jax.random.uniform(ks, (K // 16, N), jnp.float32, 0.001, 0.01)
         qt = QTensor(q=q, scales=scales.astype(kq_dt), kind="q6_k")
@@ -895,7 +916,7 @@ def main(argv=None) -> int:
                 "vs_baseline": round(tok_s / 6.237, 2),  # ssm/README.md:77
             }), flush=True)
             continue
-        if name in ("q4_k", "q6_k"):
+        if name in ("q2_k", "q3_k", "q4_k", "q5_k", "q6_k"):
             # K-quant rows: device-synth in the loader's folded layouts
             params = synth_quant_llama(cfg, kind=name)
         else:
