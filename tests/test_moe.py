@@ -240,3 +240,26 @@ def test_moe_weight_cache_roundtrip(tmp_path):
         lg, _ = M.decode_step(pp, cfg, tok, cache, jnp.asarray(0, jnp.int32))
         outs.append(np.asarray(lg))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_moe_paged_engine_matches_dense(tmp_path):
+    """MoE decodes through the PagedEngine (block tables + prefix cache)
+    with the same tokens as the dense BatchEngine."""
+    from tpu_llm.runtime.batching import BatchEngine, Request
+    from tpu_llm.runtime.engine import ModelAdapter
+    from tpu_llm.runtime.paged_engine import PagedEngine
+
+    path = str(tmp_path / "moe.gguf")
+    build_moe(path)
+    params, cfg = M.load_gguf(path)
+    reqs = lambda: [Request(prompt=[4, 7, 9], max_new=5),
+                    Request(prompt=[5, 8], max_new=6)]
+    dense = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                        batch=2, max_seq=32)
+    rd = [dense.submit(r) for r in reqs()]
+    dense.run()
+    paged = PagedEngine(params, cfg, batch=2, n_blocks=32, block_size=4,
+                        max_seq=32, bos_id=1)
+    rp = [paged.submit(r) for r in reqs()]
+    paged.run()
+    assert [r.tokens for r in rd] == [r.tokens for r in rp]

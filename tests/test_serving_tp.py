@@ -135,3 +135,52 @@ def test_serve_cli_tp_validation(tmp_path):
     build(path)
     # main catches the SystemExit and returns nonzero
     assert main(["-m", path, "-p", "a", "--batch", "3", "--dp", "2"]) == 1
+
+
+def test_http_server_under_tp(tmp_path):
+    """Real-socket llm-server with a tp=2-sharded engine: HTTP completions
+    match the unsharded engine's greedy stream."""
+    import json
+    import threading
+    import urllib.request
+    from argparse import Namespace
+
+    from tests.make_tiny_gguf import build
+    from tpu_llm.io.gguf import GGUFFile
+    from tpu_llm.models.llama import load_gguf
+    from tpu_llm.runtime.serve_cli import make_engine
+    from tpu_llm.runtime.server import serve
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    path = str(tmp_path / "tiny.gguf")
+    build(path)
+    gguf = GGUFFile(path)
+    params, cfg = load_gguf(gguf)
+    tokenizer = BPETokenizer.from_gguf(gguf)
+    args = Namespace(paged=False, cache_dtype="f32", batch=2, spec=0,
+                     block_size=None, n_blocks=None, tp=2, dp=1)
+    engine = make_engine(args, params, cfg, tokenizer, max_seq=64)
+    assert engine.mesh is not None
+    httpd, loop = serve(engine, tokenizer, "127.0.0.1", 0, max_new_cap=16)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "abc", "max_tokens": 5}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+    finally:
+        httpd.shutdown()
+        loop.shutdown()
+
+    plain = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                        batch=2, max_seq=64)
+    from tests.make_tiny_gguf import build as _  # noqa: F401
+    from tpu_llm.runtime.batching import Request as Rq
+
+    ref = plain.submit(Rq(prompt=tokenizer.encode("abc"), max_new=5))
+    plain.run()
+    assert out["tokens"] == ref.tokens
