@@ -678,3 +678,26 @@ def test_min_p_through_engines():
                             seed=3, min_p=0.3))
     be2.run()
     assert r1.tokens == r2.tokens and len(r1.tokens) == 6
+
+
+def test_min_p_kept_set_is_temperature_independent():
+    """llama.cpp's sampler chain applies temperature LAST, so the min_p
+    kept-set must come from the UN-temperature-scaled probabilities: at
+    any temperature, min_p=0.2 on [0.6, 0.3, 0.06, 0.04] keeps exactly
+    the top 2 (floor 0.12). The old temp-first floor kept all four at
+    temperature 2.5."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_llm.ops.sampling import filtered_sample
+
+    logits = jnp.log(jnp.asarray([0.6, 0.3, 0.06, 0.04], jnp.float32))
+    for temp in (0.5, 1.0, 2.5):
+        counts = np.zeros(4, np.int64)
+        for i in range(150):
+            t = filtered_sample(logits, jax.random.PRNGKey(i),
+                                jnp.float32(temp), jnp.int32(0),
+                                jnp.float32(1.0), jnp.float32(0.2))
+            counts[int(t)] += 1
+        assert counts[2] == 0 and counts[3] == 0, (temp, counts)
+        assert counts[0] > 0 and counts[1] > 0, (temp, counts)

@@ -888,3 +888,31 @@ def test_affine_mins_mxu_matches_vpu_path():
     np.testing.assert_allclose(got_mxu, ref, rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(got_vpu, ref, rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(got_mxu, got_vpu, rtol=2e-5, atol=1e-5)
+
+
+def test_pad_k_q6_kp():
+    """pad_k on the packed q6_kp layout: the nibble plane pads K/2 rows,
+    the qh 2-bit plane (riding ``mins``) K/4 — identity via zero scales
+    (the r4 advisor repro: the old scale-shaped mins padding crashed
+    dequantize and doubled the logical K)."""
+    import jax
+    from tpu_llm.quant.linear import matmul
+    from tpu_llm.quant.qtensor import (dequantize, pack_q6_k, pad_k,
+                                       quantize_tensor)
+
+    rng = np.random.default_rng(29)
+    K, N = 768, 64
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(2, K)).astype(np.float32))
+    qt = jax.jit(pack_q6_k)(quantize_tensor(w, "q6_k"))
+    qp = jax.jit(lambda q: pad_k(q, 1024))(qt)
+    assert qp.shape == (1024, N)
+    assert qp.q.shape == (512, N) and qp.mins.shape == (256, N)
+    deq = np.asarray(dequantize(qp, jnp.float32))
+    np.testing.assert_array_equal(
+        deq[:K], np.asarray(dequantize(qt, jnp.float32)))
+    np.testing.assert_array_equal(deq[K:], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(matmul(x, qp, out_dtype=jnp.float32)),
+        np.asarray(matmul(x, qt, out_dtype=jnp.float32)),
+        rtol=1e-5, atol=1e-5)

@@ -343,3 +343,34 @@ def test_add_bos_token_metadata(tmp_path):
     params, cfg, tok = _load(args)
     eng = make_engine(args, params, cfg, tok, 64)
     assert eng.bos_id == -1
+
+
+def test_add_bos_default_by_vocab_family(tmp_path):
+    """When tokenizer.ggml.add_bos_token is ABSENT, default like
+    llama.cpp: SPM/"llama" vocabs prepend BOS, "gpt2" byte-level vocabs
+    (qwen2/NeoX) do not."""
+    import numpy as np
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    path = str(tmp_path / "g2nobos.gguf")
+    gg.write_gguf(path, {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": ["<unk>", "a", "b"],
+        "tokenizer.ggml.merges": ["a b"],
+        "tokenizer.ggml.bos_token_id": 0,
+        "tokenizer.ggml.eos_token_id": 0,
+    }, {"dummy": np.zeros((4,), np.float32)})
+    assert BPETokenizer.from_gguf(gg.GGUFFile(path)).add_bos is False
+    # an explicit key still wins over the family default
+    path2 = str(tmp_path / "g2bos.gguf")
+    gg.write_gguf(path2, {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": ["<unk>", "a", "b"],
+        "tokenizer.ggml.merges": ["a b"],
+        "tokenizer.ggml.bos_token_id": 0,
+        "tokenizer.ggml.eos_token_id": 0,
+        "tokenizer.ggml.add_bos_token": True,
+    }, {"dummy": np.zeros((4,), np.float32)})
+    assert BPETokenizer.from_gguf(gg.GGUFFile(path2)).add_bos is True

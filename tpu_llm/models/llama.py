@@ -772,8 +772,8 @@ def _load_weight(gguf, name: str, dtype_policy: str, transpose: bool = True):
         dtype_policy == "native"
         and t.ggml_type not in (gg.GGML_F32, gg.GGML_F16)
     ):
-        # 'native' for packed kinds without a device QTensor path
-        # (q4_1/q5_0/q5_1): dequantize to bf16, not f32 — half the HBM,
+        # 'native' for quantized kinds outside the QTensor list above
+        # (e.g. iq-series): dequantize to bf16, not f32 — half the HBM,
         # and bf16 is what the MXU ingests anyway
         out = out.astype(jnp.bfloat16)
     return out

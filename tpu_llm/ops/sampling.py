@@ -55,23 +55,29 @@ def filtered_sample(
     ``top_k == 0``, ``top_p >= 1.0``, and ``min_p == 0`` are identity
     filters, and ``temperature == 0`` short-circuits to greedy — so a
     single compiled step serves any mix of per-request sampling settings.
-    Filter order: top-k on logits, then min-p (drop tokens with prob <
-    min_p * max_prob — llama.cpp's min_p), then the top-p nucleus.
+    Filter order: top-k on logits, then min-p, then the top-p nucleus.
+    min-p drops tokens with prob < min_p * max_prob where the probs are
+    softmax of the UN-temperature-scaled logits — llama.cpp's sampler
+    chain applies temperature last, so its min_p kept-set is
+    temperature-independent and this matches it exactly. (top-p here
+    operates on the temperature-scaled distribution, which llama.cpp's
+    temp-last chain does not; the reference has none of these filters.)
     """
     v = logits.shape[-1]
     t = jnp.maximum(temperature, 1e-8)
-    x = logits.astype(jnp.float32) / t
+    x0 = logits.astype(jnp.float32)
     # traced top-k: ascending sort, threshold at the (V-k)'th entry
+    # (temperature-monotone, so masking raw logits == masking scaled)
     k = jnp.clip(top_k.astype(jnp.int32), 0, v)
-    sx = jnp.sort(x, axis=-1)
+    sx = jnp.sort(x0, axis=-1)
     kth = jax.lax.dynamic_index_in_dim(
         sx, v - jnp.maximum(k, 1), keepdims=False)
-    x = jnp.where((k > 0) & (x < kth), -jnp.inf, x)
-    probs = jax.nn.softmax(x, axis=-1)
+    x0 = jnp.where((k > 0) & (x0 < kth), -jnp.inf, x0)
     if min_p is not None:
-        floor = jnp.max(probs, axis=-1, keepdims=False) * min_p
-        probs = jnp.where(probs < floor, 0.0, probs)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        praw = jax.nn.softmax(x0, axis=-1)
+        floor = jnp.max(praw, axis=-1, keepdims=False) * min_p
+        x0 = jnp.where(praw < floor, -jnp.inf, x0)
+    probs = jax.nn.softmax(x0 / t, axis=-1)
     # traced top-p: nucleus cutoff; p >= 1.0 keeps everything
     sp = jnp.sort(probs, axis=-1)[..., ::-1]
     csum = jnp.cumsum(sp, axis=-1)

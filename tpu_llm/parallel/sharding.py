@@ -143,12 +143,6 @@ def llama_cache_spec(quant: bool = False) -> Dict[str, Any]:
     return {"k": spec, "v": spec}
 
 
-def _leaf_sharding(mesh: Mesh, spec, leaf):
-    if isinstance(leaf, QTensor):
-        return leaf
-    return NamedSharding(mesh, spec)
-
-
 def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
     """device_put a params/cache pytree under the given spec pytree.
 

@@ -522,14 +522,22 @@ def pad_k(qt: QTensor, k_multiple: int = 1024) -> QTensor:
     if Kp == K:
         return qt
     extra = Kp - K
-    rows = extra // 2 if qt.kind in ("q4_0", "q4_1") else extra
-    block = K // qt.scales.shape[-2]
-    pad_rows = [(0, 0)] * len(lead) + [(0, rows), (0, 0)]
-    pad_scales = [(0, 0)] * len(lead) + [(0, extra // block), (0, 0)]
+
+    # Each plane's row count is a fixed fraction of logical K (q: K/2 for
+    # nibble-packed kinds else K; scales: K/block; mins: scale-shaped for
+    # affine kinds, K/4 for q6_kp's qh plane) — pad every plane by that
+    # same fraction of ``extra``. Zero-padded SCALE rows make the padded
+    # region dequantize to exactly 0 whatever the padded q/qh/mins bytes
+    # hold (q6_kp/q3_kp recenterings multiply the zero scale too).
+    def pad_plane(p):
+        prows = p.shape[-2]
+        assert (extra * prows) % K == 0, (qt.kind, K, extra, p.shape)
+        widths = [(0, 0)] * (p.ndim - 2) + [(0, extra * prows // K), (0, 0)]
+        return jnp.pad(p, widths)
+
     return QTensor(
-        q=jnp.pad(qt.q, pad_rows),
-        scales=jnp.pad(qt.scales, pad_scales),
+        q=pad_plane(qt.q),
+        scales=pad_plane(qt.scales),
         kind=qt.kind,
-        # zero-padded mins rows dequantize to q*0 + 0 — still identity
-        mins=None if qt.mins is None else jnp.pad(qt.mins, pad_scales),
+        mins=None if qt.mins is None else pad_plane(qt.mins),
     )

@@ -58,8 +58,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 
-def render_chat(messages, template: str = "zephyr") -> str:
-    """Render an OpenAI-style messages list to a prompt string.
+def render_chat_segments(messages, template: str = "zephyr"):
+    """Render an OpenAI-style messages list to (text, is_scaffolding)
+    segments.
+
+    Scaffolding segments (role headers, turn separators) carry control
+    markers that must tokenize to their special-token ids; message-body
+    segments are user-supplied and are tokenized WITHOUT special-token
+    parsing, so content like ``<|eot_id|>`` or ``</s>`` BPEs to literal
+    text instead of control ids (the injection surface llama.cpp's
+    all-or-nothing parse_special leaves open).
 
     "zephyr" is the TinyLlama-1.1B-Chat format (its HF chat_template):
     ``<|role|>\\n{content}</s>\\n`` per message, then the assistant
@@ -68,15 +76,21 @@ def render_chat(messages, template: str = "zephyr") -> str:
     for m in messages:
         if not isinstance(m, dict) or "content" not in m:
             raise ValueError("each message needs role/content")
+    segs = []
     if template == "zephyr":
-        out = "".join(
-            f"<|{m.get('role', 'user')}|>\n{m['content']}</s>\n"
-            for m in messages)
-        return out + "<|assistant|>\n"
+        for m in messages:
+            segs.append((f"<|{m.get('role', 'user')}|>\n", True))
+            segs.append((m["content"], False))
+            segs.append(("</s>\n", True))
+        segs.append(("<|assistant|>\n", True))
+        return segs
     if template == "plain":
-        out = "".join(
-            f"{m.get('role', 'user')}: {m['content']}\n" for m in messages)
-        return out + "assistant:"
+        for m in messages:
+            segs.append((f"{m.get('role', 'user')}: ", True))
+            segs.append((m["content"], False))
+            segs.append(("\n", True))
+        segs.append(("assistant:", True))
+        return segs
     if template == "llama2":
         # Llama-2-chat: [INST] ... [/INST] turns, system folded into the
         # first user turn inside <<SYS>> markers. llama.cpp renders
@@ -86,7 +100,6 @@ def render_chat(messages, template: str = "zephyr") -> str:
         # engine, not the template; the markers here are tokenized to ids
         # by encode(parse_special=True).
         sys_txt = None
-        out = ""
         first_user = True
         for m in messages:
             role = m.get("role", "user")
@@ -94,49 +107,76 @@ def render_chat(messages, template: str = "zephyr") -> str:
                 sys_txt = m["content"]
                 continue
             if role == "assistant":
-                out += f" {m['content']} </s><s>"
+                segs.append((" ", True))
+                segs.append((m["content"], False))
+                segs.append((" </s><s>", True))
                 continue
-            body = m["content"]
+            segs.append(("[INST] ", True))
             if first_user and sys_txt:
-                body = f"<<SYS>>\n{sys_txt}\n<</SYS>>\n\n{body}"
-            out += f"[INST] {body} [/INST]"
+                segs.append(("<<SYS>>\n", True))
+                segs.append((sys_txt, False))
+                segs.append(("\n<</SYS>>\n\n", True))
+            segs.append((m["content"], False))
+            segs.append((" [/INST]", True))
             first_user = False
-        return out
+        return segs
     if template == "llama3":
         # Llama-3 instruct format: per-turn header markers + <|eot_id|>
         # terminators (BOS <|begin_of_text|> comes from the engine); the
         # markers tokenize to their ids via encode(parse_special=True)
         # and generation stops at <|eot_id|> (stop_token_ids)
-        out = "".join(
-            f"<|start_header_id|>{m.get('role', 'user')}<|end_header_id|>"
-            f"\n\n{m['content']}<|eot_id|>"
-            for m in messages)
-        return out + "<|start_header_id|>assistant<|end_header_id|>\n\n"
+        for m in messages:
+            segs.append((f"<|start_header_id|>{m.get('role', 'user')}"
+                         "<|end_header_id|>\n\n", True))
+            segs.append((m["content"], False))
+            segs.append(("<|eot_id|>", True))
+        segs.append(("<|start_header_id|>assistant<|end_header_id|>\n\n",
+                     True))
+        return segs
     if template == "chatml":
         # ChatML (qwen2 and friends): <|im_start|>role\ncontent<|im_end|>
-        out = "".join(
-            f"<|im_start|>{m.get('role', 'user')}\n{m['content']}<|im_end|>\n"
-            for m in messages)
-        return out + "<|im_start|>assistant\n"
+        for m in messages:
+            segs.append((f"<|im_start|>{m.get('role', 'user')}\n", True))
+            segs.append((m["content"], False))
+            segs.append(("<|im_end|>\n", True))
+        segs.append(("<|im_start|>assistant\n", True))
+        return segs
     if template == "gemma":
         # Gemma instruction format: <start_of_turn>user|model turns; the
         # system message (gemma has no system role) folds into the first
         # user turn
         sys_txt = None
-        out = ""
         for m in messages:
             role = m.get("role", "user")
             if role == "system":
                 sys_txt = m["content"]
                 continue
-            body = m["content"]
-            if role != "assistant" and sys_txt:
-                body = f"{sys_txt}\n\n{body}"
-                sys_txt = None
             turn = "model" if role == "assistant" else "user"
-            out += f"<start_of_turn>{turn}\n{body}<end_of_turn>\n"
-        return out + "<start_of_turn>model\n"
+            segs.append((f"<start_of_turn>{turn}\n", True))
+            if role != "assistant" and sys_txt:
+                segs.append((sys_txt, False))
+                segs.append(("\n\n", True))
+                sys_txt = None
+            segs.append((m["content"], False))
+            segs.append(("<end_of_turn>\n", True))
+        segs.append(("<start_of_turn>model\n", True))
+        return segs
     raise ValueError(f"unknown chat template {template!r}")
+
+
+def render_chat(messages, template: str = "zephyr") -> str:
+    """The rendered prompt string (segments joined) — display/tests."""
+    return "".join(t for t, _ in render_chat_segments(messages, template))
+
+
+def encode_chat(tokenizer, messages, template: str = "zephyr"):
+    """Tokenize a chat: scaffolding with parse_special=True (control
+    markers become their ids), message bodies without (user text cannot
+    inject control tokens). BOS is the engine's job, as in render_chat."""
+    ids = []
+    for text, scaffolding in render_chat_segments(messages, template):
+        ids.extend(tokenizer.encode(text, parse_special=scaffolding))
+    return ids
 
 
 class Embedder:
@@ -459,11 +499,14 @@ def make_handler(loop: ServingLoop, tokenizer, max_new_cap: int,
                 else:   # int, 0 included: chosen-token logprobs on
                     want_lp, want_top_n = True, int(lp_field)
             if chat:
-                # rendered templates carry control markers (</s>, <|user|>)
-                # that must become their token ids, not BPE'd literal text;
-                # raw completion prompts stay unparsed so user text cannot
-                # inject control tokens
-                prompt_ids = tokenizer.encode(prompt, parse_special=True)
+                # template scaffolding carries control markers (</s>,
+                # <|user|>) that must become their token ids; message
+                # bodies are tokenized WITHOUT special parsing so user
+                # content cannot inject control tokens (encode_chat);
+                # raw completion prompts stay unparsed for the same reason
+                prompt_ids = encode_chat(
+                    tokenizer, body["messages"],
+                    body.get("chat_template", chat_template))
             else:
                 prompt_ids = tokenizer.encode(prompt)
             # end-of-generation markers beyond the model EOS (llama.cpp's

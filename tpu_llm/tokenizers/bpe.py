@@ -195,9 +195,12 @@ class BPETokenizer:
         tok = cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos),
                   token_types=token_types)
         # real checkpoints declare whether prompts get a BOS prepended
-        # (qwen2 ships add_bos_token = false); engines consult this
+        # (qwen2 ships add_bos_token = false); engines consult this.
+        # When the key is absent, default by vocab family like llama.cpp
+        # (llama_vocab::impl::load): SPM/"llama" vocabs prepend BOS,
+        # "gpt2" byte-level vocabs do not.
         tok.add_bos = bool(gguf.metadata.get("tokenizer.ggml.add_bos_token",
-                                             True))
+                                             model != "gpt2"))
         return tok
 
     @classmethod
