@@ -916,3 +916,42 @@ def test_pad_k_q6_kp():
         np.asarray(matmul(x, qp, out_dtype=jnp.float32)),
         np.asarray(matmul(x, qt, out_dtype=jnp.float32)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_pack_q23_roundtrip_and_matmul():
+    """Nibble-packed q2_kp/q3_kp (the loader default): dequantize and the
+    interpret-mode fused kernel match the int8-plane layout exactly
+    (q2's affine mins through the MXU path; q3's deferred -4
+    recentering)."""
+    import os
+
+    import jax
+    from tpu_llm.quant.pallas_matmul import pallas_tiles_ok, qmatmul_pallas
+    from tpu_llm.quant.qtensor import (dequantize, pack_q2_k, pack_q3_k,
+                                       quantize_tensor)
+
+    rng = np.random.default_rng(31)
+    K, N = 512, 128
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    x = rng.normal(size=(3, K)).astype(np.float32)
+    for kind, packer in (("q2_k", pack_q2_k), ("q3_k", pack_q3_k)):
+        os.environ["TPU_LLM_Q23_INT8"] = "1"
+        try:
+            qt8 = quantize_tensor(w, kind)
+        finally:
+            del os.environ["TPU_LLM_Q23_INT8"]
+        assert qt8.kind == kind                       # escape hatch layout
+        qp = jax.jit(packer)(qt8)
+        assert qp.kind == kind + "p"
+        assert qp.q.shape == (K // 2, N)
+        np.testing.assert_array_equal(
+            np.asarray(dequantize(qp, jnp.float32)),
+            np.asarray(dequantize(qt8, jnp.float32)))
+        # the default quantize_tensor path lands on the packed kind
+        qdef = quantize_tensor(w, kind)
+        assert qdef.kind == kind + "p"
+        assert pallas_tiles_ok(qdef, 3)
+        ref = x @ np.asarray(dequantize(qdef, jnp.float32))
+        got = np.asarray(qmatmul_pallas(jnp.asarray(x), qdef,
+                                        interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)

@@ -72,8 +72,11 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
         lo = (blocks & 0x0F) - 8
         hi = ((blocks >> 4) & 0x0F) - 8
         vals = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn)
-    elif kind == "q4_1":
-        # unsigned affine nibbles (q4_1 and loaded-as-q4_1 q4_K)
+    elif kind in ("q4_1", "q2_kp", "q3_kp"):
+        # unsigned nibbles: q4_1 (and loaded-as-q4_1 q4_K) [0,15] affine;
+        # packed q2_K [0,3] affine (per-16 planes); packed q3_K stores
+        # u = q+4 in [0,7] — its -4 recentering is deferred to the MXU
+        # below, so the unpack is identical for all three
         blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
         vals = jnp.concatenate(
             [blocks & 0x0F, (blocks >> 4) & 0x0F], axis=1).reshape(tk, tn)
@@ -148,6 +151,9 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
     elif kind == "q6_kp":
         # the deferred -32 recentering: -32 * sum_k x[k] * s[k//16, n]
         mins_acc = _block_sum_dot(_scale_f32(s_ref) * (-32.0))
+    elif kind == "q3_kp":
+        # packed q3_K's deferred -4 recentering (same construction)
+        mins_acc = _block_sum_dot(_scale_f32(s_ref) * (-4.0))
     if acc_dtype == jnp.float32:
         # f32 mode (reference-parity): HIGHEST so dequantized values
         # aren't silently rounded to bf16 in the MXU — 6 passes, exact.
@@ -286,7 +292,7 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
 
 
 _PALLAS_KINDS = ("q4_0", "q8_0", "q4_0i4", "q4_1", "q5_0", "q5_1",
-                 "q2_k", "q3_k", "q6_k", "q6_kp")
+                 "q2_k", "q2_kp", "q3_k", "q3_kp", "q6_k", "q6_kp")
 
 
 def _tile_params(qt: QTensor) -> dict:
@@ -304,7 +310,8 @@ def _tile_params(qt: QTensor) -> dict:
         # 8 bytes per 32 weights) happens to weigh exactly like a second
         # f32 per-16 plane, so the planes=2 scale term models it.
         "packed_itemsize": 0.5 if qt.kind in ("q4_0", "q4_1", "q4_0i4",
-                                              "q6_kp") else 1.0,
+                                              "q6_kp", "q2_kp", "q3_kp")
+        else 1.0,
         "scale_itemsize": float(jnp.dtype(qt.scales.dtype).itemsize)
         * planes * (32.0 / block),
     }
@@ -371,7 +378,8 @@ def qmatmul_pallas(
                          **_tile_params(qt))
     if tn is None or tk is None:
         raise ValueError(f"shapes do not tile: K={K} N={N}")
-    qrow = tk // 2 if qt.kind in ("q4_0", "q4_1", "q6_kp") else tk
+    qrow = (tk // 2 if qt.kind in ("q4_0", "q4_1", "q6_kp", "q2_kp",
+                                   "q3_kp") else tk)
     qbytes = qt.q.size // 2 if qt.kind == "q4_0i4" else qt.q.size
     block = K // qt.scales.shape[-2]
     scale_spec = pl.BlockSpec((tk // block, tn), lambda b, n, k: (k, n),

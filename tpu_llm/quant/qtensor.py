@@ -43,9 +43,13 @@ class QTensor:
     scales: jax.Array     # (..., K//block, N); block = 32 (_0/_1 kinds and
     #                       folded q4_K/q5_K) or 16 (folded q2/q3/q6_K)
     kind: str             # "q4_0" | "q8_0" | "q4_0i4" | "q4_1" | "q5_0" |
-    #                       "q5_1" | "q2_k" | "q3_k" | "q6_k" | "q6_kp"
+    #                       "q5_1" | "q2_k" | "q2_kp" | "q3_k" | "q3_kp" |
+    #                       "q6_k" | "q6_kp"
     #                       (q4_K loads AS q4_1, q5_K AS q5_1 — the 2-level
-    #                       superblock scales fold into flat planes at load)
+    #                       superblock scales fold into flat planes at load;
+    #                       q2_K/q3_K load nibble-PACKED by default —
+    #                       "q2_kp"/"q3_kp", TPU_LLM_Q23_INT8=1 restores the
+    #                       int8 value planes)
     # affine kinds: per-block offset m (value = q*scale + m), same plane
     # layout as scales. For "q6_kp" this slot instead carries the qh
     # 2-bit plane (K/4, N) uint8 — see pack_q6_k.
@@ -54,7 +58,8 @@ class QTensor:
     @property
     def shape(self) -> Tuple[int, ...]:
         *lead, kq, n = self.q.shape
-        k = kq * 2 if self.kind in ("q4_0", "q4_1", "q6_kp") else kq
+        k = (kq * 2 if self.kind in ("q4_0", "q4_1", "q6_kp",
+                                     "q2_kp", "q3_kp") else kq)
         return (*lead, k, n)
 
     @property
@@ -300,10 +305,24 @@ def qtensor_from_ggml(ggml_type: int, raw: np.ndarray, rows: int, row_len: int) 
         return qt
     if ggml_type == gg.GGML_Q3_K:
         q, scales = _split_ggml_q3_k(raw, rows, row_len)
-        return QTensor(jnp.asarray(q), _kq(scales), "q3_k")
+        if os.environ.get("TPU_LLM_Q23_INT8"):
+            return QTensor(jnp.asarray(q), _kq(scales), "q3_k")
+        # default: nibble-packed "q3_kp" — values [-4, 3] store as u+4 in
+        # [0, 7], halving the value-plane bytes (1.0 -> 0.5 B/w) with the
+        # SAME in-kernel unpack the q4 kinds stream at full bandwidth;
+        # the -4 recentering rides the MXU like q6_kp's -32 (r5 A/B:
+        # TPU_LLM_Q23_INT8=1 restores the int8-plane layout)
+        packed = _pack_q4_unsigned((q.astype(np.int16) + 4).astype(np.uint8))
+        return QTensor(jnp.asarray(packed), _kq(scales), "q3_kp")
     if ggml_type == gg.GGML_Q2_K:
         q, scales, mins = _split_ggml_q2_k(raw, rows, row_len)
-        return QTensor(jnp.asarray(q), _kq(scales), "q2_k",
+        if os.environ.get("TPU_LLM_Q23_INT8"):
+            return QTensor(jnp.asarray(q), _kq(scales), "q2_k",
+                           mins=_kq(mins))
+        # default: nibble-packed "q2_kp" — unsigned [0, 3] values share
+        # the q4_1 kernel branch (affine mins on the MXU), per-16 planes
+        packed = _pack_q4_unsigned(q.astype(np.uint8))
+        return QTensor(jnp.asarray(packed), _kq(scales), "q2_kp",
                        mins=_kq(mins))
     raise ValueError(f"unsupported ggml type for QTensor: {ggml_type}")
 
@@ -445,6 +464,34 @@ def unpack_q4_unsigned(q: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, kh * 2, n)
 
 
+def pack_q2_k(qt: QTensor) -> QTensor:
+    """int8-plane q2_k ([0, 3]) -> nibble-packed "q2_kp" (0.5 B/w value
+    plane, the loader default). jit-traceable; byte 16b+j of each 32-row
+    block holds rows 32b+j (low) and 32b+16+j (high) — the q4 layout, so
+    the kernel unpack is the shared reshape+concat. The per-16 scale and
+    mins planes are untouched (value = q*scale + min, q4_1 semantics)."""
+    assert qt.kind == "q2_k", qt.kind
+    *lead, K, N = qt.q.shape
+    b = qt.q.astype(jnp.int32).reshape(*lead, K // 32, 32, N)
+    q = (b[..., :16, :] | (b[..., 16:, :] << 4)).astype(jnp.uint8)
+    return QTensor(q=q.reshape(*lead, K // 2, N), scales=qt.scales,
+                   kind="q2_kp", mins=qt.mins)
+
+
+def pack_q3_k(qt: QTensor) -> QTensor:
+    """int8-plane q3_k ([-4, 3]) -> nibble-packed "q3_kp" storing u = q+4
+    in [0, 7] (the loader default). value = (u - 4)*scale; the -4
+    recentering is NOT unpacked in-kernel — it rides the MXU as
+    -4 * (block-sums of x) @ scales, the q6_kp deferral."""
+    assert qt.kind == "q3_k", qt.kind
+    *lead, K, N = qt.q.shape
+    u = qt.q.astype(jnp.int32) + 4
+    b = u.reshape(*lead, K // 32, 32, N)
+    q = (b[..., :16, :] | (b[..., 16:, :] << 4)).astype(jnp.uint8)
+    return QTensor(q=q.reshape(*lead, K // 2, N), scales=qt.scales,
+                   kind="q3_kp")
+
+
 def pack_q6_k(qt: QTensor) -> QTensor:
     """int8-plane q6_k -> the true 6-bit device layout "q6_kp": 1.0
     byte/weight at rest instead of 1.25 (int8 plane + f32 per-16 scales
@@ -480,8 +527,10 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     affine = qt.mins is not None
     if qt.kind == "q4_0":
         vals = unpack_q4(qt.q).astype(dtype)
-    elif qt.kind == "q4_1":
+    elif qt.kind in ("q4_1", "q2_kp"):
         vals = unpack_q4_unsigned(qt.q).astype(dtype)
+    elif qt.kind == "q3_kp":
+        vals = (unpack_q4_unsigned(qt.q).astype(jnp.int32) - 4).astype(dtype)
     elif qt.kind == "q6_kp":
         lo = unpack_q4_unsigned(qt.q).astype(jnp.int32)
         *lead, kq4, n = qt.mins.shape            # qh plane (K/4, N)

@@ -135,8 +135,14 @@ def _synth_qtensor(key, K, N, kind):
             mins = None
             if kind == "q2_k":
                 mins = (-2.0 * scales).astype(kq_dt)
-            return QTensor(q=q, scales=scales.astype(kq_dt), kind=kind,
-                           mins=mins)
+            qt = QTensor(q=q, scales=scales.astype(kq_dt), kind=kind,
+                         mins=mins)
+            if os.environ.get("TPU_LLM_Q23_INT8"):   # A/B escape hatch
+                return qt
+            from tpu_llm.quant.qtensor import pack_q2_k, pack_q3_k
+
+            # loader default: nibble-packed value planes (q2_kp/q3_kp)
+            return pack_q2_k(qt) if kind == "q2_k" else pack_q3_k(qt)
         q = jax.random.randint(kq, (K, N), -32, 32, jnp.int32).astype(jnp.int8)
         scales = jax.random.uniform(ks, (K // 16, N), jnp.float32, 0.001, 0.01)
         qt = QTensor(q=q, scales=scales.astype(kq_dt), kind="q6_k")
