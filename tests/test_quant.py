@@ -955,3 +955,24 @@ def test_pack_q23_roundtrip_and_matmul():
         got = np.asarray(qmatmul_pallas(jnp.asarray(x), qdef,
                                         interpret=True))
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)
+        # the decode scan's int4-plane conversion (to_int4) covers the
+        # packed kinds: per-16 scale planes ride through, q2's [0,3]
+        # recenters via the mins plane, q3's [-4,3] fits directly
+        from tpu_llm.quant.qtensor import to_int4
+
+        qi = jax.jit(to_int4)(qdef)
+        assert qi.kind == "q4_0i4" and qi.scales.shape[0] == K // 16
+        assert (qi.mins is not None) == (kind == "q2_k")
+        deq_i = np.asarray(dequantize(qi, jnp.float32))
+        deq_p = np.asarray(dequantize(qdef, jnp.float32))
+        if kind == "q2_k":
+            # bf16 planes: the recentered mins (m + 8s) round by
+            # <= 2^-8 relative — bounded by the plane magnitudes
+            mag = np.abs(np.asarray(qi.scales, np.float32)).max() * 8 \
+                + np.abs(np.asarray(qi.mins, np.float32)).max()
+            assert np.abs(deq_i - deq_p).max() <= mag / 128
+        else:
+            np.testing.assert_array_equal(deq_i, deq_p)   # q3: exact
+        got_i = np.asarray(qmatmul_pallas(jnp.asarray(x), qi,
+                                          interpret=True))
+        np.testing.assert_allclose(got_i, x @ deq_i, rtol=2e-5, atol=2e-4)

@@ -72,14 +72,22 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
         lo = (blocks & 0x0F) - 8
         hi = ((blocks >> 4) & 0x0F) - 8
         vals = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn)
-    elif kind in ("q4_1", "q2_kp", "q3_kp"):
+    elif kind in ("q4_1", "q2_kp"):
         # unsigned nibbles: q4_1 (and loaded-as-q4_1 q4_K) [0,15] affine;
-        # packed q2_K [0,3] affine (per-16 planes); packed q3_K stores
-        # u = q+4 in [0,7] — its -4 recentering is deferred to the MXU
-        # below, so the unpack is identical for all three
+        # packed q2_K [0,3] affine (per-16 planes)
         blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
         vals = jnp.concatenate(
             [blocks & 0x0F, (blocks >> 4) & 0x0F], axis=1).reshape(tk, tn)
+    elif kind == "q3_kp":
+        # packed q3_K stores u = q+4 in [0, 7]; recenter IN the unpack
+        # like q4_0's -8 — the in-unpack VPU subtract is free at full
+        # bandwidth (r5: the MXU-deferred variant measured 579 tok/s vs
+        # the int8 plane's 598 — the per-16 block-sum matmuls and their
+        # VMEM-stack indicator mats ate the entire byte saving)
+        blocks = q_ref[:].reshape(tk // 32, 16, tn).astype(jnp.int32)
+        lo = (blocks & 0x0F) - 4
+        hi = ((blocks >> 4) & 0x0F) - 4
+        vals = jnp.concatenate([lo, hi], axis=1).reshape(tk, tn)
     elif kind == "q6_kp":
         # true 6-bit q6_K (pack_q6_k): ql nibbles like q4_0 plus a 2-bit
         # qh plane riding the mins operand; value = (lo | hi<<4) - 32.
@@ -151,9 +159,6 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
     elif kind == "q6_kp":
         # the deferred -32 recentering: -32 * sum_k x[k] * s[k//16, n]
         mins_acc = _block_sum_dot(_scale_f32(s_ref) * (-32.0))
-    elif kind == "q3_kp":
-        # packed q3_K's deferred -4 recentering (same construction)
-        mins_acc = _block_sum_dot(_scale_f32(s_ref) * (-4.0))
     if acc_dtype == jnp.float32:
         # f32 mode (reference-parity): HIGHEST so dequantized values
         # aren't silently rounded to bf16 in the MXU — 6 passes, exact.
@@ -188,7 +193,8 @@ def _qmm_kernel(x_ref, q_ref, s_ref, *rest, tk: int, tn: int, kind: str,
 
 def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unused; kept so older experiment call sites (q4_serial_latency.py et al.) keep working
                 *, packed_itemsize: float = 0.5, scale_itemsize: float = 2.0,
-                tb: int = 8, x_itemsize: float = 4.0):
+                tb: int = 8, x_itemsize: float = 4.0,
+                bsum_block: int = 0):
     """Pick (tk, tn): FULL-WIDTH n stripes, LARGEST legal K-tile (plus a
     4096-wide stripe for vocab-sized N).
 
@@ -241,10 +247,24 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
     # test_pick_tiles_prefill_shapes).
 
     def fits(tk, tn, slack=0):
-        return 2 * (tk * tn * packed_itemsize
-                    + (tk // 32) * tn * scale_itemsize
-                    + tb * tk * x_itemsize
-                    + tb * tn * 4) <= budget - slack
+        # bsum_block > 0: the kind runs _block_sum_dot (MXU affine mins /
+        # deferred recentering), whose (tk, tk//block) iota/indicator
+        # temporaries live on the kernel's VMEM stack — quadratic in tk
+        # and NOT double-buffered, so they check against the REAL 16MB
+        # scoped limit (minus 0.5M safety), not the 14M window budget
+        # (whose 2M implicit margin covered the per-32 mats all along).
+        # 7 mats is the empirical fit: per-16 deferred q3_kp at
+        # tk=2048/tn=4096 allocated 18.35M vs the model's 10.9M of
+        # windows + 7*1.05M of mats = 18.2M; per-32 q4_K's shipped tiles
+        # (13.76M windows + 0.9M mats; 10.87M + 3.7M) stayed under 16M.
+        windows = 2 * (tk * tn * packed_itemsize
+                       + (tk // 32) * tn * scale_itemsize
+                       + tb * tk * x_itemsize
+                       + tb * tn * 4)
+        if bsum_block and windows + 7 * tk * (tk // bsum_block) * 4 \
+                > 15.5 * 1024 * 1024:
+            return False
+        return windows <= budget - slack
 
     def best_tk(width, slack=0):
         # largest multiple-of-256 divisor of K within the VMEM budget
@@ -304,7 +324,14 @@ def _tile_params(qt: QTensor) -> dict:
     K = qt.shape[-2]
     block = K // qt.scales.shape[-2]
     planes = 1 if qt.mins is None else 2
+    # kinds whose kernel runs _block_sum_dot: affine mins on the MXU
+    # (unless the TPU_LLM_MINS_VPU escape hatch is set) or the deferred
+    # -32 recentering (q6_kp; q3_kp recenters in the unpack instead)
+    bsum = (qt.kind == "q6_kp"
+            or (qt.mins is not None
+                and not os.environ.get("TPU_LLM_MINS_VPU")))
     return {
+        "bsum_block": block if bsum else 0,
         # int4 planes (q4_0i4) stay 2-per-byte in VMEM (E(4) layout).
         # q6_kp: ql is nibble-packed; its qh plane (tk/4 rows of uint8 =
         # 8 bytes per 32 weights) happens to weigh exactly like a second

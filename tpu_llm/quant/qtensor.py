@@ -391,9 +391,12 @@ def to_int4(qt: QTensor) -> QTensor:
 
     q4_1 (and loaded-as-q4_1 q4_K) recenters into the signed int4 range:
     q*s + m == (q-8)*s + (m + 8*s), so the mins plane absorbs the shift
-    exactly and the value plane becomes a plain int4 like q4_0's.
+    exactly and the value plane becomes a plain int4 like q4_0's. The
+    packed per-16 kinds convert the same way (the kernels read the block
+    size off the scale-plane shape): q2_kp recenters its [0,3] values
+    through the mins plane; q3_kp's [-4,3] values are already in range.
     """
-    if qt.kind == "q4_1":
+    if qt.kind in ("q4_1", "q2_kp"):
         s_f32 = unpack_scales_f16(qt.scales)
         # recenter in f32, then keep the mins plane at the scales' width
         # (bf16 K-quant planes stay bf16 through the transform)
@@ -403,6 +406,12 @@ def to_int4(qt: QTensor) -> QTensor:
             scales=qt.scales,
             kind="q4_0i4",
             mins=m,
+        )
+    if qt.kind == "q3_kp":
+        return QTensor(
+            q=(unpack_q4_unsigned(qt.q).astype(jnp.int16) - 4).astype(jnp.int4),
+            scales=qt.scales,
+            kind="q4_0i4",
         )
     if qt.kind != "q4_0":
         return qt
