@@ -263,3 +263,26 @@ def test_moe_paged_engine_matches_dense(tmp_path):
     rp = [paged.submit(r) for r in reqs()]
     paged.run()
     assert [r.tokens for r in rd] == [r.tokens for r in rp]
+
+
+def test_moe_batched_decode_unique_gather_matches_oracle():
+    """The small-batch unique-expert gather path (1 < B*T, B*T*k <
+    n_experts): expert HBM reads bound by the selection union, output
+    identical to the dense-masked form / numpy oracle."""
+    x, router, w1e, w3e, w2e = _rand_moe(seed=3, EX=8)
+    cfg = LlamaConfig(dim=16, hidden_dim=24, n_layers=1, n_heads=2,
+                      n_kv_heads=2, vocab_size=8, n_experts=8,
+                      n_experts_used=2)
+    lp = {"router": jnp.asarray(router), "w1e": jnp.asarray(w1e),
+          "w3e": jnp.asarray(w3e), "w2e": jnp.asarray(w2e)}
+    xb = jnp.asarray(x[:, :1])                 # (2, 1, E): B*T*k = 4 < 8
+    got = np.asarray(jax.jit(lambda x: M._moe_ffn(cfg, x, lp))(xb))
+    ref = _np_moe_ffn(x[:, :1], router, w1e, w3e, w2e, 2)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    # and a shape where every expert is selected at least once still
+    # matches (duplicate-free permutation ordering)
+    xw = jnp.asarray(np.tile(x[:, :1], (3, 1, 1)))     # B*T*k = 12 >= 8
+    got_w = np.asarray(M._moe_ffn(cfg, xw, lp))
+    ref_w = _np_moe_ffn(np.tile(x[:, :1], (3, 1, 1)), router, w1e, w3e,
+                        w2e, 2)
+    np.testing.assert_allclose(got_w, ref_w, rtol=2e-5, atol=2e-5)

@@ -308,17 +308,22 @@ def _moe_ffn(cfg: LlamaConfig, x, lp, rs_ffn=None):
     renormalized to sum 1 (llama.cpp build_moe_ffn norm_w semantics for
     LLM_ARCH_LLAMA; HF Mixtral does the same).
 
-    Two compute strategies, chosen by token count:
+    Three compute strategies, chosen by token count (all static-shape):
     - single-token decode: GATHER the k selected experts' stacked weight
       planes by traced index and run k FFNs — HBM reads scale with k,
       not n_experts (the TPU analogue of llama.cpp's per-token expert
       dispatch).
-    - prefill / batched: the dense-masked form — every expert processes
-      every token, outputs combined by the (B, T, Ex) gate matrix. With
-      tokens >> experts all experts are live anyway, the all-expert
-      einsum keeps the MXU on large matmuls (no dynamic shapes), and the
-      stacked expert weights shard over the mesh "expert" axis (EP) with
-      GSPMD inserting the combine psum.
+    - small-batch decode (1 < B*T and B*T*k < n_experts): gather the
+      UNION of selected experts (worst-case B*T*k uniques) and run each
+      over the whole batch — expert HBM reads scale with the union, not
+      n_experts. Single-chip path; under EP sharding the traced-index
+      gather would cross shards, so meshed runs use the dense form.
+    - prefill / large-batch: the dense-masked form — every expert
+      processes every token, outputs combined by the (B, T, Ex) gate
+      matrix. With tokens >> experts all experts are live anyway, the
+      all-expert einsum keeps the MXU on large matmuls, and the stacked
+      expert weights shard over the mesh "expert" axis (EP) with GSPMD
+      inserting the combine psum.
     """
     B, T, E = x.shape
     k = cfg.n_experts_used
@@ -347,6 +352,28 @@ def _moe_ffn(cfg: LlamaConfig, x, lp, rs_ffn=None):
     gates = jnp.sum(
         jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
         * topw[..., None], axis=-2)                       # (B, T, Ex)
+
+    if 1 < B * T and B * T * k < cfg.n_experts:
+        # small-batch decode: gather the UNION of selected experts
+        # (U = B*T*k worst-case uniques < n_experts) by traced index and
+        # run each over the whole batch — HBM expert reads scale with
+        # the union size, not n_experts (llama.cpp's per-token dispatch,
+        # batched). Unused-order slots carry all-zero gate columns, so
+        # processing them is numerically inert; static shapes throughout.
+        flat = topi.reshape(-1)
+        used = jnp.zeros((cfg.n_experts,), bool).at[flat].set(True)
+        order = jnp.argsort(~used, stable=True)           # used ids first
+        out = jnp.zeros((B, T, E), jnp.float32)
+        for u in range(B * T * k):
+            e = order[u]
+            y = expert_ffn(_expert_slice(lp["w1e"], e),
+                           _expert_slice(lp["w3e"], e),
+                           _expert_slice(lp["w2e"], e), x)
+            g = jax.lax.dynamic_index_in_dim(gates, e, axis=-1,
+                                             keepdims=False)
+            out = out + y.astype(jnp.float32) * g[..., None]
+        return out.astype(x.dtype)
+
     out = jnp.zeros((B, T, E), jnp.float32)
     for e in range(cfg.n_experts):
         y = expert_ffn(_expert_slice(lp["w1e"], e),
