@@ -348,6 +348,16 @@ def test_pick_tiles_production_shapes():
     # the budget must keep it at or below 512
     tk, _ = _pick_tiles(2048, 11264, **q8)
     assert tk <= 512
+    # the r5 small-tile probe (serialized chains rated tk=256/512 ahead
+    # on every 1-byte shape, but the full model measured 610 -> 529):
+    # TPU_LLM_MIN_KSTEPS stays env-gated, off by default
+    import os as _os
+    _os.environ["TPU_LLM_MIN_KSTEPS"] = "8"
+    try:
+        assert _pick_tiles(2048, 2560, **q8) == (256, 2560)
+        assert _pick_tiles(2048, 32000, **q8) == (256, 4096)
+    finally:
+        del _os.environ["TPU_LLM_MIN_KSTEPS"]
 
 
 def test_pick_tiles_prefill_shapes():

@@ -101,3 +101,60 @@ def test_sp_prefill_matches_and_is_sequence_sharded():
     # the output must come back sequence-sharded over the TP axis
     spec = hidden1.sharding.spec
     assert spec[1] == "model", f"hidden not sequence-sharded: {spec}"
+
+
+def test_ulysses_decode_matches_single_device():
+    """Full Ulysses lifecycle: sequence-sharded prefill -> one-time
+    reshard to the head-sharded decode layout -> greedy decode steps.
+    Logits and tokens must match the dense single-device path."""
+    from tpu_llm.parallel.ulysses import (decode_ulysses,
+                                          reshard_cache_for_decode)
+
+    cfg = LlamaConfig(**CFG)
+    params = make_params(13)
+    batch, T = 2, CFG["seq_len"]
+    max_seq = T + 8
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(
+        rng.integers(0, CFG["vocab_size"], (batch, T)), jnp.int32)
+
+    # dense reference: prefill then 4 greedy steps
+    cache0 = M.init_cache(cfg, batch, max_seq)
+    hidden0, cache0 = M.forward(params, cfg, tokens, cache0, jnp.int32(0))
+    tok0 = jnp.argmax(
+        M.lm_head(params, cfg, hidden0[:, -1:, :])[:, 0, :], axis=-1
+    ).astype(jnp.int32)
+    ref_toks = []
+    pos = T
+    for _ in range(4):
+        logits0, cache0 = M.decode_step(params, cfg, tok0, cache0,
+                                        jnp.int32(pos))
+        ref_toks.append(np.asarray(tok0))
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        pos += 1
+
+    mesh = make_mesh(2, 4)
+    pcache = M.init_cache(cfg, batch, T)
+    hidden1, pcache = prefill_ulysses(params, cfg, tokens, pcache, mesh)
+    tok1 = jnp.argmax(
+        M.lm_head(params, cfg, hidden1[:, -1:, :])[:, 0, :], axis=-1
+    ).astype(jnp.int32)
+    dcache = reshard_cache_for_decode(pcache, max_seq, mesh)
+    pos = T
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(tok1), ref_toks[i])
+        logits1, dcache = decode_ulysses(params, cfg, tok1, dcache,
+                                         jnp.int32(pos), mesh)
+        tok1 = jnp.argmax(logits1, axis=-1).astype(jnp.int32)
+        pos += 1
+
+
+def test_ulysses_decode_rejects_bad_degree():
+    from tpu_llm.parallel.ulysses import decode_ulysses
+
+    cfg = LlamaConfig(**CFG)
+    mesh = make_mesh(1, 8)
+    cache = M.init_cache(cfg, 1, 32)
+    with pytest.raises(ValueError, match="ring attention"):
+        decode_ulysses(make_params(0), cfg, jnp.zeros((1,), jnp.int32),
+                       cache, jnp.int32(0), mesh)

@@ -266,11 +266,27 @@ def _pick_tiles(K: int, N: int, acc_itemsize: int = 4,  # noqa: ARG001 — unuse
             return False
         return windows <= budget - slack
 
+    # LARGEST legal K-tile for every kind. The r5 q8_0 serialized-chain
+    # sweep (experiments/r5_q8_sweep.py) measured tk=256/512 beating the
+    # largest tile on every 1-byte decode shape (wqkv 603 vs 483 GB/s,
+    # w2 657 vs 555, wcls 737 vs 723) — but the FULL MODEL with that
+    # policy dropped 610 -> 529 tok/s: serialized single-matmul chains
+    # cannot see the cross-call overlap the real step already gets from
+    # adjacent kernels' DMA, the same trap that mis-rated narrow stripes
+    # at 7B in r3 (r3_7b_tiles.py vs r3_7b_trace.py). TPU_LLM_MIN_KSTEPS
+    # remains as the probe knob that produced the A/B.
+    min_steps = int(os.environ.get("TPU_LLM_MIN_KSTEPS", "0"))
+
     def best_tk(width, slack=0):
-        # largest multiple-of-256 divisor of K within the VMEM budget
-        cands = (t for t in range(256, K + 1, 256)
-                 if K % t == 0 and fits(t, width, slack))
-        return max(cands, default=None)
+        cands = [t for t in range(256, K + 1, 256)
+                 if K % t == 0 and fits(t, width, slack)]
+        if not cands:
+            return None
+        if min_steps > 1:
+            small = [t for t in cands if K // t >= min_steps]
+            if small:
+                return max(small)
+        return max(cands)
 
     def best_pair(widths, slack=0):
         # largest tk first, then the wider stripe
