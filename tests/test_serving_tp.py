@@ -184,3 +184,73 @@ def test_http_server_under_tp(tmp_path):
     ref = plain.submit(Rq(prompt=tokenizer.encode("abc"), max_new=5))
     plain.run()
     assert out["tokens"] == ref.tokens
+
+
+def test_batch_engine_tp_quantized_params():
+    """QTensor params through the shard_map TP adapter: per-shard fused
+    kernels on TPU, plane-wise sharding everywhere — parity with the
+    unsharded quantized engine."""
+    from tpu_llm.quant.convert_params import quantize_llama_params
+
+    # col-parallel projections + classifier only: the toy hidden_dim
+    # (48) is not a multiple of the 32-wide q4_0 block, and the toy
+    # wo's K=32 gives a 1-row scales plane that can't row-shard by 2
+    # (real models have K/32 >> tp)
+    params = quantize_llama_params(
+        to_params(make_weights(0)), "q4_0",
+        layer_keys=("wq", "wk", "wv"))
+    cfg = LlamaConfig(**CFG)
+    plain = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                        batch=4, max_seq=CFG["seq_len"])
+    ref = _run(plain)
+
+    eng = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                      batch=4, max_seq=CFG["seq_len"])
+    eng = shard_engine(eng, cfg, make_mesh(data=1, model=2))
+    # the dense stacked llama engine takes the shard_map TP adapter
+    assert eng.adapter is not plain.adapter
+    got = _run(eng)
+    assert got == ref
+
+
+def test_two_model_spec_under_mesh():
+    """llm-serve --tp 2 --spec K --draft equivalent: the draft's params
+    and dense state get their own placement (shard_engine draft_cfg) and
+    the greedy stream matches the unsharded spec engine exactly."""
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+
+    def mk(draft):
+        return BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                           batch=2, max_seq=CFG["seq_len"],
+                           speculative_k=3, draft=draft)
+
+    def draft():
+        return (to_params(make_weights(3)),
+                ModelAdapter.llama(cfg, bos_id=1))
+
+    plain = mk(draft())
+    ref = _run2 = [plain.submit(Request(prompt=[5, 11], max_new=8)),
+                   plain.submit(Request(prompt=[3, 9, 2], max_new=6))]
+    plain.run()
+    ref = [r.tokens for r in _run2]
+
+    eng = mk(draft())
+    eng = shard_engine(eng, cfg, make_mesh(data=1, model=2),
+                       draft_cfg=cfg)
+    rs = [eng.submit(Request(prompt=[5, 11], max_new=8)),
+          eng.submit(Request(prompt=[3, 9, 2], max_new=6))]
+    eng.run()
+    assert [r.tokens for r in rs] == ref
+    assert eng.stats["spec_forwards"] > 0
+
+
+def test_mesh_draft_without_cfg_still_raises():
+    params = to_params(make_weights(0))
+    cfg = LlamaConfig(**CFG)
+    eng = BatchEngine(params, ModelAdapter.llama(cfg, bos_id=1),
+                      batch=2, max_seq=CFG["seq_len"], speculative_k=3,
+                      draft=(to_params(make_weights(3)),
+                             ModelAdapter.llama(cfg, bos_id=1)))
+    with pytest.raises(NotImplementedError, match="draft_cfg"):
+        shard_engine(eng, cfg, make_mesh(data=1, model=2))

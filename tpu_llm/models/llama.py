@@ -146,6 +146,8 @@ def _attend(q, kc, vc, positions, offset):
     # (B, S, Hkv*D) planes every step (~369 MB/step at batch 32, S=1024)
     # while the kernel's per-row index maps stop at each row's position.
     # CPU/GPU stay on the einsum path (no Mosaic).
+    from tpu_llm.quant.linear import pallas_scope_disabled
+
     B, D = q.shape[0], q.shape[3]
     use_decode_flash = (
         T == 1
@@ -155,6 +157,7 @@ def _attend(q, kc, vc, positions, offset):
         and jax.default_backend() not in ("cpu", "gpu")
         and not os.environ.get("TPU_LLM_DISABLE_FLASH")
         and not os.environ.get("TPU_LLM_DISABLE_PALLAS")
+        and not pallas_scope_disabled()
         and D in (64, 128)
         and kc.shape[2] % 128 == 0
         and S % min(256, S) == 0
@@ -177,6 +180,7 @@ def _attend(q, kc, vc, positions, offset):
         and offset.ndim == 0
         and jax.default_backend() not in ("cpu",)
         and not os.environ.get("TPU_LLM_DISABLE_FLASH")
+        and not pallas_scope_disabled()
         and T % min(256, T) == 0
         and S % min(256, S) == 0
         # einsum is faster while its (B,T,H,S) scores tensor is small;
@@ -219,6 +223,10 @@ def _use_ffn_megakernel(cfg: LlamaConfig, x, lp) -> bool:
     if not os.environ.get("TPU_LLM_FFN_MEGAKERNEL"):
         return False
     if os.environ.get("TPU_LLM_DISABLE_PALLAS") or x.dtype != jnp.bfloat16:
+        return False
+    from tpu_llm.quant.linear import pallas_scope_disabled
+
+    if pallas_scope_disabled():
         return False
     if jax.default_backend() in ("cpu", "gpu"):
         return False
@@ -271,6 +279,10 @@ def _use_flash_fused(q, kc) -> bool:
 
     if os.environ.get("TPU_LLM_DISABLE_PALLAS") or \
             os.environ.get("TPU_LLM_DISABLE_FLASH"):
+        return False
+    from tpu_llm.quant.linear import pallas_scope_disabled
+
+    if pallas_scope_disabled():
         return False
     if jax.default_backend() in ("cpu", "gpu"):
         return False
@@ -402,7 +414,12 @@ def _kv_window(cache, w: int):
 
 def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
            attn_fn=None, kv_offset=None, update_fn=None, rope_cs=None,
-           defer_kv=False, kv_window=None):
+           defer_kv=False, kv_window=None, reduce_fn=None):
+    # ``reduce_fn`` (tensor parallelism under shard_map): applied to the
+    # row-parallel partial sums right after the wo and w2 matmuls —
+    # Megatron's two psums per layer — BEFORE the replicated bo/b2 bias
+    # adds, so biased models stay exact. cfg must carry the LOCAL
+    # (per-shard) head/ffn dims.
     # named scopes reproduce the reference's five timing buckets
     # (llama2.f90:538,561,599,622,638) as XProf trace annotations
     B, T, E = x.shape
@@ -475,6 +492,8 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
             attn = (attn_fn or _attend)(q, ka, va, positions, offset)
         attn = attn.reshape(B, T, cfg.q_dim)
         attn_out = matmul(attn, lp["wo"])
+        if reduce_fn is not None:
+            attn_out = reduce_fn(attn_out)
         if "bo" in lp:
             attn_out = attn_out + lp["bo"]
 
@@ -486,6 +505,9 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
 
     with jax.named_scope("ffn"):
         if cfg.n_experts:
+            assert reduce_fn is None, \
+                "shard_map TP reduce is not wired for MoE layers (EP/TP " \
+                "MoE shards through the GSPMD path)"
             mlp_out = _moe_ffn(cfg, mlp_in, lp, rs_ffn)
             if cfg.parallel_block:
                 return x + attn_out + mlp_out, kc, vc
@@ -497,6 +519,8 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
                 mlp_in = (mlp_in.astype(jnp.float32)
                           * rs_ffn).astype(mlp_in.dtype)
             mlp_out = ffn_fused_pallas(mlp_in, lp["w13"], lp["w2"])
+            if reduce_fn is not None:
+                mlp_out = reduce_fn(mlp_out)
             if cfg.parallel_block:
                 return x + attn_out + mlp_out, kc, vc
             return x + mlp_out, kc, vc
@@ -516,6 +540,8 @@ def _block(cfg: LlamaConfig, x, lp, kc, vc, positions, offset,
                 mid = mid + lp["b3"]
             mid = gelu(mid) if cfg.act == "gelu" else silu(mid)
         mlp_out = matmul(mid, lp["w2"])
+        if reduce_fn is not None:
+            mlp_out = reduce_fn(mlp_out)
         if "b2" in lp:
             mlp_out = mlp_out + lp["b2"]
 
@@ -540,6 +566,7 @@ def run_layers(
     update_fn=None,
     rope_cs=None,
     kv_window=None,
+    reduce_fn=None,
 ):
     """Run a stacked layer range under lax.scan. Factored out of ``forward``
     so pipeline stages (tpu_llm.parallel.pipeline) can run their local layer
@@ -551,7 +578,7 @@ def run_layers(
         x, kc, vc = _block(cfg, x, lp, kc, vc, positions, offset,
                            attn_fn=attn_fn, kv_offset=kv_offset,
                            update_fn=update_fn, rope_cs=rope_cs,
-                           kv_window=kv_window)
+                           kv_window=kv_window, reduce_fn=reduce_fn)
         if act_constraint is not None:
             x = act_constraint(x)
         return x, (kc, vc)
@@ -577,6 +604,8 @@ def forward(
                              # (decode T==1, flat-stacked dense cache only)
     kv_window=None,          # static int: attend only to cache slots [0, w)
                              # — exact when all positions < w (_kv_window)
+    reduce_fn=None,          # TP partial-sum reduce (psum) after wo / w2 —
+                             # see _block; cfg must be the LOCAL shard cfg
 ) -> Tuple[jax.Array, Cache]:
     """Run the transformer trunk. Returns (hidden (B, T, E), new cache).
 
@@ -610,7 +639,8 @@ def forward(
                                positions, offset,
                                attn_fn=attn_fn, kv_offset=kv_offset,
                                update_fn=update_fn, rope_cs=rope_cs,
-                               defer_kv=defer_kv, kv_window=kv_window)
+                               defer_kv=defer_kv, kv_window=kv_window,
+                               reduce_fn=reduce_fn)
             if act_constraint is not None:
                 x = act_constraint(x)
             if defer_kv and not flat_stacked and \
@@ -650,6 +680,7 @@ def forward(
             layers, cfg, x, cache["k"], cache["v"], positions, offset,
             attn_fn=attn_fn, kv_offset=kv_offset, act_constraint=act_constraint,
             update_fn=update_fn, rope_cs=rope_cs, kv_window=kv_window,
+            reduce_fn=reduce_fn,
         )
 
     x = apply_final_norm(params, cfg, x)

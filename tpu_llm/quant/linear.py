@@ -19,9 +19,33 @@ from tpu_llm.quant.pallas_matmul import qmatmul_pallas, pallas_tiles_ok
 
 Weight = Union[jax.Array, QTensor]
 
+# scoped (per-trace) Pallas disable: engines whose jitted bodies must
+# stay on XLA-partitionable ops (GSPMD mesh serving) wrap their traces in
+# ``pallas_disabled()`` instead of mutating TPU_LLM_DISABLE_PALLAS
+# process-wide (which silently slowed every LATER single-chip engine in
+# the same process — r4 advisor finding). The flag only matters while a
+# jit trace runs; compiled steps never re-enter Python.
+_scoped_disable = 0
+
+
+class pallas_disabled:
+    def __enter__(self):
+        global _scoped_disable
+        _scoped_disable += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _scoped_disable
+        _scoped_disable -= 1
+        return False
+
+
+def pallas_scope_disabled() -> bool:
+    return _scoped_disable > 0
+
 
 def _use_pallas() -> bool:
-    if os.environ.get("TPU_LLM_DISABLE_PALLAS"):
+    if os.environ.get("TPU_LLM_DISABLE_PALLAS") or _scoped_disable:
         return False
     return jax.default_backend() not in ("cpu", "gpu")
 

@@ -135,27 +135,41 @@ def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
     bos_id = (getattr(tokenizer, "bos_id", 1)
               if getattr(tokenizer, "add_bos", True) else -1)
     eos_id = getattr(tokenizer, "eos_id", 2)
+    tp = getattr(args, "tp", 1)
+    dp = getattr(args, "dp", 1)
+    use_mesh = tp * dp > 1
     draft = None
+    dcfg = None
     if getattr(args, "draft", None):
         if is_mamba:
             raise SystemExit("--draft requires a llama-family target")
         from tpu_llm.models.llama import load_gguf as _ld
         from tpu_llm.models.llama import unstack_layers as _us
 
-        dparams, dcfg = _ld(args.draft, dtype_policy=args.dtype, fuse=True)
-        draft = (_us(dparams),
-                 ModelAdapter.llama(dcfg, cache_dtype=jnp.bfloat16,
-                                    bos_id=bos_id, stacked=False))
-    tp = getattr(args, "tp", 1)
-    dp = getattr(args, "dp", 1)
+        if use_mesh:
+            # mesh serving: unfused + stacked so the draft shares the TP
+            # param specs and the shard_map adapter (serving.shard_engine)
+            dparams, dcfg = _ld(args.draft, dtype_policy=args.dtype,
+                                fuse=False)
+            draft = (dparams,
+                     ModelAdapter.llama(dcfg, cache_dtype=jnp.bfloat16,
+                                        bos_id=bos_id))
+        else:
+            dparams, dcfg = _ld(args.draft, dtype_policy=args.dtype,
+                                fuse=True)
+            draft = (_us(dparams),
+                     ModelAdapter.llama(dcfg, cache_dtype=jnp.bfloat16,
+                                        bos_id=bos_id, stacked=False))
     mesh = None
-    if tp * dp > 1:
+    if use_mesh:
         if is_mamba:
             raise SystemExit("--tp/--dp require a llama-family target")
-        if draft is not None:
-            raise SystemExit("--draft with --tp/--dp is not supported yet")
         if args.batch % dp:
             raise SystemExit(f"--batch {args.batch} must divide by --dp {dp}")
+        if dcfg is not None and tp > 1 and dcfg.n_kv_heads % tp:
+            raise SystemExit(
+                f"--tp {tp} must divide the draft model's n_kv_heads="
+                f"{dcfg.n_kv_heads}")
         from tpu_llm.parallel import make_mesh
 
         mesh = make_mesh(data=dp, model=tp)
@@ -184,7 +198,7 @@ def make_engine(args, params, cfg, tokenizer, max_seq, is_mamba=False):
     if mesh is not None:
         from tpu_llm.parallel.serving import shard_engine
 
-        eng = shard_engine(eng, cfg, mesh)
+        eng = shard_engine(eng, cfg, mesh, draft_cfg=dcfg)
     return eng
 
 
