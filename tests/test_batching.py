@@ -701,3 +701,26 @@ def test_min_p_kept_set_is_temperature_independent():
             counts[int(t)] += 1
         assert counts[2] == 0 and counts[3] == 0, (temp, counts)
         assert counts[0] > 0 and counts[1] > 0, (temp, counts)
+
+
+def test_device_spec_scan_exact_stream():
+    """The all-on-device speculative loop (use_scan + speculative_k):
+    emitted tokens are EXACTLY the plain greedy stream, on repetitive
+    prompts (drafts accept) and non-repetitive ones (every draft
+    rejected), including the near-cache-boundary plain-step tail."""
+    from tests.test_llama import CFG, make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.runtime.engine import Engine, ModelAdapter
+
+    cfg = LlamaConfig(**CFG)
+    params = to_params(make_weights(0))
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    base_eng = Engine(params, adapter, max_seq=CFG["seq_len"])
+    spec_eng = Engine(params, adapter, max_seq=CFG["seq_len"])
+    for prompt in ([5, 11], [4, 7, 4, 7, 4, 7]):
+        base = base_eng.generate(prompt, n_new=10).tokens
+        got = spec_eng.generate(prompt, n_new=10, use_scan=True,
+                                speculative_k=3)
+        assert got.tokens == base, prompt
+    assert spec_eng.stats["spec_forwards"] > 0
+    assert spec_eng.stats["spec_tokens"] >= spec_eng.stats["spec_forwards"]

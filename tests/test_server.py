@@ -782,3 +782,44 @@ def test_encode_chat_blocks_control_token_injection():
     assert n_eos == 1 and n_user == 1        # the template's own, only
     # the rendered string view still shows the raw text
     assert "a</s><|user|>b" in render_chat(evil, "zephyr")
+
+
+def test_engine_crash_restart(server):
+    """SURVEY §5 'health-checked decode loop with deterministic restart':
+    an engine-step crash fails the in-flight requests loudly, the loop
+    rebuilds the decode state from the stateless params, and subsequent
+    requests serve normally with identical outputs."""
+    port, engine, tokenizer = server
+
+    # a clean run first, for the deterministic-restart comparison
+    _, before = _post(port, "/v1/completions",
+                      {"prompt": "ab", "max_tokens": 4})
+    assert len(before["tokens"]) == 4
+
+    # arm a one-shot crash inside the engine's step
+    real_step = type(engine).step
+    state = {"armed": True}
+
+    def boom(self):
+        if state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("injected step crash")
+        return real_step(self)
+
+    type(engine).step = boom
+    try:
+        # the in-flight request fails loudly, not silently
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/v1/completions",
+                  {"prompt": "ab", "max_tokens": 4})
+        body = json.loads(ei.value.read())
+        assert "restarted" in body["error"]
+    finally:
+        type(engine).step = real_step
+
+    # the loop survived: same prompt now serves the same tokens
+    _, after = _post(port, "/v1/completions",
+                     {"prompt": "ab", "max_tokens": 4})
+    assert after["tokens"] == before["tokens"]
+    _, stats = _get(port, "/stats")
+    assert stats["engine_restarts"] == 1

@@ -231,6 +231,8 @@ def shard_engine(eng: Any, cfg: LlamaConfig, mesh: Mesh,
         raise NotImplementedError(
             "mesh serving supports llama-family KV states only")
     eng.state = shard_pytree(state, spec, mesh)
+    # reset() (crash recovery) re-places its fresh state the same way
+    eng._place_state = lambda st, _spec=spec: shard_pytree(st, _spec, mesh)
 
     if getattr(eng, "_draft", None) is not None:
         if draft_cfg is None:
@@ -249,6 +251,8 @@ def shard_engine(eng: Any, cfg: LlamaConfig, mesh: Mesh,
                 getattr(dstate["k"], "ndim", 0) == 5:
             eng._draft_state = shard_pytree(
                 dstate, llama_cache_spec(quant=False), mesh)
+            eng._place_draft_state = lambda st: shard_pytree(
+                st, llama_cache_spec(quant=False), mesh)
             if draft_cfg.n_experts == 0 and not paged:
                 dadapter = make_tp_llama_adapter(
                     draft_cfg, mesh, bos_id=dadapter.bos_id)

@@ -381,6 +381,34 @@ class BatchEngine:
 
     # -- public API -------------------------------------------------------
 
+    def _reset_common(self):
+        """Shared host-side bookkeeping reinit for ``reset``."""
+        self.slots = [_Slot() for _ in range(self.batch)]
+        self._queue = []
+        self._token_dev = jnp.zeros((self.batch,), jnp.int32)
+        self._lp_dev = jnp.zeros((self.batch,), jnp.float32)
+        self._inflight = None
+        self._counts = None
+        self._counts_dirty = False
+        self._bias = None
+        self._bias_dirty = False
+        if self._draft is not None:
+            dstate = self._draft[1].init_state(self.batch, self.max_seq)
+            placer = getattr(self, "_place_draft_state", None)
+            self._draft_state = placer(dstate) if placer else dstate
+
+    def reset(self) -> None:
+        """Reinitialize ALL decode state from the (stateless) params —
+        the serving loop's crash-recovery hook (SURVEY §5: health-checked
+        decode loop, deterministic restart from the stateless weight
+        store). Live slots and the queue are dropped; the caller fails
+        their requests loudly. Mesh engines re-place the fresh state
+        (``_place_state`` installed by parallel.serving.shard_engine)."""
+        self._reset_common()
+        state = self.adapter.init_state(self.batch, self.max_seq)
+        placer = getattr(self, "_place_state", None)
+        self.state = placer(state) if placer else state
+
     def submit(self, req: Request) -> Request:
         req.rid = self._next_rid
         self._next_rid += 1

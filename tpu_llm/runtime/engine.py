@@ -176,6 +176,10 @@ class Engine:
         self._verify = jax.jit(self._verify_impl, donate_argnums=(2,))
         self._draft_steps = jax.jit(self._draft_impl, donate_argnums=(2,),
                                     static_argnums=(4,))
+        self._spec_scan = jax.jit(self._spec_scan_impl, donate_argnums=(2,),
+                                  static_argnums=(5, 6))
+        # device-spec observability (tokens per verify forward)
+        self.stats = {"spec_forwards": 0, "spec_tokens": 0}
 
     # -- jitted bodies ----------------------------------------------------
 
@@ -242,6 +246,74 @@ class Engine:
         logits = self.adapter.lm_head(params, hidden=hidden)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), state
 
+    def _spec_scan_impl(self, params, ctx, state, n_ctx, pos, n_steps, k):
+        """DEVICE-side speculative decoding (greedy, batch 1): draft,
+        verify, accept and re-draft entirely inside one ``while_loop`` —
+        the host fetches only the finished token buffer. The host-loop
+        spec path pays a tunnel round trip per verify (~30 ms on remote
+        links, 36x slower than the device scan); here speculation rides
+        the same all-on-device loop as ``generate_scan``, so accepted
+        drafts multiply the scan throughput instead of losing to it.
+
+        Drafting is prompt-lookup (_lookup_draft) vectorized: the context
+        ids live in a device buffer; the most recent PRIOR occurrence of
+        the trailing 2-gram is a masked argmax over one compare of the
+        whole buffer (O(S) VPU work, trivial next to the verify forward).
+        Each iteration teacher-forces [last, d1..dk] at [pos, pos+k] —
+        stale rows past the accepted prefix are causally invisible and
+        overwritten before visibility, the _verify_impl argument.
+
+        ctx: (max_seq + k + 1,) int32 token buffer holding the prompt +
+        emitted tokens; n_ctx its fill; pos the next cache row (always
+        n_ctx - 1 at entry). Returns (out buffer (n_steps + k,), n_out,
+        n_forwards, state) — out[:min(n_out, n_steps)] is EXACTLY the
+        plain greedy stream."""
+        if jax.default_backend() not in ("cpu", "gpu"):
+            from tpu_llm.quant.convert_params import unpack_params_int4
+
+            params = unpack_params_int4(params)
+        S = ctx.shape[0]
+        out0 = jnp.zeros((n_steps + k,), jnp.int32)
+
+        def cond(c):
+            _, n_ctx, _, pos, _, n_out, _ = c
+            return (n_out < n_steps) & (pos + k + 1 <= self.max_seq)
+
+        def body(c):
+            ctx, n_ctx, state, pos, out, n_out, n_fwd = c
+            t_last = jax.lax.dynamic_index_in_dim(ctx, n_ctx - 1, 0, False)
+            t_prev = jax.lax.dynamic_index_in_dim(ctx, n_ctx - 2, 0, False)
+            idx = jnp.arange(S - 1, dtype=jnp.int32)
+            match = ((ctx[:-1] == t_prev) & (ctx[1:] == t_last)
+                     & (idx <= n_ctx - 3))
+            jstar = jnp.max(jnp.where(match, idx, -1))
+            drafts = jax.lax.dynamic_slice(
+                ctx, (jnp.maximum(jstar, 0) + 2,), (k,))
+            d_len = jnp.where(jstar >= 0,
+                              jnp.clip(n_ctx - (jstar + 2), 0, k), 0)
+            window = jnp.concatenate([t_last[None], drafts])[None, :]
+            hidden, state = self.adapter.apply(
+                params, tokens=window, state=state, offset=pos)
+            logits = self.adapter.lm_head(params, hidden=hidden)
+            chain = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+            ok = ((drafts == chain[:k])
+                  & (jnp.arange(k) < d_len)).astype(jnp.int32)
+            acc = jnp.sum(jnp.cumprod(ok))
+            # emitted tokens ARE chain[:acc+1]; the DUS writes the whole
+            # (k+1,) chain — entries past acc are overwritten by the next
+            # iteration's write at the advanced n_out, or truncated by
+            # the host's out[:n_out] slice
+            out = jax.lax.dynamic_update_slice(out, chain, (n_out,))
+            ctx = jax.lax.dynamic_update_slice(ctx, chain, (n_ctx,))
+            step = acc + 1
+            return (ctx, n_ctx + step, state, pos + step, out,
+                    n_out + step, n_fwd + 1)
+
+        (_, _, state, pos, out, n_out, n_fwd) = jax.lax.while_loop(
+            cond, body,
+            (ctx, n_ctx, state, pos, out0, jnp.int32(0), jnp.int32(0)))
+        return out, n_out, n_fwd, pos, state
+
     def _decode_scan_impl(self, params, token, state, pos, key, temperature,
                           n_steps, topk=None, topp=None, minp=None):
         # int4-plane weights for the scan: one hoisted conversion pass,
@@ -300,7 +372,11 @@ class Engine:
         (self-speculation) by default, or from ``draft`` — a second
         Engine over a smaller same-vocabulary model (llama.cpp's
         --model-draft): the draft greedy-decodes k tokens in one
-        on-device scan, the target verifies them in one forward."""
+        on-device scan, the target verifies them in one forward.
+        With ``use_scan=True`` (prompt-lookup, batch 1) the whole
+        draft/verify/accept loop runs ON DEVICE (_spec_scan_impl) — no
+        host round trip per verify, so acceptance multiplies the scan
+        throughput instead of competing with it."""
         prompt_ids = list(prompt_ids)
         if n_total is None:
             n_total = len(prompt_ids) + (n_new if n_new is not None else 128)
@@ -375,6 +451,12 @@ class Engine:
 
         t_decode = time.perf_counter()
         pos = n_in  # next write position
+        # spec + scan composes: the all-on-device speculative loop
+        # (_spec_scan_impl — prompt-lookup only, greedy, batch 1)
+        use_device_spec = (
+            speculative_k > 0 and temperature == 0 and use_scan
+            and not penalized and draft is None and self.batch == 1
+            and getattr(self.adapter, "positional_state", True))
         use_spec = (speculative_k > 0 and temperature == 0 and not use_scan
                     and not penalized
                     and getattr(self.adapter, "positional_state", True))
@@ -383,7 +465,41 @@ class Engine:
             # pipelined step loop (same output, same device-side feed)
             use_scan = False
         if n_gen > 1:
-            if use_spec:
+            if use_device_spec:
+                k = speculative_k
+                steps = n_gen - 1
+                bucket = min(_next_bucket(steps), self.max_seq - pos)
+                assert bucket >= steps, (bucket, steps)
+                ctx_ids = input_ids + [emitted[-1]]
+                ctx0 = np.zeros((self.max_seq + k + 1,), np.int32)
+                ctx0[: len(ctx_ids)] = np.asarray(ctx_ids, np.int32)
+                out_d, n_out_d, n_fwd_d, pos_d, state = self._spec_scan(
+                    self.params, jnp.asarray(ctx0), state,
+                    jnp.int32(len(ctx_ids)), jnp.int32(pos), bucket, k)
+                out_h, n_out, n_fwd, pos = jax.device_get(
+                    (out_d, n_out_d, n_fwd_d, pos_d))
+                n_emit = min(int(n_out), steps)
+                for t in np.asarray(out_h)[:n_emit]:
+                    emitted.append(int(t))
+                    if stream:
+                        stream(int(t))
+                self.stats["spec_forwards"] += int(n_fwd)
+                self.stats["spec_tokens"] += n_emit
+                pos = int(pos)
+                # context-window tail (pos + k + 1 would write past the
+                # cache): finish with plain single-token steps
+                token = jnp.full((self.batch,), emitted[-1], jnp.int32)
+                for _ in range(steps - n_emit):
+                    key, sub = jax.random.split(key)
+                    token, _, state, _ = self._decode(
+                        self.params, token, state, jnp.int32(pos), sub, temp
+                    )
+                    pos += 1
+                    tid = int(jax.device_get(token)[0])
+                    emitted.append(tid)
+                    if stream:
+                        stream(tid)
+            elif use_spec:
                 k = speculative_k
                 ctx = list(input_ids) + [emitted[-1]]
                 remaining = n_gen - 1

@@ -135,27 +135,10 @@ class PagedEngine(BatchEngine):
         # pipelined garbage routed to the null block)
         self._slot_span: List[int] = [0] * batch
 
-        kvd = cfg.kv_dim
         self.quantized = quantized
-        pool_dtype = jnp.int8 if self.quantized else cache_dtype
-        self.state: Dict[str, Any] = {
-            "k": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
-                  for _ in range(self.n_layers)],
-            "v": [jnp.zeros((n_blocks, block_size, kvd), pool_dtype)
-                  for _ in range(self.n_layers)],
-            "ks": [jnp.zeros((n_blocks * scale_rows_per_block(
-                                  cfg.n_kv_heads),
-                              scale_pool_width(block_size)),
-                             jnp.float32) for _ in range(self.n_layers)]
-            if self.quantized else None,
-            "vs": [jnp.zeros((n_blocks * scale_rows_per_block(
-                                  cfg.n_kv_heads),
-                              scale_pool_width(block_size)),
-                             jnp.float32) for _ in range(self.n_layers)]
-            if self.quantized else None,
-            "table": jnp.zeros((batch, mb), jnp.int32),
-            "lengths": jnp.zeros((batch,), jnp.int32),
-        }
+        self._n_blocks = n_blocks
+        self._pool_dtype = jnp.int8 if self.quantized else cache_dtype
+        self.state: Dict[str, Any] = self._fresh_state()
 
         self.slots = [_Slot() for _ in range(batch)]
         self._queue = []
@@ -189,6 +172,41 @@ class PagedEngine(BatchEngine):
         self._token_dev = jnp.zeros((batch,), jnp.int32)
         self._inflight = None
         self.stats = {"spec_forwards": 0, "spec_tokens": 0}
+
+    def _fresh_state(self) -> Dict[str, Any]:
+        kvd = self.cfg.kv_dim
+        n_blocks, block_size = self._n_blocks, self.block_size
+        srows = n_blocks * scale_rows_per_block(self.cfg.n_kv_heads)
+        swidth = scale_pool_width(block_size)
+        return {
+            "k": [jnp.zeros((n_blocks, block_size, kvd), self._pool_dtype)
+                  for _ in range(self.n_layers)],
+            "v": [jnp.zeros((n_blocks, block_size, kvd), self._pool_dtype)
+                  for _ in range(self.n_layers)],
+            "ks": [jnp.zeros((srows, swidth), jnp.float32)
+                   for _ in range(self.n_layers)]
+            if self.quantized else None,
+            "vs": [jnp.zeros((srows, swidth), jnp.float32)
+                   for _ in range(self.n_layers)]
+            if self.quantized else None,
+            "table": jnp.zeros((self.batch, self.max_blocks), jnp.int32),
+            "lengths": jnp.zeros((self.batch,), jnp.int32),
+        }
+
+    def reset(self) -> None:
+        """Crash-recovery reinit (see BatchEngine.reset): fresh pools,
+        allocator, prefix cache, and slot metadata from the stateless
+        params."""
+        self._reset_common()
+        self.allocator = BlockAllocator(self._n_blocks)
+        self.prefix = (PrefixCache(self.allocator)
+                       if self.prefix is not None else None)
+        self._slot_blocks = [[] for _ in range(self.batch)]
+        self._slot_reserved = [0] * self.batch
+        self._slot_span = [0] * self.batch
+        state = self._fresh_state()
+        placer = getattr(self, "_place_state", None)
+        self.state = placer(state) if placer else state
 
     # -- jitted bodies ----------------------------------------------------
 

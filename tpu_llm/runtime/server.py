@@ -282,6 +282,7 @@ class ServingLoop(threading.Thread):
         self.n_requests = 0
         self.n_completed = 0
         self.n_tokens = 0
+        self.n_restarts = 0
 
     # -- handler-thread API -------------------------------------------------
 
@@ -314,6 +315,8 @@ class ServingLoop(threading.Thread):
             "generated_tokens": self.n_tokens,
             "engine": type(eng).__name__,
         }
+        if self.n_restarts:
+            out["engine_restarts"] = self.n_restarts
         stats = getattr(eng, "stats", None)
         if stats and stats.get("spec_forwards"):
             out["spec_tokens_per_forward"] = round(
@@ -361,9 +364,40 @@ class ServingLoop(threading.Thread):
                         eng._queue.remove(req)
                         if tr:
                             tr.finish(error=str(e))
+                except Exception as e:     # noqa: BLE001 — recovery path
+                    self._restart(e)
                 if not (eng._queue or eng.n_active):
                     eng._collect()   # flush the pipelined last step
             self._reap()
+
+    def _restart(self, exc: BaseException) -> None:
+        """Engine-step crash recovery (SURVEY §5): fail every in-flight
+        and queued request LOUDLY, then rebuild all decode state from
+        the stateless weight store (engine.reset()) so serving resumes
+        instead of dying. Donated buffers may be invalid after a failed
+        step — nothing survives except params."""
+        import sys
+        import traceback
+
+        self.n_restarts += 1
+        print(f"[llm-server] engine step crashed ({exc!r}); restarting "
+              f"engine (#{self.n_restarts})", file=sys.stderr, flush=True)
+        traceback.print_exc(file=sys.stderr)
+        eng = self.engine
+        msg = f"engine restarted after internal error: {exc}"
+        for rid, (req, tr) in list(self._tracked.items()):
+            req.done = True
+            tr.finish(error=msg)
+            self._tracked.pop(rid, None)
+        try:
+            eng.reset()
+        except Exception as e2:          # noqa: BLE001
+            # unrecoverable (e.g. device gone): stop the loop loudly
+            print(f"[llm-server] engine reset failed: {e2!r}; serving "
+                  f"loop stopping", file=sys.stderr, flush=True)
+            with self._cv:
+                self._stopping = True
+            raise
 
     def _reap(self) -> None:
         done = [rid for rid, (req, _) in self._tracked.items() if req.done]
