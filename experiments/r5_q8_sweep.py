@@ -19,8 +19,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_llm.runtime.compile_cache import enable_compile_cache
-enable_compile_cache()
+import os
+if not os.environ.get("TPU_LLM_NO_COMPILE_CACHE"):
+    from tpu_llm.runtime.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
 from tpu_llm.quant.pallas_matmul import _qmm_kernel, _pick_tiles, _tile_params
 from tpu_llm.quant.qtensor import quantize_tensor

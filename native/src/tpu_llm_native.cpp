@@ -205,6 +205,9 @@ int64_t bpe_encode(const uint8_t* text, int64_t text_len,
     if (r < 0) return;
     auto it = index.find(bytes[left] + bytes[r]);
     if (it == index.end()) return;
+    // score <= -1e30: UNMERGEABLE sentinel (vocab entry no merge rule
+    // produces — bpe.py:UNMERGEABLE); never a merge candidate
+    if (scores[it->second] <= -1e30f) return;
     heap.push({scores[it->second], left, stamp[left]});
   };
   for (int64_t i = 0; i + 1 < (int64_t)tok.size(); ++i) push_pair(i);

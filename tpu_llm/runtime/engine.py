@@ -286,7 +286,15 @@ class Engine:
             idx = jnp.arange(S - 1, dtype=jnp.int32)
             match = ((ctx[:-1] == t_prev) & (ctx[1:] == t_last)
                      & (idx <= n_ctx - 3))
-            jstar = jnp.max(jnp.where(match, idx, -1))
+            # prefer the most recent match with a FULL k-token
+            # continuation: on periodic/constant streams the nearest
+            # match sits at the tail and truncates drafts to 1 token,
+            # capping acceptance at 2 tokens/forward (r5 A/B) — an
+            # earlier full-window match lifts it to k+1
+            full = match & (idx <= n_ctx - 2 - k)
+            jfull = jnp.max(jnp.where(full, idx, -1))
+            jany = jnp.max(jnp.where(match, idx, -1))
+            jstar = jnp.where(jfull >= 0, jfull, jany)
             drafts = jax.lax.dynamic_slice(
                 ctx, (jnp.maximum(jstar, 0) + 2,), (k,))
             d_len = jnp.where(jstar >= 0,

@@ -39,6 +39,27 @@ TOKEN_TYPE_BYTE = 6
 
 _BYTE_TOKEN_RE = re.compile(rb"^<0x([0-9A-Fa-f]{2})>$")
 
+# score sentinel: the token exists in the vocab but NO merge rule
+# produces it — both encoders (python merge loop, native heap) refuse to
+# merge into such tokens (true merge-rank BPE parity; the tokenizer.bin
+# writer clamps it back to the reference's 0.0 convention)
+UNMERGEABLE = -1e30
+
+# the GPT-2 ByteLevel pre-tokenizer split (HF tokenizers' use_regex=true,
+# llama.cpp's default BPE regex): merges never cross these boundaries.
+# Needs the third-party ``regex`` module for \p classes; gpt2-family
+# constructors enable it when available (SPM vocabs merge freely).
+_GPT2_SPLIT = (r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"""
+               r"""| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+
+def _gpt2_pretok_re():
+    try:
+        import regex
+    except ImportError:
+        return None
+    return regex.compile(_GPT2_SPLIT)
+
 # Heuristic special-token surface forms, used only when the vocab carries
 # no token_type metadata: SPM controls plus the <|...|> added-token style.
 _SPECIAL_SURFACE_RE = re.compile(rb"^(</?s>|<unk>|<\|[^ <>|]+\|>)$")
@@ -87,6 +108,8 @@ class BPETokenizer:
         bos_id: int = 1,
         eos_id: int = 2,
         token_types: Optional[Sequence[int]] = None,
+        always_match: Optional[Dict[bytes, int]] = None,
+        pretokenizer: Optional[str] = None,
     ):
         """``token_types`` is GGUF's ``tokenizer.ggml.token_type`` array when
         present; type 6 (BYTE) marks SentencePiece byte-fallback pieces.
@@ -146,6 +169,23 @@ class BPETokenizer:
             alts = sorted(self.special, key=len, reverse=True)
             self._special_re = re.compile(
                 b"|".join(re.escape(t) for t in alts))
+        # non-special ADDED tokens matched verbatim on EVERY encode (HF
+        # matches added_tokens before BPE regardless of parse_special):
+        # GPT-NeoX's multi-space run tokens (ids 50254-50276) are the
+        # real-vocab case — without this, runs of spaces BPE to base-vocab
+        # multi-space pieces and the ids diverge from the HF tokenizer the
+        # model was trained with (pinned by tests/test_real_vocab.py)
+        self.always_match: Dict[bytes, int] = dict(always_match or {})
+        self._always_re = None
+        if self.always_match:
+            alts = sorted(self.always_match, key=len, reverse=True)
+            self._always_re = re.compile(
+                b"|".join(re.escape(t) for t in alts))
+        # "gpt2": ByteLevel regex pre-tokenization — merges never cross
+        # piece boundaries (e.g. '\n'+'\t' stays two tokens even though
+        # the vocab has a merge for the pair). None for SPM vocabs.
+        self._pretok_re = _gpt2_pretok_re() if pretokenizer == "gpt2" \
+            else None
 
     # -- constructors ----------------------------------------------------
 
@@ -183,17 +223,29 @@ class BPETokenizer:
             scores = np.zeros(len(raw_tokens), dtype=np.float32)
             ids = {t: i for i, t in enumerate(tokens)}
             top = float(len(merges))
+            merged_ids = set()
             for rank, merge in enumerate(merges):
                 a, _, bpart = merge.partition(" ")
                 tid = ids.get(to_b(a + bpart))
-                if tid is not None and scores[tid] == 0.0:
-                    scores[tid] = top - rank
+                if tid is not None:
+                    merged_ids.add(tid)
+                    if scores[tid] == 0.0:
+                        scores[tid] = top - rank
+            # multi-byte vocab entries no merge produces are unmergeable
+            # (llama.cpp's merge-rank BPE can never assemble them);
+            # specials keep 0 — they're matched, not merged
+            for tid, t in enumerate(tokens):
+                tt = int(token_types[tid]) if token_types is not None else 1
+                if (len(t) > 1 and tid not in merged_ids
+                        and tt == TOKEN_TYPE_NORMAL):
+                    scores[tid] = UNMERGEABLE
         bos = gguf.hparam("tokenizer.ggml.bos_token_id", default=1)
         eos = gguf.hparam("tokenizer.ggml.eos_token_id", default=2)
         if token_types is not None:
             token_types = [int(t) for t in token_types]
         tok = cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos),
-                  token_types=token_types)
+                  token_types=token_types,
+                  pretokenizer="gpt2" if gpt2 else None)
         # real checkpoints declare whether prompts get a BOS prepended
         # (qwen2 ships add_bos_token = false); engines consult this.
         # When the key is absent, default by vocab family like llama.cpp
@@ -214,11 +266,19 @@ class BPETokenizer:
     def from_hf_tokenizer_json(cls, path: str, **kw) -> "BPETokenizer":
         """GPT-NeoX/GPT-2-style tokenizer.json -> score-merge form, following
         the reference converter (``ssm/convert_tokens.py``): score =
-        (#merges) - merge_rank; vocab-only tokens (incl. added_tokens) get
-        score 0 unless produced by a merge. Deliberate deviation: the
-        reference maps only 'Ġ'->space / 'Ċ'->newline, garbling every
-        other byte-level char (non-ASCII, tabs); we invert the full GPT-2
-        byte-unicode table."""
+        (#merges) - merge_rank. Deliberate deviations, pinned against the
+        REAL NeoX vocabulary + the HF rust tokenizer in
+        tests/test_real_vocab.py:
+        - the reference maps only 'Ġ'->space / 'Ċ'->newline, garbling
+          every other byte-level char (non-ASCII, tabs); we invert the
+          full GPT-2 byte-unicode table;
+        - multi-byte vocab entries NOT produced by any merge rule are
+          UNMERGEABLE (score -1e30): true merge-rank BPE can never
+          assemble them mid-text (the reference's score-0 convention let
+          the merge loop build e.g. NeoX's '\\n\\t' token, diverging from
+          the tokenizer the models were trained with);
+        - non-special added_tokens (NeoX's multi-space runs) are matched
+          verbatim before BPE, like HF's AddedToken machinery."""
         import json
 
         with open(path) as f:
@@ -235,16 +295,30 @@ class BPETokenizer:
 
         for tok, tid in vocab.items():
             tokens[tid] = to_bytes(tok)
+        always: Dict[bytes, int] = {}
+        special_ids = set()
         for extra in tk.get("added_tokens", []):
             tokens[extra["id"]] = to_bytes(extra["content"])
+            if extra.get("special"):
+                special_ids.add(extra["id"])
+            else:
+                always[to_bytes(extra["content"])] = extra["id"]
         top = float(len(merges))
+        merged_ids = set()
         for rank, merge in enumerate(merges):
             pair = merge if isinstance(merge, str) else " ".join(merge)
             merged = pair.replace(" ", "", 1) if isinstance(merge, str) else "".join(merge)
             tid = vocab.get(merged)
-            if tid is not None and scores[tid] == 0.0:
-                scores[tid] = top - rank
-        return cls(tokens, scores, **kw)
+            if tid is not None:
+                merged_ids.add(tid)
+                if scores[tid] == 0.0:
+                    scores[tid] = top - rank
+        for tid, t in enumerate(tokens):
+            if (len(t) > 1 and tid not in merged_ids
+                    and tid not in special_ids):
+                scores[tid] = UNMERGEABLE
+        return cls(tokens, scores, always_match=always,
+                   pretokenizer="gpt2", **kw)
 
     # -- core API ----------------------------------------------------------
 
@@ -280,6 +354,27 @@ class BPETokenizer:
         """
         data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
 
+        if self._always_re is not None and data:
+            # added-token segmentation (leftmost-longest, like HF's
+            # AddedToken matching) runs unconditionally; the segments
+            # between matches recurse WITHOUT re-matching (they contain
+            # no always-token by construction)
+            m0 = self._always_re.search(data)
+            if m0 is not None:
+                ids: List[int] = [self.bos_id] if add_bos else []
+                last = 0
+                for m in self._always_re.finditer(data):
+                    if m.start() > last:
+                        ids.extend(self.encode(
+                            data[last:m.start()], strict=strict,
+                            parse_special=parse_special))
+                    ids.append(self.always_match[m.group(0)])
+                    last = m.end()
+                if last < len(data):
+                    ids.extend(self.encode(data[last:], strict=strict,
+                                           parse_special=parse_special))
+                return ids
+
         if parse_special and self._special_re is not None:
             ids: List[int] = [self.bos_id] if add_bos else []
             last = 0
@@ -289,6 +384,24 @@ class BPETokenizer:
                 last = m.end()
             ids.extend(self.encode(data[last:], strict=strict))
             return ids
+
+        if self._pretok_re is not None and not strict and data:
+            # ByteLevel pre-tokenization: BPE each piece independently so
+            # merges never cross piece boundaries (HF/llama.cpp parity;
+            # pinned against the rust tokenizer in test_real_vocab.py).
+            # Non-UTF-8 input skips the split (byte-level BPE handles it).
+            try:
+                text_str = data.decode("utf-8")
+            except UnicodeDecodeError:
+                text_str = None
+            if text_str is not None:
+                pieces = self._pretok_re.findall(text_str)
+                if len(pieces) > 1:
+                    ids = [self.bos_id] if add_bos else []
+                    for p in pieces:
+                        ids.extend(self.encode(p.encode("utf-8"),
+                                               strict=strict))
+                    return ids
 
         if not strict:
             from tpu_llm import native

@@ -42,5 +42,11 @@ def write_tokenizer_bin(
     with open(path, "wb") as f:
         f.write(struct.pack("<i", max_len))
         for tok, score in zip(tokens, scores):
-            f.write(struct.pack("<fi", float(score), len(tok)))
+            s = float(score)
+            if s <= -1e30:
+                # UNMERGEABLE sentinel (bpe.UNMERGEABLE) clamps back to
+                # the reference converter's 0.0 for vocab-only tokens
+                # (ssm/convert_tokens.py convention)
+                s = 0.0
+            f.write(struct.pack("<fi", s, len(tok)))
             f.write(tok)
