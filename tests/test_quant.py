@@ -986,3 +986,49 @@ def test_pack_q23_roundtrip_and_matmul():
         got_i = np.asarray(qmatmul_pallas(jnp.asarray(x), qi,
                                           interpret=True))
         np.testing.assert_allclose(got_i, x @ deq_i, rtol=2e-5, atol=2e-4)
+
+
+def test_fold_norms_requant_numerics():
+    """fold_norms_requant: rmsnorm weights fold into the projections
+    (dense EXACT; quantized via one extra requant rounding). Greedy
+    decode through the folded model matches the unfolded one — dense
+    exactly, quantized within the requant error (same argmax stream on
+    this toy)."""
+    import jax
+    from tests.test_llama import CFG, make_weights, to_params
+    from tpu_llm.config import LlamaConfig
+    from tpu_llm.models import llama as M
+    from tpu_llm.quant.convert_params import fold_norms_requant
+
+    cfg = LlamaConfig(**CFG)
+    params = to_params(make_weights(0))
+    tokens = jnp.asarray([[3, 7, 5, 9]], jnp.int32)
+
+    def logits_of(p):
+        cache = M.init_cache(cfg, 1, CFG["seq_len"])
+        hidden, _ = M.forward(p, cfg, tokens, cache, jnp.int32(0))
+        return np.asarray(M.lm_head(p, cfg, hidden))
+
+    ref = logits_of(params)
+    folded = fold_norms_requant(params, cfg)         # stacked layers in
+    assert folded["layers"]["attn_norm"] is None
+    np.testing.assert_allclose(logits_of(folded), ref, rtol=2e-4,
+                               atol=2e-4)      # dense fold: exact-ish
+
+    # unstacked input folds to the same values
+    unst = fold_norms_requant(M.unstack_layers(params), cfg)
+    assert unst["layers"][0]["attn_norm"] is None
+    np.testing.assert_allclose(logits_of(unst), logits_of(folded),
+                               rtol=1e-6, atol=1e-6)
+
+    # quantized fold: one extra rounding, bounded drift
+    from tpu_llm.quant.convert_params import quantize_llama_params
+
+    qparams = quantize_llama_params(
+        to_params(make_weights(0)), "q8_0",
+        layer_keys=("wq", "wk", "wv"))
+    qref = logits_of(qparams)
+    qfold = fold_norms_requant(qparams, cfg)
+    dq = logits_of(qfold)
+    # requant error stays well under the logit scale
+    assert np.abs(dq - qref).max() < 0.15 * np.abs(qref).max()

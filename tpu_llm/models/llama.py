@@ -365,7 +365,10 @@ def _moe_ffn(cfg: LlamaConfig, x, lp, rs_ffn=None):
         jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
         * topw[..., None], axis=-2)                       # (B, T, Ex)
 
-    if 1 < B * T and B * T * k < cfg.n_experts:
+    import os
+
+    if (1 < B * T and B * T * k < cfg.n_experts
+            and not os.environ.get("TPU_LLM_MOE_DENSE")):
         # small-batch decode: gather the UNION of selected experts
         # (U = B*T*k worst-case uniques < n_experts) by traced index and
         # run each over the whole batch — HBM expert reads scale with

@@ -195,3 +195,97 @@ def fuse_llama_layers(layers: Dict) -> Dict:
     if "w1" in out:
         out["w13"] = _concat_n([out.pop("w1"), out.pop("w3")])
     return out
+
+
+def _requant_row_scaled(qt: QTensor, w: np.ndarray) -> QTensor:
+    """diag(w) @ dequantize(qt), requantized in qt's own kind. ONE extra
+    quantization rounding — the error is one quant LSB of the scaled
+    block, bounded by test_fold_norms_requant_numerics."""
+    from tpu_llm.quant.qtensor import dequantize
+
+    kind_map = {
+        "q4_0": "q4_0", "q8_0": "q8_0", "q4_1": "q4_1",
+        "q5_0": "q5_0", "q5_1": "q5_1",
+        "q2_k": "q2_k", "q2_kp": "q2_k", "q3_k": "q3_k", "q3_kp": "q3_k",
+        "q6_k": "q6_k", "q6_kp": "q6_k",
+    }
+    kind = kind_map.get(qt.kind)
+    if kind is None:
+        raise NotImplementedError(f"norm fold for kind {qt.kind}")
+    dense = np.asarray(dequantize(qt, jnp.float32), np.float32)
+    out = quantize_tensor(dense * w[:, None], kind)
+    if qt.kind == "q6_kp":
+        from tpu_llm.quant.qtensor import pack_q6_k
+
+        out = pack_q6_k(out)
+    return out
+
+
+def fold_norms_requant(params: Dict, cfg) -> Dict:
+    """Fold the per-layer rmsnorm WEIGHTS into the following projections
+    so decode pays zero norm-weight reads: rmsnorm(x, w) @ W ==
+    rmsnorm(x, None) @ (diag(w) W). At 32-layer scale the 64 separate
+    f32[E] reads cost ~500us/step of latency-bound VMEM prefetch copies
+    (150.3 -> 162.4 tok/s with them gone — experiments/r4_7b_norm_probe
+    and the shipped r5 7b_foldnorm row); neither streaming them as
+    kernel row_scale operands (151.1) nor stacking the buffers (150.4)
+    recovered it — the reads must not exist at all.
+
+    Dense weights fold EXACTLY. Quantized weights are dequantized,
+    row-scaled, and REQUANTIZED in their own kind — one extra rounding
+    (opt-in: ``llm --fold-norms``; exact-parity runs leave it off).
+    Scope: rmsnorm llama-family (no layernorm biases, no parallel-block
+    shared norms, no MoE routers), unstacked or stacked layer params;
+    the folded norm entries become None (weightless rmsnorm)."""
+    if getattr(cfg, "use_layernorm", False) or \
+            getattr(cfg, "parallel_block", False) or \
+            getattr(cfg, "n_experts", 0):
+        raise NotImplementedError(
+            "norm folding supports the rmsnorm llama family")
+
+    def fold_into(w, weight):
+        nw = np.asarray(w, np.float32)
+        if isinstance(weight, QTensor):
+            return _requant_row_scaled(weight, nw)
+        return jnp.asarray(
+            np.asarray(weight, np.float32) * nw[:, None]
+        ).astype(weight.dtype)
+
+    def fold_layer(lp):
+        out = dict(lp)
+        an, fn = lp["attn_norm"], lp["ffn_norm"]
+        for k in ("wqkv", "wq", "wk", "wv"):
+            if k in out:
+                out[k] = fold_into(an, out[k])
+        for k in ("w13", "w1", "w3"):
+            if k in out:
+                out[k] = fold_into(fn, out[k])
+        out["attn_norm"] = None
+        out["ffn_norm"] = None
+        return out
+
+    out = dict(params)
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        out["layers"] = [fold_layer(lp) for lp in layers]
+    else:
+        from tpu_llm.models.llama import unstack_layers
+
+        unst = unstack_layers(params)["layers"]
+        folded = [fold_layer(lp) for lp in unst]
+        stacked = {}
+        for k in folded[0]:
+            leaves = [lp[k] for lp in folded]
+            if leaves[0] is None:
+                stacked[k] = None
+            elif isinstance(leaves[0], QTensor):
+                stacked[k] = qmap(lambda *ps: jnp.stack(ps), *leaves)
+            else:
+                stacked[k] = jnp.stack(leaves)
+        out["layers"] = stacked
+    # final_norm -> classifier (tied-embedding models keep the weight:
+    # tok_emb is consumed by the gather too)
+    if params.get("wcls") is not None and params.get("final_norm") is not None:
+        out["wcls"] = fold_into(params["final_norm"], params["wcls"])
+        out["final_norm"] = None
+    return out

@@ -863,8 +863,21 @@ def main(argv=None) -> int:
     for name in args.configs.split(","):
         name = name.strip()
         if name.startswith("7b"):
-            quant = name[3:] or "q4_0"    # 7b | 7b_q4_0 | 7b_q8_0 | 7b_bf16
+            # 7b | 7b_q4_0 | 7b_q8_0 | 7b_bf16 | 7b_foldnorm (q4_0 with
+            # rmsnorm weights folded into the projections)
+            quant = name[3:] or "q4_0"
+            foldnorm = quant == "foldnorm"
+            if foldnorm:
+                quant = "q4_0"
             lparams, lcfg = _build_llama2_7b(quant)
+            if foldnorm:
+                # measurement form of convert_params.fold_norms_requant:
+                # synth weights are random, so zero norm READS is the
+                # whole effect (the fold itself is numerics, not perf)
+                lparams = dict(lparams, layers=[
+                    dict(lp, attn_norm=None, ffn_norm=None)
+                    for lp in lparams["layers"]
+                ], final_norm=None)
             # pack_scales stays off: f16-bit scale planes WIN in the
             # shallow-position fori regime (164.0 -> 171.7 tok/s,
             # r3b_7b_scales.py) but LOSE in this scan harness's deeper
@@ -874,7 +887,9 @@ def main(argv=None) -> int:
                                   min(args.max_seq, lcfg.seq_len),
                                   args.prompt_len)
             print(json.dumps({
-                "metric": f"llama2_7b_{quant}_decode_tokens_per_s_per_chip",
+                "metric": (f"llama2_7b_{quant}"
+                           f"{'_foldnorm' if foldnorm else ''}"
+                           f"_decode_tokens_per_s_per_chip"),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": None,

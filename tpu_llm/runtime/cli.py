@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "speculation (needs --spec K)")
     p.add_argument("--min-p", type=float, default=0.0,
                    help="llama.cpp min_p filter (0 = off)")
+    p.add_argument("--fold-norms", action="store_true",
+                   help="fold rmsnorm weights into the projections "
+                        "(quantized weights REQUANTIZE — one extra "
+                        "rounding; kills the per-layer norm-read latency, "
+                        "+8%% at 7B scale)")
     p.add_argument("--lora", default=None, metavar="GGUF",
                    help="LoRA adapter GGUF (llama.cpp convert_lora format) "
                         "merged into the base weights at load")
@@ -165,6 +170,10 @@ def main(argv=None) -> int:
 
                     params = dict(
                         params, layers=fuse_llama_layers(params["layers"]))
+            if getattr(args, "fold_norms", False):
+                from tpu_llm.quant.convert_params import fold_norms_requant
+
+                params = fold_norms_requant(params, cfg)
         tokenizer = (
             BPETokenizer.from_gguf(gguf)
             if "tokenizer.ggml.tokens" in gguf.metadata
