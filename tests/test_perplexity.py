@@ -47,3 +47,23 @@ def test_ppl_windowing_consistent():
     r2 = compute_ppl(params, adapter, ids, window=7)
     assert np.isfinite(r2.ppl)
     assert r1.n_tokens == len(ids)  # bos adds 1, last unscored: 13+1-1
+
+
+def test_fold_norms_ppl_delta_bounded():
+    """--fold-norms evidence: the requantization rounding moves ppl by
+    well under the quantization kind's own error band (the fold is a
+    perf option, not a numerics change users should notice)."""
+    from tpu_llm.quant.convert_params import (fold_norms_requant,
+                                              quantize_llama_params)
+
+    cfg = LlamaConfig(**CFG)
+    adapter = ModelAdapter.llama(cfg, bos_id=1)
+    ids = [5, 9, 33, 7, 2, 41, 12, 8, 3, 19]
+
+    qparams = quantize_llama_params(
+        to_params(make_weights(6)), "q8_0", layer_keys=("wq", "wk", "wv"))
+    base = compute_ppl(qparams, adapter, ids, window=16, add_bos=True)
+    folded = fold_norms_requant(qparams, cfg)
+    got = compute_ppl(folded, adapter, ids, window=16, add_bos=True)
+    assert abs(math.log(got.ppl) - math.log(base.ppl)) < 0.05, \
+        (base.ppl, got.ppl)
