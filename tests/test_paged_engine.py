@@ -440,3 +440,18 @@ def test_paged_logit_bias():
                                logit_bias={"17": 100.0}))
     pe.run()
     assert forced.tokens == [17, 17, 17, 17]
+
+
+def test_paged_engine_reset_recovers():
+    """reset() (serving crash recovery): fresh pools, allocator, prefix
+    cache and slot metadata from the stateless params — a post-reset
+    request produces exactly the same tokens as a fresh engine."""
+    pe, _ = setup(prefix=True)
+    r1 = pe.submit(Request(prompt=[5, 9, 3], max_new=6))
+    pe.run()
+
+    pe.reset()
+    assert pe.n_active == 0 and not pe._queue
+    r2 = pe.submit(Request(prompt=[5, 9, 3], max_new=6))
+    pe.run()
+    assert r2.tokens == r1.tokens
