@@ -138,3 +138,48 @@ def test_decode_round_trip_real_vocab():
     ours = _ours()
     for s in CASES:
         assert ours.decode(ours.encode(s)) == s.encode("utf-8"), s
+
+
+def test_gguf_gpt2_lane_matches_hf_on_real_vocab(tmp_path):
+    """The GGUF tokenizer lane (tokenizer.ggml.* metadata, model=gpt2)
+    built from the REAL NeoX vocabulary encodes identically to the HF
+    rust tokenizer — including whitespace-run added tokens, which carry
+    token_type USER_DEFINED in GGUFs and must match before BPE."""
+    import json
+
+    from tpu_llm.io import gguf as gg
+    from tpu_llm.tokenizers.bpe import (TOKEN_TYPE_CONTROL,
+                                        TOKEN_TYPE_NORMAL,
+                                        TOKEN_TYPE_USER_DEFINED,
+                                        BPETokenizer)
+
+    hf = _hf()
+    with open(os.path.join(REF, "tokenizer.json")) as f:
+        tk = json.load(f)
+    vocab = tk["model"]["vocab"]
+    n = max(vocab.values()) + 1
+    for extra in tk.get("added_tokens", []):
+        n = max(n, extra["id"] + 1)
+    tokens = [""] * n
+    types = [TOKEN_TYPE_NORMAL] * n
+    for t, tid in vocab.items():
+        tokens[tid] = t
+    for extra in tk.get("added_tokens", []):
+        tokens[extra["id"]] = extra["content"]
+        types[extra["id"]] = (TOKEN_TYPE_CONTROL if extra.get("special")
+                              else TOKEN_TYPE_USER_DEFINED)
+    path = str(tmp_path / "neox.gguf")
+    gg.write_gguf(path, {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.merges": [m if isinstance(m, str) else " ".join(m)
+                                  for m in tk["model"]["merges"]],
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.bos_token_id": 0,
+        "tokenizer.ggml.eos_token_id": 0,
+    }, {"dummy": np.zeros((4,), np.float32)})
+    tok = BPETokenizer.from_gguf(gg.GGUFFile(path))
+    assert tok.add_bos is False            # gpt2-family default
+    assert tok.always_match                # whitespace-run added tokens
+    for s in CASES:
+        assert tok.encode(s) == hf.encode(s), s

@@ -243,8 +243,21 @@ class BPETokenizer:
         eos = gguf.hparam("tokenizer.ggml.eos_token_id", default=2)
         if token_types is not None:
             token_types = [int(t) for t in token_types]
+        # USER_DEFINED tokens that are PURE WHITESPACE (NeoX/StableLM
+        # multi-space runs) match verbatim before BPE, like HF's
+        # AddedToken machinery — the models were trained with those ids.
+        # Non-whitespace user-defined tokens (chat markers) stay gated
+        # behind parse_special: matching them unconditionally would
+        # reopen the injection surface encode() documents.
+        always: Dict[bytes, int] = {}
+        if gpt2 and token_types is not None:
+            for i, t in enumerate(tokens):
+                if (token_types[i] == TOKEN_TYPE_USER_DEFINED and t
+                        and not t.strip(b" \t\n\r") and t not in always):
+                    always[t] = i
         tok = cls(tokens, np.asarray(scores, np.float32), int(bos), int(eos),
                   token_types=token_types,
+                  always_match=always or None,
                   pretokenizer="gpt2" if gpt2 else None)
         # real checkpoints declare whether prompts get a BOS prepended
         # (qwen2 ships add_bos_token = false); engines consult this.
