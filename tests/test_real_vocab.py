@@ -183,3 +183,18 @@ def test_gguf_gpt2_lane_matches_hf_on_real_vocab(tmp_path):
     assert tok.always_match                # whitespace-run added tokens
     for s in CASES:
         assert tok.encode(s) == hf.encode(s), s
+
+
+def test_tokenizer_bin_lane_round_trips_real_text():
+    """The reference-parity lane (tokenizer.bin + score-merge, no
+    pre-tokenizer — deliberately faithful to ssm/mamba.f90's encoder,
+    which DIVERGES from HF where the reference itself does): real
+    artifact, real text, byte-exact round trips."""
+    from tpu_llm.tokenizers.bpe import BPETokenizer
+
+    tok = BPETokenizer.from_tokenizer_bin(
+        os.path.join(REF, "tokenizer.bin"), bos_id=0, eos_id=0)
+    for s in ("Mamba is a selective state space model.",
+              "The quick brown fox jumps over the lazy dog."):
+        ids = tok.encode(s)
+        assert ids and tok.decode(ids) == s.encode("utf-8")
