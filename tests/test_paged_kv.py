@@ -237,3 +237,79 @@ def test_out_of_table_writes_go_to_null_block():
     np.testing.assert_allclose(np.asarray(kv2.k_pool)[1], snap[1])  # block 1 untouched
     np.testing.assert_allclose(np.asarray(kv2.k_pool)[2], 99.0)     # rows 2..3
     assert (np.asarray(kv2.k_pool)[3] == 0).all()   # unmapped block untouched
+
+
+@pytest.mark.parametrize("contiguous", [True, False])
+def test_paged_flash_decode_coalesce_parity(contiguous):
+    """TPU_LLM_PAGED_COALESCE=1: the single-DMA fast path for
+    consecutive-block chunks matches the per-block path exactly, on both
+    a fully contiguous table (fast path taken) and a shuffled one
+    (contiguity test fails -> per-block fallback)."""
+    import os
+
+    import jax
+    from tpu_llm.ops.flash_attention import paged_flash_decode_attention
+
+    B, H, Hkv, D, bs, MB = 2, 8, 2, 64, 16, 4
+    N = 1 + B * MB
+    rng = np.random.default_rng(11 + contiguous)
+    k_pool = jnp.asarray(rng.standard_normal((N, bs, Hkv * D)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((N, bs, Hkv * D)), jnp.float32)
+    if contiguous:
+        ids = np.arange(1, N).reshape(B, MB).astype(np.int32)
+    else:
+        ids = rng.permutation(np.arange(1, N)).reshape(B, MB).astype(np.int32)
+    table = jnp.asarray(ids)
+    pos = jnp.asarray([bs * MB - 2, bs * 2 + 3], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+
+    base = paged_flash_decode_attention(q, k_pool, v_pool, table, pos,
+                                        interpret=True)
+    os.environ["TPU_LLM_PAGED_COALESCE"] = "1"
+    try:
+        got = paged_flash_decode_attention(q, k_pool, v_pool, table, pos,
+                                           interpret=True)
+    finally:
+        del os.environ["TPU_LLM_PAGED_COALESCE"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("contiguous", [True, False])
+def test_paged_flash_decode_q_coalesce_parity(contiguous):
+    """int8-pool variant of the coalesce parity check (k/v pools
+    coalesce, scale planes stay per-block at consecutive ids)."""
+    import os
+
+    from tpu_llm.ops.flash_attention import paged_flash_decode_q
+    from tpu_llm.ops.paged_kv import scale_pool_width, scale_rows_per_block
+
+    B, H, Hkv, D, bs, MB = 2, 8, 2, 64, 32, 4
+    N = 1 + B * MB
+    rng = np.random.default_rng(23 + contiguous)
+    hp = scale_rows_per_block(Hkv)
+    sp = scale_pool_width(bs)
+    k_pool = jnp.asarray(
+        rng.integers(-127, 128, (N, bs, Hkv * D)), jnp.int8)
+    v_pool = jnp.asarray(
+        rng.integers(-127, 128, (N, bs, Hkv * D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (N * hp, sp)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (N * hp, sp)), jnp.float32)
+    if contiguous:
+        ids = np.arange(1, N).reshape(B, MB).astype(np.int32)
+    else:
+        ids = rng.permutation(np.arange(1, N)).reshape(B, MB).astype(np.int32)
+    table = jnp.asarray(ids)
+    pos = jnp.asarray([bs * MB - 2, bs + 5], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+
+    base = paged_flash_decode_q(q, k_pool, v_pool, ks, vs, table, pos,
+                                interpret=True)
+    os.environ["TPU_LLM_PAGED_COALESCE"] = "1"
+    try:
+        got = paged_flash_decode_q(q, k_pool, v_pool, ks, vs, table, pos,
+                                   interpret=True)
+    finally:
+        del os.environ["TPU_LLM_PAGED_COALESCE"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)

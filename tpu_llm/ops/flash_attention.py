@@ -268,8 +268,9 @@ def _paged_decode_kernel(
     k_hbm,              # ANY/HBM (N, BS, Hkv*D) — whole pool
     v_hbm,
     o_ref,              # (1, H, D)
-    k_buf,              # VMEM (2, chunk, Hkv*D) — double-buffered chunk
-    v_buf,
+    k_buf,              # VMEM (2, cb, BS, Hkv*D) — double-buffered chunk
+    v_buf,              #   (per-block dims so one coalesced (cb, BS, kvd)
+                        #   DMA and per-block (BS, kvd) copies both align)
     sems,               # DMA sems (2, cb, 2)
     m_scr, l_scr, acc_scr,
     *,
@@ -281,6 +282,7 @@ def _paged_decode_kernel(
     group: int,
     d: int,
     sm_scale: float,
+    coalesce: bool = False,
 ):
     """Grid step (b, ik) covers logical rows [ik*chunk, (ik+1)*chunk):
     cb table-indirected pool blocks are DMA'd into ONE contiguous VMEM
@@ -297,10 +299,32 @@ def _paged_decode_kernel(
     computes, chunk ik+1's blocks stream in — the same pipelining
     BlockSpec windows get automatically, but with dense-kernel-shaped
     compute. Chunks past the query position are never DMA'd at all
-    (start/wait share the ``ci*chunk <= pos`` predicate)."""
+    (start/wait share the ``ci*chunk <= pos`` predicate).
+
+    ``coalesce`` (TPU_LLM_PAGED_COALESCE=1): when a chunk's cb table
+    entries are CONSECUTIVE pool indices (the common case — the
+    allocator hands out sequential blocks per slot), ONE (cb, bs, kvd)
+    DMA replaces the cb per-block copies. The r5 identical-harness gap
+    attribution pinned the paged kernels' loss vs dense to exactly these
+    scattered latency-bound small copies (BASELINE.md); the contiguity
+    test reads only SMEM table entries, and non-contiguous chunks
+    (prefix-cache shares, recycled blocks) take the per-block path
+    unchanged."""
     b = pl.program_id(0)
     ik = pl.program_id(1)
     pos = pos_ref[b]
+    mbm = table_ref.shape[1] - 1
+
+    def _contig(ci):
+        """(all cb entries consecutive, first entry). Raw (unclamped)
+        entries: an unmapped tail (id 0 / arbitrary) fails the test and
+        falls back to the clamped per-block path."""
+        first = table_ref[b, jnp.minimum(ci * cb, mbm)]
+        ok = jnp.bool_(cb > 0)
+        for j in range(1, cb):
+            ok = jnp.logical_and(
+                ok, table_ref[b, jnp.minimum(ci * cb + j, mbm)] == first + j)
+        return ok, first
 
     def _copies(ci, slot):
         """The cb block copies of chunk ``ci`` into buffer ``slot``."""
@@ -308,22 +332,60 @@ def _paged_decode_kernel(
         for j in range(cb):
             bid = table_ref[b, jnp.minimum(ci * cb + j, pos // bs)]
             out.append(pltpu.make_async_copy(
-                k_hbm.at[pl.ds(bid, 1)],
-                k_buf.at[pl.ds(slot, 1), pl.ds(j * bs, bs), :],
-                sems.at[slot, j, 0]))
+                k_hbm.at[bid], k_buf.at[slot, j], sems.at[slot, j, 0]))
             out.append(pltpu.make_async_copy(
-                v_hbm.at[pl.ds(bid, 1)],
-                v_buf.at[pl.ds(slot, 1), pl.ds(j * bs, bs), :],
-                sems.at[slot, j, 1]))
+                v_hbm.at[bid], v_buf.at[slot, j], sems.at[slot, j, 1]))
         return out
+
+    def _coalesced(ci, slot):
+        _, first = _contig(ci)
+        return [
+            pltpu.make_async_copy(k_hbm.at[pl.ds(first, cb)],
+                                  k_buf.at[slot], sems.at[slot, 0, 0]),
+            pltpu.make_async_copy(v_hbm.at[pl.ds(first, cb)],
+                                  v_buf.at[slot], sems.at[slot, 0, 1]),
+        ]
+
+    def _start(ci, slot):
+        if not coalesce:
+            for c in _copies(ci, slot):
+                c.start()
+            return
+        ok, _ = _contig(ci)
+
+        @pl.when(ok)
+        def _():
+            for c in _coalesced(ci, slot):
+                c.start()
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            for c in _copies(ci, slot):
+                c.start()
+
+    def _wait(ci, slot):
+        if not coalesce:
+            for c in _copies(ci, slot):
+                c.wait()
+            return
+        ok, _ = _contig(ci)
+
+        @pl.when(ok)
+        def _():
+            for c in _coalesced(ci, slot):
+                c.wait()
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            for c in _copies(ci, slot):
+                c.wait()
 
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
         l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
-        for c in _copies(0, 0):   # chunk 0 is always active (pos >= 0)
-            c.start()
+        _start(0, 0)              # chunk 0 is always active (pos >= 0)
 
     active = ik * chunk <= pos
 
@@ -335,17 +397,15 @@ def _paged_decode_kernel(
         @pl.when(jnp.logical_and(ik + 1 < n_chunks,
                                  (ik + 1) * chunk <= pos))
         def _prefetch():
-            for c in _copies(ik + 1, 1 - slot):
-                c.start()
+            _start(ik + 1, 1 - slot)
 
-        for c in _copies(ik, slot):
-            c.wait()
+        _wait(ik, slot)
 
         q = q_ref[0]                                     # (H, D)
         diag = _gqa_diag(hkv, group, d)                  # (H, Hkv*D)
         q_tiled = jnp.concatenate([q] * hkv, axis=1)
         q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
-        kc = k_buf[slot]                                 # (chunk, Hkv*D)
+        kc = k_buf[slot].reshape(chunk, hkv * d)         # (chunk, Hkv*D)
         s = jax.lax.dot_general(
             q_bd, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -363,7 +423,8 @@ def _paged_decode_kernel(
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
 
         full = jax.lax.dot_general(
-            p.astype(q.dtype), v_buf[slot], (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v_buf[slot].reshape(chunk, hkv * d),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
@@ -405,15 +466,27 @@ def _paged_decode_q_kernel(
     group: int,
     d: int,
     sm_scale: float,
+    coalesce: bool = False,
 ):
     """int8-pool variant of _paged_decode_kernel: same manual-DMA chunk
-    gather; the plane is contracted in its widened form and the
-    per-(token, kv-head) scales are applied to the (H, chunk) score
-    matrix — chunk multiplies per head instead of chunk x D (the same
-    factorization as ops/attention._gqa_attention_int8_flat)."""
+    gather (incl. the ``coalesce`` contiguous-run fast path — the scale
+    pool's rows for consecutive blocks are consecutive too, so k/v AND
+    scale planes coalesce); the plane is contracted in its widened form
+    and the per-(token, kv-head) scales are applied to the (H, chunk)
+    score matrix — chunk multiplies per head instead of chunk x D (the
+    same factorization as ops/attention._gqa_attention_int8_flat)."""
     b = pl.program_id(0)
     ik = pl.program_id(1)
     pos = pos_ref[b]
+    mbm = table_ref.shape[1] - 1
+
+    def _contig(ci):
+        first = table_ref[b, jnp.minimum(ci * cb, mbm)]
+        ok = jnp.bool_(cb > 0)
+        for j in range(1, cb):
+            ok = jnp.logical_and(
+                ok, table_ref[b, jnp.minimum(ci * cb + j, mbm)] == first + j)
+        return ok, first
 
     def _copies(ci, slot):
         out = []
@@ -421,9 +494,7 @@ def _paged_decode_q_kernel(
             bid = table_ref[b, jnp.minimum(ci * cb + j, pos // bs)]
             for i, (hbm, buf) in enumerate(((k_hbm, k_buf), (v_hbm, v_buf))):
                 out.append(pltpu.make_async_copy(
-                    hbm.at[pl.ds(bid, 1)],
-                    buf.at[pl.ds(slot, 1), pl.ds(j * bs, bs), :],
-                    sems.at[slot, j, i]))
+                    hbm.at[bid], buf.at[slot, j], sems.at[slot, j, i]))
             for i, (hbm, buf) in enumerate(((ks_hbm, ks_buf),
                                             (vs_hbm, vs_buf))):
                 out.append(pltpu.make_async_copy(
@@ -432,13 +503,50 @@ def _paged_decode_q_kernel(
                     sems.at[slot, j, 2 + i]))
         return out
 
+    def _coalesced(ci, slot):
+        # k/v pools coalesce into one (cb, BS, kvd) copy each; the scale
+        # planes keep per-block copies (their dst is per-block-padded
+        # (hp, sp) tiles — and r3 measured them free anyway), just at the
+        # consecutive ids first+j
+        _, first = _contig(ci)
+        out = [
+            pltpu.make_async_copy(k_hbm.at[pl.ds(first, cb)],
+                                  k_buf.at[slot], sems.at[slot, 0, 0]),
+            pltpu.make_async_copy(v_hbm.at[pl.ds(first, cb)],
+                                  v_buf.at[slot], sems.at[slot, 0, 1]),
+        ]
+        for j in range(cb):
+            for i, (hbm, buf) in enumerate(((ks_hbm, ks_buf),
+                                            (vs_hbm, vs_buf))):
+                out.append(pltpu.make_async_copy(
+                    hbm.at[pl.ds((first + j) * hp, hp)],
+                    buf.at[slot, j],
+                    sems.at[slot, j, 2 + i]))
+        return out
+
+    def _io(ci, slot, op):
+        if not coalesce:
+            for c in _copies(ci, slot):
+                getattr(c, op)()
+            return
+        ok, _ = _contig(ci)
+
+        @pl.when(ok)
+        def _():
+            for c in _coalesced(ci, slot):
+                getattr(c, op)()
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            for c in _copies(ci, slot):
+                getattr(c, op)()
+
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
         l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
-        for c in _copies(0, 0):
-            c.start()
+        _io(0, 0, "start")
 
     active = ik * chunk <= pos
 
@@ -449,11 +557,9 @@ def _paged_decode_q_kernel(
         @pl.when(jnp.logical_and(ik + 1 < n_chunks,
                                  (ik + 1) * chunk <= pos))
         def _prefetch():
-            for c in _copies(ik + 1, 1 - slot):
-                c.start()
+            _io(ik + 1, 1 - slot, "start")
 
-        for c in _copies(ik, slot):
-            c.wait()
+        _io(ik, slot, "wait")
 
         # int8 pool values are EXACT in bf16 (|q| <= 127 < 2^8), and the
         # MXU takes bf16 natively — widening to f32 instead cost ~2x on
@@ -463,7 +569,7 @@ def _paged_decode_q_kernel(
         diag = _gqa_diag(hkv, group, d)
         q_tiled = jnp.concatenate([q] * hkv, axis=1)
         q_bd = jnp.where(diag, q_tiled, jnp.zeros_like(q_tiled))
-        kc = k_buf[slot].astype(jnp.bfloat16)            # (chunk, Hkv*D)
+        kc = k_buf[slot].reshape(chunk, hkv * d).astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q_bd, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -489,7 +595,8 @@ def _paged_decode_q_kernel(
             [vs_buf[slot, j][:hkv, :bs] for j in range(cb)], axis=1)
         pv = (p * jnp.repeat(vs, group, axis=0)).astype(jnp.bfloat16)
         full = jax.lax.dot_general(
-            pv, v_buf[slot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            pv, v_buf[slot].reshape(chunk, hkv * d).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[:] = acc_scr[:] * alpha + _pick_own_head(full, diag, hkv, d)
@@ -499,6 +606,18 @@ def _paged_decode_q_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[:] * l_inv).astype(o_ref.dtype)
+
+
+def _coalesce_enabled() -> bool:
+    """TPU_LLM_PAGED_COALESCE=1: single-DMA fast path for chunks whose
+    block-table entries are consecutive pool indices (the r5 gap
+    attribution pinned the paged kernels' deep-position loss to the
+    scattered per-block copies — BASELINE.md). Interpret-mode parity is
+    pinned for both table shapes; OFF by default until the variant is
+    measured on a real chip (the r5 tunnel died before it could be)."""
+    import os
+
+    return bool(os.environ.get("TPU_LLM_PAGED_COALESCE"))
 
 
 def _chunk_blocks(bs: int, mb: int, kvd: int = 256,
@@ -555,7 +674,7 @@ def paged_flash_decode_q(
         functools.partial(
             _paged_decode_q_kernel,
             bs=bs, cb=cb, chunk=chunk, n_chunks=n_chunks, hkv=Hkv, hp=hp,
-            group=G, d=D, sm_scale=sm_scale,
+            group=G, d=D, sm_scale=sm_scale, coalesce=_coalesce_enabled(),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -570,8 +689,8 @@ def paged_flash_decode_q(
             out_specs=pl.BlockSpec((1, H, D),
                                    lambda b, ik, pos, tbl: (b, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, chunk, kvd), k_pool.dtype),
-                pltpu.VMEM((2, chunk, kvd), v_pool.dtype),
+                pltpu.VMEM((2, cb, bs, kvd), k_pool.dtype),
+                pltpu.VMEM((2, cb, bs, kvd), v_pool.dtype),
                 pltpu.VMEM((2, cb, hp, sp), jnp.float32),
                 pltpu.VMEM((2, cb, hp, sp), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, cb, 4)),
@@ -643,7 +762,7 @@ def paged_flash_decode_attention(
         functools.partial(
             _paged_decode_kernel,
             bs=bs, cb=cb, chunk=chunk, n_chunks=n_chunks, hkv=Hkv, group=G,
-            d=D, sm_scale=sm_scale,
+            d=D, sm_scale=sm_scale, coalesce=_coalesce_enabled(),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -656,8 +775,8 @@ def paged_flash_decode_attention(
             out_specs=pl.BlockSpec((1, H, D),
                                    lambda b, ik, pos, tbl: (b, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, chunk, kvd), k_pool.dtype),
-                pltpu.VMEM((2, chunk, kvd), v_pool.dtype),
+                pltpu.VMEM((2, cb, bs, kvd), k_pool.dtype),
+                pltpu.VMEM((2, cb, bs, kvd), v_pool.dtype),
                 pltpu.SemaphoreType.DMA((2, cb, 2)),
                 pltpu.VMEM((H, LANES), jnp.float32),
                 pltpu.VMEM((H, LANES), jnp.float32),
