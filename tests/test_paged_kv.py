@@ -263,8 +263,12 @@ def test_paged_flash_decode_coalesce_parity(contiguous):
     pos = jnp.asarray([bs * MB - 2, bs * 2 + 3], jnp.int32)
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
 
-    base = paged_flash_decode_attention(q, k_pool, v_pool, table, pos,
-                                        interpret=True)
+    os.environ["TPU_LLM_PAGED_COALESCE"] = "0"
+    try:
+        base = paged_flash_decode_attention(q, k_pool, v_pool, table, pos,
+                                            interpret=True)
+    finally:
+        del os.environ["TPU_LLM_PAGED_COALESCE"]
     os.environ["TPU_LLM_PAGED_COALESCE"] = "1"
     try:
         got = paged_flash_decode_attention(q, k_pool, v_pool, table, pos,
@@ -303,8 +307,12 @@ def test_paged_flash_decode_q_coalesce_parity(contiguous):
     pos = jnp.asarray([bs * MB - 2, bs + 5], jnp.int32)
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
 
-    base = paged_flash_decode_q(q, k_pool, v_pool, ks, vs, table, pos,
-                                interpret=True)
+    os.environ["TPU_LLM_PAGED_COALESCE"] = "0"
+    try:
+        base = paged_flash_decode_q(q, k_pool, v_pool, ks, vs, table, pos,
+                                    interpret=True)
+    finally:
+        del os.environ["TPU_LLM_PAGED_COALESCE"]
     os.environ["TPU_LLM_PAGED_COALESCE"] = "1"
     try:
         got = paged_flash_decode_q(q, k_pool, v_pool, ks, vs, table, pos,
